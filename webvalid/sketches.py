@@ -1,0 +1,405 @@
+"""Mergeable sketches: HyperLogLog, TDigest, fixed-bin histograms.
+
+Pure NumPy, serializable, associative/commutative merges — designed for
+the two-phase aggregation pattern (partial per Arrow batch inside
+`map_batches`, merge per logical partition in a `groupby`), per
+SURVEY.md §2.5 (north_rule additions: HLL distinct, TDigest quantiles,
+histograms feeding KS / chi-squared drift tests). The reference's
+analogue is the exact per-block domain dictionary
+(reference: CDCStream/DatabaseStatistics.java:50-59); HLL replaces it
+for cross-partition distinct counts at scale.
+
+Also includes self-contained KS and chi-squared test statistics with
+p-values (no scipy in the sandbox): the chi-squared survival function
+uses a regularized incomplete-gamma continued fraction/series, the KS
+p-value the asymptotic Kolmogorov distribution.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+
+import numpy as np
+
+
+def hash64(values) -> np.ndarray:
+    """Stable 64-bit hashes of an array-like (strings or numerics).
+
+    Uses pandas' siphash-based `hash_array` with the default fixed key,
+    deterministic across processes and machines.
+    """
+    import pandas as pd
+
+    arr = np.asarray(values)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        return pd.util.hash_array(arr.astype(object), categorize=False).astype(np.uint64)
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+class HyperLogLog:
+    """Dense HLL with 2**p uint8 registers (default p=12 → ~1.6% rel err)."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: np.ndarray | None = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> "HyperLogLog":
+        h = hashes.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest_bits = 64 - self.p
+        rest = h & np.uint64((1 << rest_bits) - 1)
+        # rank = (#leading zeros of the rest_bits-bit value) + 1
+        #      = rest_bits - bit_length(rest) + 1; rest fits float64 exactly
+        # because rest < 2**52 for p >= 12.
+        bl = np.zeros(len(rest), dtype=np.int64)
+        nz = rest > 0
+        bl[nz] = np.frexp(rest[nz].astype(np.float64))[1]
+        rank = (rest_bits - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def add(self, values) -> "HyperLogLog":
+        return self.add_hashes(hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros > 0:
+                return m * math.log(m / zeros)
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "HyperLogLog":
+        p = blob[0]
+        regs = np.frombuffer(blob[1:], dtype=np.uint8).copy()
+        return cls(p=p, registers=regs)
+
+
+# ---------------------------------------------------------------------------
+# TDigest (merging digest, k1 scale function)
+# ---------------------------------------------------------------------------
+
+class TDigest:
+    """Merging t-digest for streaming quantiles; mergeable + serializable."""
+
+    __slots__ = ("delta", "means", "weights", "_buf_v", "_buf_w", "count", "v_min", "v_max")
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf_v: list[np.ndarray] = []
+        self._buf_w: list[np.ndarray] = []
+        self.count = 0.0
+        self.v_min = math.inf
+        self.v_max = -math.inf
+
+    def add_array(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self.v_min = min(self.v_min, float(v.min()))
+        self.v_max = max(self.v_max, float(v.max()))
+        self.count += len(v)
+        self._buf_v.append(v)
+        self._buf_w.append(np.ones(len(v)))
+        if sum(len(b) for b in self._buf_v) > 8 * self.delta:
+            self._compress()
+        return self
+
+    def _k(self, q: np.ndarray | float) -> np.ndarray | float:
+        return (self.delta / (2 * math.pi)) * np.arcsin(2 * np.asarray(q) - 1)
+
+    def _compress(self) -> None:
+        if not self._buf_v and len(self.means) <= self.delta:
+            return
+        vs = np.concatenate([self.means] + self._buf_v) if self._buf_v else self.means
+        ws = np.concatenate([self.weights] + self._buf_w) if self._buf_w else self.weights
+        self._buf_v, self._buf_w = [], []
+        order = np.argsort(vs, kind="mergesort")
+        vs, ws = vs[order], ws[order]
+        total = ws.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        q0 = 0.0
+        k_limit = float(self._k(min(1.0, q0 + 1e-12))) + 1.0
+        cur_m, cur_w = vs[0], ws[0]
+        for i in range(1, len(vs)):
+            q = (q0 + cur_w + ws[i]) / total
+            if float(self._k(min(q, 1.0))) <= k_limit:
+                cur_w += ws[i]
+                cur_m += (ws[i] / cur_w) * (vs[i] - cur_m)
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q0 += cur_w
+                k_limit = float(self._k(min(1.0, q0 / total))) + 1.0
+                cur_m, cur_w = vs[i], ws[i]
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.count == 0:
+            return self
+        other._compress()
+        self.count += other.count
+        self.v_min = min(self.v_min, other.v_min)
+        self.v_max = max(self.v_max, other.v_max)
+        self._buf_v.append(other.means.copy())
+        self._buf_w.append(other.weights.copy())
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.count == 0:
+            return math.nan
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * self.count
+        return float(np.interp(target, cum, self.means, left=self.v_min, right=self.v_max))
+
+    def quantiles(self, qs) -> list[float]:
+        return [self.quantile(q) for q in qs]
+
+    def serialize(self) -> bytes:
+        self._compress()
+        return pickle.dumps(
+            (self.delta, self.means, self.weights, self.count, self.v_min, self.v_max)
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "TDigest":
+        delta, means, weights, count, v_min, v_max = pickle.loads(blob)
+        td = cls(delta=delta)
+        td.means, td.weights, td.count, td.v_min, td.v_max = means, weights, count, v_min, v_max
+        return td
+
+
+# ---------------------------------------------------------------------------
+# Histograms
+# ---------------------------------------------------------------------------
+
+class CategoricalHistogram:
+    """value → count map with a mergeable top-K + overflow design."""
+
+    __slots__ = ("counts", "max_keys", "other")
+
+    def __init__(self, max_keys: int = 4096):
+        self.counts: dict = {}
+        self.max_keys = max_keys
+        self.other = 0
+
+    def add(self, values, counts=None) -> "CategoricalHistogram":
+        import pandas as pd
+
+        arr = np.asarray(values)
+        if counts is None:
+            codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+            cnt = np.bincount(codes, minlength=len(uniques))
+            items = zip(uniques, cnt)
+        else:
+            items = zip(arr, np.asarray(counts))
+        for v, c in items:
+            key = None if (v is None or (isinstance(v, float) and math.isnan(v))) else v
+            self.counts[key] = self.counts.get(key, 0) + int(c)
+        self._cap()
+        return self
+
+    def _cap(self) -> None:
+        if len(self.counts) > self.max_keys:
+            items = sorted(self.counts.items(), key=lambda kv: -kv[1])
+            for k, c in items[self.max_keys:]:
+                self.other += c
+                del self.counts[k]
+
+    def merge(self, other: "CategoricalHistogram") -> "CategoricalHistogram":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.other += other.other
+        self._cap()
+        return self
+
+    def total(self) -> int:
+        return sum(self.counts.values()) + self.other
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.counts, self.max_keys, self.other))
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "CategoricalHistogram":
+        counts, max_keys, other = pickle.loads(blob)
+        h = cls(max_keys=max_keys)
+        h.counts, h.other = counts, other
+        return h
+
+
+class NumericHistogram:
+    """Fixed-bin histogram over [lo, hi] with under/overflow bins."""
+
+    __slots__ = ("lo", "hi", "bins", "counts", "underflow", "overflow", "n_nan")
+
+    def __init__(self, lo: float, hi: float, bins: int = 64):
+        self.lo, self.hi, self.bins = float(lo), float(hi), bins
+        self.counts = np.zeros(bins, dtype=np.int64)
+        self.underflow = 0
+        self.overflow = 0
+        self.n_nan = 0
+
+    def add_array(self, values: np.ndarray) -> "NumericHistogram":
+        v = np.asarray(values, dtype=np.float64)
+        nan = np.isnan(v)
+        self.n_nan += int(nan.sum())
+        v = v[~nan]
+        under = v < self.lo
+        over = v >= self.hi
+        self.underflow += int(under.sum())
+        self.overflow += int(over.sum())
+        mid = v[~under & ~over]
+        if len(mid):
+            idx = ((mid - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
+            np.clip(idx, 0, self.bins - 1, out=idx)
+            self.counts += np.bincount(idx, minlength=self.bins)
+        return self
+
+    def merge(self, other: "NumericHistogram") -> "NumericHistogram":
+        assert (self.lo, self.hi, self.bins) == (other.lo, other.hi, other.bins)
+        self.counts += other.counts
+        self.underflow += other.underflow
+        self.overflow += other.overflow
+        self.n_nan += other.n_nan
+        return self
+
+    def total(self) -> int:
+        return int(self.counts.sum()) + self.underflow + self.overflow
+
+    def serialize(self) -> bytes:
+        return pickle.dumps(
+            (self.lo, self.hi, self.bins, self.counts, self.underflow, self.overflow, self.n_nan)
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "NumericHistogram":
+        lo, hi, bins, counts, under, over, n_nan = pickle.loads(blob)
+        h = cls(lo, hi, bins)
+        h.counts, h.underflow, h.overflow, h.n_nan = counts.copy(), under, over, n_nan
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Statistical tests (self-contained, no scipy)
+# ---------------------------------------------------------------------------
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) (series / continued fraction)."""
+    if x < 0 or a <= 0:
+        return math.nan
+    if x == 0:
+        return 1.0
+    lg = math.lgamma(a)
+    if x < a + 1:
+        # lower series
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        p = total * math.exp(-x + a * math.log(x) - lg)
+        return max(0.0, 1.0 - p)
+    # continued fraction for Q
+    tiny = 1e-300
+    b = x + 1 - a
+    c = 1 / tiny
+    d = 1 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h * math.exp(-x + a * math.log(x) - lg)
+
+
+def chi2_sf(stat: float, df: int) -> float:
+    """Chi-squared survival function P(X >= stat)."""
+    if df <= 0 or math.isnan(stat):
+        return math.nan
+    return _gammainc_upper_reg(df / 2.0, stat / 2.0)
+
+
+def chi2_two_sample(counts1: np.ndarray, counts2: np.ndarray) -> tuple[float, int, float]:
+    """Two-sample chi-squared homogeneity test over aligned category counts.
+
+    Returns (statistic, dof, p_value). Categories with zero total count
+    are dropped.
+    """
+    c1 = np.asarray(counts1, dtype=np.float64)
+    c2 = np.asarray(counts2, dtype=np.float64)
+    keep = (c1 + c2) > 0
+    c1, c2 = c1[keep], c2[keep]
+    if len(c1) < 2:
+        return 0.0, 0, 1.0
+    n1, n2 = c1.sum(), c2.sum()
+    if n1 == 0 or n2 == 0:
+        return math.nan, 0, math.nan
+    total = c1 + c2
+    e1 = total * (n1 / (n1 + n2))
+    e2 = total * (n2 / (n1 + n2))
+    stat = float((((c1 - e1) ** 2) / e1).sum() + (((c2 - e2) ** 2) / e2).sum())
+    df = len(c1) - 1
+    return stat, df, chi2_sf(stat, df)
+
+
+def ks_two_sample_from_hist(h1: NumericHistogram, h2: NumericHistogram) -> tuple[float, float]:
+    """Approximate two-sample KS over binned CDFs; returns (D, p_value)."""
+    n1, n2 = h1.total() - h1.n_nan, h2.total() - h2.n_nan
+    if n1 == 0 or n2 == 0:
+        return math.nan, math.nan
+    c1 = np.concatenate([[h1.underflow], h1.counts, [h1.overflow]]).astype(np.float64)
+    c2 = np.concatenate([[h2.underflow], h2.counts, [h2.overflow]]).astype(np.float64)
+    cdf1 = np.cumsum(c1) / n1
+    cdf2 = np.cumsum(c2) / n2
+    d = float(np.abs(cdf1 - cdf2).max())
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    lam = (en + 0.12 + 0.11 / en) * d
+    p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2 * (k * lam) ** 2) for k in range(1, 101))
+    return d, float(min(1.0, max(0.0, p)))
