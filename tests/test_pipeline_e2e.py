@@ -1,0 +1,189 @@
+"""End-to-end pipeline tests on the seeded webpages fixture.
+
+Covers: planted-violation recovery (dups, orphan langs, ts outliers,
+text parity), drift detection at the planted partition, full
+Ray-pipeline vs naive-oracle segment parity for both reference
+algorithms, and checkpoint/resume semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from webvalid.checks.base import CheckConfig
+from webvalid.gen import generate_webpages
+from tests import oracle
+
+N_ROWS = 6_000
+BLOCK = 500
+
+
+@pytest.fixture(scope="module")
+def fixture_info(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webfix")
+    return generate_webpages(
+        str(d), n_rows=N_ROWS, block_size=BLOCK, seed=11,
+        dup_frac=0.002, orphan_lang_frac=0.001, ts_outlier_frac=0.001,
+    )
+
+
+@pytest.fixture(scope="module")
+def run_result(ray_session, fixture_info, tmp_path_factory):
+    from webvalid.pipeline import run_validation
+
+    out = tmp_path_factory.mktemp("out")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"])
+    return run_validation(
+        fixture_info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+        files_per_group=2,
+    )
+
+
+def test_report_complete(run_result, fixture_info):
+    r = run_result["report"]
+    assert r["complete"] and r["rows"] == N_ROWS
+    assert r["n_partitions"] == fixture_info["n_partitions"]
+
+
+def test_uniqueness_violations_match_planted(run_result, fixture_info):
+    vio = run_result["violations"]
+    dup_urls = {u for _, u in fixture_info["dup_rows"]}
+    got = set(vio[vio["check"] == "uniqueness"]["url"])
+    assert got == dup_urls
+    # every duplicated url contributes >= 2 violation rows
+    counts = vio[vio["check"] == "uniqueness"]["url"].value_counts()
+    assert (counts >= 2).all()
+
+
+def test_referential_violations_match_planted(run_result, fixture_info):
+    vio = run_result["violations"]
+    n = len(vio[vio["check"] == "referential_lang"])
+    assert n == len(fixture_info["orphan_lang_rows"])
+    bad_parts = {r // BLOCK for r in fixture_info["orphan_lang_rows"]}
+    v = run_result["verdicts"]
+    ref = v[v["check"] == "referential_lang"]
+    assert set(ref[~ref["pass"]]["partition_id"]) == bad_parts
+
+
+def test_ts_window_violations_match_planted(run_result, fixture_info):
+    vio = run_result["violations"]
+    n = len(vio[vio["check"] == "ts_window"])
+    assert n == len(fixture_info["ts_outlier_rows"])
+    bad_parts = {r // BLOCK for r in fixture_info["ts_outlier_rows"]}
+    v = run_result["verdicts"]
+    tsr = v[v["check"] == "ts_range"]
+    assert set(tsr[~tsr["pass"]]["partition_id"]) == bad_parts
+
+
+def test_text_parity_clean(run_result):
+    vio = run_result["violations"]
+    assert len(vio[vio["check"] == "text_parity"]) == 0
+    v = run_result["verdicts"]
+    assert v[v["check"] == "text_parity"]["pass"].all()
+
+
+def test_chi2_flags_planted_drift(run_result, fixture_info):
+    v = run_result["verdicts"]
+    chi = v[(v["check"] == "drift_chi2") & (v["column"] == "lang")]
+    failed = set(chi[~chi["pass"]]["partition_id"])
+    assert fixture_info["drift_partition"] in failed
+
+
+def test_stats_sane(run_result, fixture_info):
+    stats = run_result["stats"]
+    url_stats = stats[stats["column"] == "url"]
+    assert len(url_stats) == fixture_info["n_partitions"]
+    # HLL distinct per partition ≈ block size (few dups)
+    assert np.allclose(url_stats["distinct_hll"], BLOCK, rtol=0.1)
+    text_stats = stats[stats["column"] == "text"]
+    assert (text_stats["null_frac"] < 0.06).all()
+    html_stats = stats[stats["column"] == "html"]
+    assert (html_stats["n_bytes"] > 0).all()
+    tl = stats[stats["column"] == "text_len"]
+    assert (tl["q50"] > 0).all()
+
+
+def _projection_rows(pages_dir):
+    """(lang, host) tuples in row_index order — the drift projection."""
+    import re
+
+    t = pq.read_table(pages_dir, columns=["url", "lang", "row_index"])
+    order = np.argsort(t["row_index"].to_numpy())
+    urls = np.asarray(t["url"].to_pylist(), dtype=object)[order]
+    langs = np.asarray(t["lang"].to_pylist(), dtype=object)[order]
+    host_re = re.compile(r"^[a-z]+://([^/]+)")
+    return [(l, host_re.match(u).group(1)) for u, l in zip(urls, langs)]
+
+
+def test_segments_match_oracle_end_to_end(run_result, fixture_info):
+    """The flagship parity test: Ray pipeline segments == naive oracle
+    segments for BOTH reference algorithms on the same projection."""
+    rows = _projection_rows(fixture_info["pages_dir"])
+    seg = run_result["segments"]
+
+    expected_cdc = oracle.cdcstream_run(rows, BLOCK, drift_coefficient=3.0)
+    got_cdc = [
+        (int(r["start"]), int(r["end"]))
+        for _, r in seg[seg["algorithm"] == "cdcstream"].iterrows()
+    ]
+    assert got_cdc == expected_cdc
+
+    expected_cdda = oracle.cdda_run(rows, BLOCK, min_change_degree=0.1)
+    got_cdda = [
+        (int(r["start"]), int(r["end"]))
+        for _, r in seg[seg["algorithm"] == "cdda"].iterrows()
+    ]
+    assert got_cdda == expected_cdda
+
+
+def test_resume_skips_done_groups_and_matches(ray_session, fixture_info, tmp_path_factory):
+    from webvalid.pipeline import run_validation
+
+    out = tmp_path_factory.mktemp("resume_out")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"])
+    kwargs = dict(
+        cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+        files_per_group=1,
+    )
+    # simulated crash: only one group completes
+    partial = run_validation(fixture_info["pages_dir"], str(out), max_groups=1, **kwargs)
+    assert not partial["report"]["complete"]
+    assert partial["report"]["groups_done"] == 1
+
+    # resume: finishes the rest, reuses group 0
+    full = run_validation(fixture_info["pages_dir"], str(out), **kwargs)
+    assert full["report"]["complete"]
+    reused = [m for m in full["report"]["lineage"] if m.get("reused")]
+    assert len(reused) == 1 and reused[0]["group"] == 0
+
+    # and equals a fresh single-shot run
+    out2 = tmp_path_factory.mktemp("fresh_out")
+    fresh = run_validation(fixture_info["pages_dir"], str(out2), **kwargs)
+
+    def canon(df):
+        return (
+            df.sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+
+    for key in ("verdicts", "segments"):
+        a, b = canon(full[key]), canon(fresh[key])
+        assert a.equals(b), key
+    a = canon(full["violations"][["partition_id", "check", "url"]])
+    b = canon(fresh["violations"][["partition_id", "check", "url"]])
+    assert a.equals(b)
+
+
+def test_output_files_written(run_result):
+    out = run_result["out_dir"]
+    for name in ("verdicts.parquet", "violations.parquet", "stats.parquet",
+                 "segments.parquet", "report.json"):
+        assert os.path.exists(os.path.join(out, name)), name

@@ -1,0 +1,81 @@
+"""Shared check protocol types: config, verdict/violation row schemas.
+
+Output model (FIXTURES.md F4): every check emits one verdict row per
+(partition, check[, column]) plus zero or more violation rows
+identifying offending urls. This generalizes the reference's only
+"sink" — printed concept segments + "Done."
+(reference: CDCStream/DriftDetector.java:103,112-114) — into tabular,
+resumable Parquet output.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+VERDICT_SCHEMA = pa.schema(
+    [
+        pa.field("partition_id", pa.int64()),
+        pa.field("check", pa.string()),
+        pa.field("column", pa.string()),
+        pa.field("pass", pa.bool_()),
+        pa.field("metric", pa.float64()),
+        pa.field("detail", pa.string()),
+    ]
+)
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        pa.field("partition_id", pa.int64()),
+        pa.field("check", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("reason", pa.string()),
+    ]
+)
+
+
+def verdict_row(partition_id: int, check: str, column: str, ok: bool,
+                metric: float, detail: str = "") -> dict:
+    return {
+        "partition_id": int(partition_id),
+        "check": check,
+        "column": column,
+        "pass": bool(ok),
+        "metric": float(metric),
+        "detail": detail,
+    }
+
+
+def violation_row(partition_id: int, check: str, url: str, reason: str) -> dict:
+    return {
+        "partition_id": int(partition_id),
+        "check": check,
+        "url": url,
+        "reason": reason,
+    }
+
+
+@dataclass
+class CheckConfig:
+    """Thresholds + knobs for the whole suite (defaults match FIXTURES.md F1)."""
+
+    block_size: int = 1_000
+    # column stats
+    null_frac_max: dict = field(default_factory=lambda: {"html": 0.05, "text": 0.06})
+    ts_range: tuple[int, int] | None = None  # (lo_us, hi_us) inclusive-exclusive
+    hll_p: int = 12
+    tdigest_delta: int = 200
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99)
+    # uniqueness
+    unique_columns: tuple[str, ...] = ("url",)
+    # referential
+    lang_column: str = "lang"
+    # drift
+    drift_columns: tuple[str, ...] = ("lang", "host")
+    drift_coefficient: float = 3.0
+    min_change_degree: float = 0.1
+    chi2_alpha: float = 1e-3
+    ks_alpha: float = 1e-3
+    # violations
+    max_violations_per_check: int = 10_000

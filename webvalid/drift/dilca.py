@@ -117,6 +117,35 @@ class BlockStatistics:
         ]
         self._pair_cache: dict[tuple[int, int], np.ndarray] = {}
 
+    @classmethod
+    def from_counts(cls, value_counts: list[dict], pair_counts: dict) -> "BlockStatistics":
+        """Build from mergeable count dicts instead of raw columns.
+
+        `value_counts[i]` maps value → count for column i;
+        `pair_counts[(i, j)]` (i < j) maps (value_i, value_j) → joint
+        count. This is how the Ray pipeline reconstructs per-partition
+        statistics from per-batch partials without shuffling rows —
+        co-occurrence counts are additive across batches
+        (DatabaseStatistics.java:82-90 is a pure sum).
+        """
+        self = cls.__new__(cls)
+        self.m = len(value_counts)
+        index_maps = [{v: k for k, v in enumerate(vc)} for vc in value_counts]
+        self.sizes = [len(vc) for vc in value_counts]
+        self.freq = [
+            np.array(list(vc.values()), dtype=np.float64) for vc in value_counts
+        ]
+        self.codes = None
+        self.n = int(self.freq[0].sum()) if self.m else 0
+        self._pair_cache = {}
+        for (i, j), d in pair_counts.items():
+            assert i < j
+            mat = np.zeros((self.sizes[i], self.sizes[j]))
+            for (vi, vj), c in d.items():
+                mat[index_maps[i][vi], index_maps[j][vj]] = c
+            self._pair_cache[(i, j)] = mat
+        return self
+
     def cooccurrences(self, i: int, j: int) -> np.ndarray:
         """Count matrix indexed (value of col i, value of col j)."""
         if i == j:
@@ -209,11 +238,15 @@ def distance_summary(stats: BlockStatistics, su: np.ndarray, target: int) -> flo
     return (2.0 * np.sqrt(s)) / (length * (length + 1))
 
 
-def block_summary(columns) -> float:
+def summary_of_stats(stats: BlockStatistics) -> float:
     """Mean DILCA norm over all attributes (CDCStream/DriftDetector.java:122-140)."""
-    stats = BlockStatistics(columns)
     su = stats.su_matrix()
     summary = 0.0
     for t in range(stats.m):
         summary += distance_summary(stats, su, t)
     return summary / stats.m
+
+
+def block_summary(columns) -> float:
+    """Block summary from raw columns (test/oracle path)."""
+    return summary_of_stats(BlockStatistics(columns))

@@ -1,0 +1,355 @@
+"""End-to-end validation pipeline over a webpages Parquet table.
+
+One streaming, column-pruned read per checkpoint group feeds a single
+combined `map_batches` pass (actor pool — broadcast reference tables
+resolved once per actor in `__init__`) that emits union-schema partial
+rows for three families at once:
+
+- `stats`:     per-(partition, column) sketch states (column_stats.py)
+- `drift`:     per-partition categorical count states (drift_check.py)
+- `violation`: row-level referential / text-parity / ts-window hits
+
+Partials are checkpointed per group (checkpoint.py), then merged
+distributed by `groupby(partition_id[, column]).map_groups` — only
+O(#partitions × #columns) sketch-sized states ever shuffle. The final
+sequential work (CDCStream control chart, CDDA pairwise fold) touches
+one float / one small histogram per partition, per SURVEY.md §3.1.
+Uniqueness runs as its own key-only shuffle pass (uniqueness.py).
+
+The whole module is Ray-session-agnostic: callers own `ray.init`.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from webvalid import checkpoint as ckpt
+from webvalid.checks.base import CheckConfig, VERDICT_SCHEMA, VIOLATION_SCHEMA, verdict_row
+from webvalid.checks.column_stats import ColumnState, StatsPartial, merge_states, stats_rows, stats_verdicts
+from webvalid.checks.drift_check import DriftPartial, drift_fold, merge_drift_states
+from webvalid.checks.referential import RefCheckBatcher, load_ref_sets, referential_verdicts
+from webvalid.checks.text_parity import TextParityBatcher
+from webvalid.checks.uniqueness import uniqueness_check, uniqueness_verdicts
+from webvalid.partition import add_host, add_partition_id
+from webvalid.schema import WEBPAGES_SCHEMA, schema_mismatches
+from webvalid.sketches import NumericHistogram
+
+READ_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "row_index"]
+
+UNION_SCHEMA = pa.schema(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("partition_id", pa.int64()),
+        pa.field("column", pa.string()),
+        pa.field("state", pa.binary()),
+        pa.field("check", pa.string()),
+        pa.field("url", pa.string()),
+        pa.field("reason", pa.string()),
+    ]
+)
+
+
+def _empty_union() -> pa.Table:
+    return UNION_SCHEMA.empty_table()
+
+
+def _to_union(kind: str, t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    cols = {name: t[name] if name in t.column_names else pa.nulls(n, UNION_SCHEMA.field(name).type)
+            for name in UNION_SCHEMA.names if name != "kind"}
+    return pa.table({"kind": pa.array([kind] * n, pa.string()), **cols}).cast(UNION_SCHEMA)
+
+
+def _make_prep(block_size: int):
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = add_partition_id(batch, block_size)
+        batch = add_host(batch)
+        tl = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        return batch.append_column("text_len", tl)
+
+    return prep
+
+
+class CombinedPartial:
+    """Single-pass actor: stats + drift partials + row-level violations."""
+
+    def __init__(self, cfg: CheckConfig, block_size: int,
+                 ref_sets_ref=None, expected_text_ref=None):
+        self.prep = _make_prep(block_size)
+        stat_cols = ("url", "warc_ts", "html", "text", "lang", "host", "text_len")
+        self.stats = StatsPartial(
+            cfg, stat_cols, categorical_columns=("lang", "host"),
+            hist_ranges={"text_len": (0.0, 2048.0)},
+        )
+        self.drift = DriftPartial(cfg.drift_columns)
+        self.ref = RefCheckBatcher(ref_sets_ref) if ref_sets_ref is not None else None
+        self.parity = (
+            TextParityBatcher(expected_text_ref, ts_range=cfg.ts_range)
+            if expected_text_ref is not None
+            else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.prep(batch)
+        parts = [
+            _to_union("stats", self.stats(batch)),
+            _to_union("drift", self.drift(batch)),
+        ]
+        if self.ref is not None:
+            parts.append(_to_union("violation", self.ref(batch)))
+        if self.parity is not None:
+            parts.append(_to_union("violation", self.parity(batch)))
+        return pa.concat_tables([p for p in parts if p.num_rows] or [_empty_union()])
+
+
+def _schema_check_verdicts(files: list[str]) -> tuple[list[dict], list[str]]:
+    """Metadata-only schema verdicts, one per input file (partition_id -1).
+
+    Returns (verdict_rows, conforming_files). Files whose Parquet
+    schema does not match WEBPAGES_SCHEMA are quarantined — they get a
+    failing verdict and are excluded from the scan instead of crashing
+    it (generalizes the reference's hard arity assertion,
+    CDDA/DriftDetector.java:89-91, into a per-file verdict).
+    """
+    out = []
+    good = []
+    for f in files:
+        problems = schema_mismatches(pq.read_schema(f), WEBPAGES_SCHEMA)
+        out.append(
+            verdict_row(-1, "schema", "*", not problems, float(len(problems)),
+                        f"{os.path.basename(f)}: " + ("; ".join(problems) or "ok"))
+        )
+        if not problems:
+            good.append(f)
+    return out, good
+
+
+def _filter_kind(ds, kind: str):
+    return ds.map_batches(
+        lambda t, k=kind: t.filter(pc.equal(t["kind"], k)),
+        batch_format="pyarrow",
+    )
+
+
+def run_validation(
+    pages_dir: str,
+    out_dir: str,
+    cfg: CheckConfig | None = None,
+    ref_langs: str | None = None,
+    ref_hosts: str | None = None,
+    text_hashes: str | None = None,
+    files_per_group: int = 8,
+    max_groups: int | None = None,
+    batch_size: int = 2048,
+) -> dict:
+    """Run the full suite; resumable via per-group checkpoints under out_dir.
+
+    Returns a result dict with small pandas tables (verdicts,
+    violations, stats, segments) and the run report. `max_groups`
+    limits how many *new* groups are processed this run (used by the
+    resume tests to simulate a mid-run crash).
+    """
+    cfg = cfg or CheckConfig()
+    t_run0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    all_files = sorted(glob.glob(os.path.join(pages_dir, "*.parquet")))
+    if not all_files:
+        raise FileNotFoundError(f"no parquet files under {pages_dir}")
+    schema_verdict_rows, files = _schema_check_verdicts(all_files)
+    if not files:
+        raise ValueError(f"no schema-conforming parquet files under {pages_dir}")
+
+    # --- broadcast reference tables (once per run) -----------------------
+    ref_cols: list[str] = []
+    ref_sets_ref = None
+    if ref_langs or ref_hosts:
+        paths = {}
+        if ref_langs:
+            paths["lang"] = (ref_langs, "lang")
+            ref_cols.append("lang")
+        if ref_hosts:
+            paths["host"] = (ref_hosts, "host")
+            ref_cols.append("host")
+        ref_sets_ref = ray.put(load_ref_sets(paths))
+    expected_text_ref = None
+    if text_hashes:
+        t = pq.read_table(text_hashes)
+        expected_text_ref = ray.put(
+            dict(zip(t["url"].to_pylist(), t["text_md5"].to_pylist()))
+        )
+
+    # --- per-group partial pass (resumable) ------------------------------
+    groups = [files[i: i + files_per_group] for i in range(0, len(files), files_per_group)]
+    lineage: list[dict] = []
+    new_groups = 0
+    for gid, group_files in enumerate(groups):
+        if ckpt.is_done(ckpt_dir, gid):
+            m = ckpt.read_manifest(ckpt_dir, gid)
+            m["reused"] = True
+            lineage.append(m)
+            continue
+        if max_groups is not None and new_groups >= max_groups:
+            continue
+        ckpt.reset_group(ckpt_dir, gid)
+        t0 = time.time()
+        ds = ray.data.read_parquet(group_files, columns=READ_COLUMNS)
+        n_rows = ds.count()
+        partials = ds.map_batches(
+            CombinedPartial,
+            fn_constructor_kwargs={
+                "cfg": cfg,
+                "block_size": cfg.block_size,
+                "ref_sets_ref": ref_sets_ref,
+                "expected_text_ref": expected_text_ref,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, 8),
+        )
+        partials.write_parquet(ckpt.data_dir(ckpt_dir, gid))
+        m = ckpt.commit_group(ckpt_dir, gid, group_files, n_rows, time.time() - t0)
+        m["reused"] = False
+        lineage.append(m)
+        new_groups += 1
+
+    done_groups = [g for g in range(len(groups)) if ckpt.is_done(ckpt_dir, g)]
+    complete = len(done_groups) == len(groups)
+
+    # --- merge partials (distributed) + folds (tiny, driver) -------------
+    partial_files = sorted(
+        f
+        for g in done_groups
+        for f in glob.glob(os.path.join(ckpt.data_dir(ckpt_dir, g), "*.parquet"))
+    )
+    partials_ds = ray.data.read_parquet(partial_files)
+
+    merged_stats = (
+        _filter_kind(partials_ds, "stats")
+        .groupby(["partition_id", "column"])
+        .map_groups(merge_states, batch_format="pyarrow")
+        .take_all()
+    )
+    stats_table = stats_rows(merged_stats, cfg)
+    verdicts: list[dict] = []
+    verdicts.extend(schema_verdict_rows)
+    verdicts.extend(stats_verdicts(stats_table, cfg))
+
+    # numeric per-partition histograms for the KS drift test
+    numeric_hists: dict[int, NumericHistogram] = {}
+    for row in merged_stats:
+        if row["column"] == "text_len":
+            st = ColumnState.deserialize(row["state"])
+            if st.num_hist is not None:
+                numeric_hists[row["partition_id"]] = st.num_hist
+
+    merged_drift = (
+        _filter_kind(partials_ds, "drift")
+        .groupby("partition_id")
+        .map_groups(merge_drift_states, batch_format="pyarrow")
+        .take_all()
+    )
+    drift_verdict_rows, segments = drift_fold(
+        merged_drift, cfg, numeric_hists=numeric_hists, ks_column="text_len"
+    )
+    verdicts.extend(drift_verdict_rows)
+
+    all_partitions = sorted({r["partition_id"] for r in merged_drift})
+
+    violations_parts = []
+    vio_tab = (
+        _filter_kind(partials_ds, "violation")
+        .select_columns(["partition_id", "check", "url", "reason"])
+        .to_pandas()
+    )
+    if len(vio_tab):
+        violations_parts.append(pa.Table.from_pandas(vio_tab, preserve_index=False).cast(VIOLATION_SCHEMA))
+
+    if ref_cols:
+        vio_ref = violations_parts[0] if violations_parts else VIOLATION_SCHEMA.empty_table()
+        verdicts.extend(referential_verdicts(vio_ref, all_partitions, ref_cols))
+
+    # --- uniqueness (global key-only shuffle) ----------------------------
+    uniq_ds = ray.data.read_parquet(files, columns=["url", "row_index"]).map_batches(
+        lambda t: add_partition_id(t, cfg.block_size), batch_format="pyarrow"
+    )
+    for col in cfg.unique_columns:
+        vtab, n_dup_keys = uniqueness_check(uniq_ds, cfg, column=col)
+        violations_parts.append(vtab.cast(VIOLATION_SCHEMA))
+        verdicts.extend(uniqueness_verdicts(vtab, all_partitions, column=col))
+
+    violations = (
+        pa.concat_tables(violations_parts) if violations_parts else VIOLATION_SCHEMA.empty_table()
+    )
+
+    # text-parity / ts-window per-partition verdicts from violation counts
+    for check in ("text_parity", "ts_window"):
+        mask = pc.equal(violations["check"], check)
+        sub = violations.filter(mask)
+        per: dict[int, int] = {}
+        for pid in sub["partition_id"].to_pylist():
+            per[pid] = per.get(pid, 0) + 1
+        for pid in all_partitions:
+            c = per.get(pid, 0)
+            verdicts.append(verdict_row(pid, check, "*", c == 0, float(c), "row violations"))
+
+    # --- write outputs ---------------------------------------------------
+    import pandas as pd
+
+    verdicts_pd = pd.DataFrame(verdicts)
+    violations_pd = violations.to_pandas()
+    stats_pd = pd.DataFrame(stats_table)
+    segments_pd = pd.DataFrame(segments, columns=["algorithm", "start", "end"])
+
+    pa_verdicts = pa.Table.from_pandas(verdicts_pd, preserve_index=False).cast(VERDICT_SCHEMA)
+    pq.write_table(pa_verdicts, os.path.join(out_dir, "verdicts.parquet"))
+    pq.write_table(violations, os.path.join(out_dir, "violations.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(stats_pd, preserve_index=False),
+        os.path.join(out_dir, "stats.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pandas(segments_pd, preserve_index=False),
+        os.path.join(out_dir, "segments.parquet"),
+    )
+
+    total_rows = sum(m["rows"] for m in lineage)
+    wall = time.time() - t_run0
+    report = {
+        "complete": complete,
+        "n_files": len(all_files),
+        "n_quarantined_files": len(all_files) - len(files),
+        "n_groups": len(groups),
+        "groups_done": len(done_groups),
+        "rows": total_rows,
+        "wall_sec": wall,
+        "rows_per_sec": total_rows / wall if wall > 0 else None,
+        "n_partitions": len(all_partitions),
+        "n_verdicts": len(verdicts_pd),
+        "n_violations": len(violations_pd),
+        "lineage": lineage,
+    }
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    return {
+        "verdicts": verdicts_pd,
+        "violations": violations_pd,
+        "stats": stats_pd,
+        "segments": segments_pd,
+        "report": report,
+        "out_dir": out_dir,
+    }
