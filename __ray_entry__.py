@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; no
+function here (or in webvalid) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +9,169 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full validation suite.
+
+    Runs the webvalid validation engine end-to-end on a deterministic
+    synthetic Common-Crawl-style webpages table (BASELINE.json
+    input_hint schema, seeded generator) AND sanity-checks the driver
+    testdata: the returned verdicts table covers schema, column stats,
+    uniqueness, referential integrity, text parity and the
+    CDCStream/CDDA/chi2/KS drift detectors.
+    """
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from webvalid.checks.base import CheckConfig
+    from webvalid.gen import generate_webpages
+    from webvalid.pipeline import run_validation
+    from webvalid.queries import histogram_lang_documents
+
+    base = os.path.join(tempfile.gettempdir(), "webvalid_entry")
+    fix_dir = os.path.join(base, "fixture")
+    out_dir = os.path.join(base, "out")
+    marker = os.path.join(fix_dir, "ref_langs.parquet")
+    if not os.path.exists(marker):
+        generate_webpages(fix_dir, n_rows=5_000, block_size=500, seed=7)
+    info = {
+        "pages_dir": os.path.join(fix_dir, "webpages"),
+        "ref_langs": os.path.join(fix_dir, "ref_langs.parquet"),
+        "text_hashes": os.path.join(fix_dir, "text_hashes.parquet"),
+    }
+    from webvalid.gen import TS_LO, TS_HI
+
+    cfg = CheckConfig(block_size=500, ts_range=(int(TS_LO), int(TS_HI)))
+    res = run_validation(
+        info["pages_dir"], out_dir, cfg=cfg,
+        ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
+    )
+    # also exercise the driver testdata path (sf0.001)
+    _ = histogram_lang_documents(SF0001)
+    return res["verdicts"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from webvalid import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # column statistics (SURVEY §2.5 A1/A8 + north_rule stats)
+        "column_stats_lineitem": q.column_stats_lineitem,
+        # uniqueness / referential (north_rule §2.4/§2.7)
+        "uniqueness_events_user": q.uniqueness_events_user,
+        "referential_orders_customer": q.referential_orders_customer,
+        # per-partition histograms / co-occurrence (A9 / A2)
+        "histogram_lang_documents": q.histogram_lang_documents,
+        "cooccurrence_lang_source_documents": q.cooccurrence_lang_source_documents,
+        # grouped aggregation + broadcast join machinery
+        "pricing_summary_lineitem": q.pricing_summary_lineitem,
+        "orders_by_nation": q.orders_by_nation,
+        # dedup family
+        "dedup_exact_documents": q.dedup_exact_documents,
+        "dedup_minhash_documents": q.dedup_minhash_documents,
+        "dedup_simhash_documents": q.dedup_simhash_documents,
+        # text analysis
+        "text_stats_documents": q.text_stats_documents,
+        "token_totals_by_lang": q.token_totals_by_lang,
+        "langid_documents": q.langid_documents,
+        "quality_documents": q.quality_documents,
+        # similarity search
+        "similarity_topk_embeddings": q.similarity_topk_embeddings,
+        # sketches (approximate — rows-only checks)
+        "distinct_hll_documents": q.distinct_hll_documents,
+        "quantiles_tdigest_lineitem": q.quantiles_tdigest_lineitem,
+        # reference drift detectors (CDCStream / CDDA) over events
+        "cdcstream_segments_events": q.cdcstream_segments_events,
+        "cdda_segments_events": q.cdda_segments_events,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracles for the SQL-expressible queries (same column names)."""
+    return {
+        "column_stats_lineitem": """
+            SELECT "column", n_rows, n_nulls, min_val, max_val FROM (
+                SELECT 'l_discount' AS "column", COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT(l_discount) AS n_nulls,
+                       MIN(l_discount) AS min_val, MAX(l_discount) AS max_val FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+                       MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', COUNT(*), COUNT(*) - COUNT(l_quantity),
+                       MIN(l_quantity), MAX(l_quantity) FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+                       MIN(l_tax), MAX(l_tax) FROM lineitem
+            ) ORDER BY "column"
+        """,
+        "uniqueness_events_user": """
+            SELECT user_id, COUNT(*) AS cnt FROM events
+            GROUP BY user_id HAVING COUNT(*) > 1 ORDER BY user_id
+        """,
+        "referential_orders_customer": """
+            SELECT o_custkey, COUNT(*) AS cnt FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+            GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "histogram_lang_documents": """
+            SELECT doc_id // 100 AS partition_id, lang, COUNT(*) AS cnt
+            FROM documents GROUP BY 1, 2
+        """,
+        "cooccurrence_lang_source_documents": """
+            SELECT doc_id // 100 AS partition_id, lang, source, COUNT(*) AS cnt
+            FROM documents GROUP BY 1, 2, 3
+        """,
+        "pricing_summary_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   COUNT(*) AS count_order,
+                   MIN(l_extendedprice) AS min_price,
+                   MAX(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n_name, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS cnt
+            FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "text_stats_documents": """
+            SELECT doc_id, LENGTH(text) AS n_chars_computed,
+                   LEN(STR_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "token_totals_by_lang": """
+            SELECT lang, SUM(LEN(STR_SPLIT(text, ' '))) AS total_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "similarity_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT query_id, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, vec_id) AS rn
+                FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(sim, 6) AS cosine
+            FROM ranked WHERE rn <= 10
+            ORDER BY query_id, cosine DESC, vec_id
+        """,
+    }

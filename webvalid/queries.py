@@ -1,0 +1,400 @@
+"""Driver-contract query implementations over the testdata tables.
+
+Each function takes `sf_dir` (a directory of TPC-H-ish parquet tables)
+and returns a Dataset / pandas DataFrame / pyarrow Table. These map the
+engine's operator inventory (SURVEY.md §2 + training-data ops) onto the
+driver's tables so every operator has a DuckDB-checkable twin in
+`__ray_entry__.oracle_sql`. Column names match the SQL exactly.
+
+Ray is initialised by the caller; nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from webvalid.ops.dedup import exact_dedup_groups, minhash_lsh_candidates, simhash_near_dups
+from webvalid.ops.similarity import brute_force_topk
+from webvalid.ops.textstats import LangId, QualityScorer, text_stats_batch
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Column statistics (A1/A8 analogue + north_rule stats)
+# ---------------------------------------------------------------------------
+
+class _NumStatsPartial:
+    """Per-batch partial (n, nulls, min, max) per column — two-phase agg."""
+
+    def __init__(self, columns):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_rows": [], "n_nulls": [], "min_val": [], "max_val": []}
+        for c in self.columns:
+            col = batch[c]
+            nn = col.drop_null()
+            mm = pc.min_max(nn).as_py() if len(nn) else {"min": None, "max": None}
+            rows["column"].append(c)
+            rows["n_rows"].append(len(col))
+            rows["n_nulls"].append(col.null_count)
+            rows["min_val"].append(mm["min"])
+            rows["max_val"].append(mm["max"])
+        return pa.table(
+            {
+                "column": pa.array(rows["column"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int64()),
+                "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+                "min_val": pa.array(rows["min_val"], pa.float64()),
+                "max_val": pa.array(rows["max_val"], pa.float64()),
+            }
+        )
+
+
+def column_stats_lineitem(sf_dir: str):
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    partials = _read(sf_dir, "lineitem", columns=cols).map_batches(
+        _NumStatsPartial(cols), batch_format="pyarrow"
+    ).to_pandas()
+    out = (
+        partials.groupby("column", as_index=False)
+        .agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            min_val=("min_val", "min"),
+            max_val=("max_val", "max"),
+        )
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness / referential (north_rule checks on driver tables)
+# ---------------------------------------------------------------------------
+
+def uniqueness_events_user(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = ds.groupby("user_id").count()
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    dup = dup.rename(columns={"count()": "cnt"})
+    return dup.sort_values("user_id").reset_index(drop=True)
+
+
+def referential_orders_customer(sf_dir: str):
+    """Anti-join: orders whose o_custkey is missing from customer."""
+    import pyarrow.parquet as pq
+
+    valid = frozenset(
+        pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])["c_custkey"].to_pylist()
+    )
+    import ray as _ray
+
+    valid_ref = _ray.put(valid)
+
+    class Anti:
+        def __init__(self, ref):
+            self.valid = _ray.get(ref)
+            self._vs = pa.array(sorted(self.valid), pa.int64())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            bad = pc.invert(pc.is_in(t["o_custkey"], value_set=self._vs))
+            return t.filter(pc.fill_null(bad, True))
+
+    orphans = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        Anti, fn_constructor_kwargs={"ref": valid_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    # Orphans are rare by definition; reduce driver-side (Ray groupby on a
+    # possibly-empty dataset loses the schema).
+    pdf = orphans.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"o_custkey": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    out = pdf.groupby("o_custkey", as_index=False).size().rename(columns={"size": "cnt"})
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Histograms / co-occurrence (A2, A9 analogues)
+# ---------------------------------------------------------------------------
+
+def _add_doc_partition(t: pa.Table) -> pa.Table:
+    pid = pc.divide(t["doc_id"], pa.scalar(100, pa.int64()))
+    return t.append_column("partition_id", pid)
+
+
+def histogram_lang_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        _add_doc_partition, batch_format="pyarrow"
+    )
+    out = ds.groupby(["partition_id", "lang"]).count().to_pandas()
+    return out.rename(columns={"count()": "cnt"})
+
+
+def cooccurrence_lang_source_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"]).map_batches(
+        _add_doc_partition, batch_format="pyarrow"
+    )
+    out = ds.groupby(["partition_id", "lang", "source"]).count().to_pandas()
+    return out.rename(columns={"count()": "cnt"})
+
+
+# ---------------------------------------------------------------------------
+# Aggregation + join machinery
+# ---------------------------------------------------------------------------
+
+def pricing_summary_lineitem(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Count(alias_name="count_order"),
+            Min("l_extendedprice", alias_name="min_price"),
+            Max("l_extendedprice", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def orders_by_nation(sf_dir: str):
+    """Broadcast double-hop join: orders → customer → nation, then count.
+
+    Demonstrates the small-side broadcast join pattern (dimension dicts
+    shipped once via ray.put, numpy take inside map_batches — no
+    shuffle of the fact table).
+    """
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    lookup_ref = _ray.put((c2n, n2name))
+
+    class AddNation:
+        def __init__(self, ref):
+            self.c2n, self.n2name = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            names = [
+                self.n2name.get(self.c2n.get(ck)) for ck in t["o_custkey"].to_pylist()
+            ]
+            return t.append_column("n_name", pa.array(names, pa.string()))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        AddNation, fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+    out = ds.groupby("n_name").count().to_pandas().rename(columns={"count()": "n_orders"})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity ops
+# ---------------------------------------------------------------------------
+
+def dedup_exact_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup_groups(ds, text_col="text", id_col="doc_id").to_pandas()
+    return out.sort_values("text_md5").reset_index(drop=True)
+
+
+def text_stats_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_chars_computed", "n_tokens"]).to_pandas()
+
+
+def token_totals_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+    out = (
+        ds.select_columns(["lang", "n_tokens"])
+        .groupby("lang")
+        .aggregate(Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def similarity_topk_embeddings(sf_dir: str, n_queries: int = 5, k: int = 10):
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(_t(sf_dir, "embeddings"))
+    qdf = qt.to_pandas().sort_values("vec_id").head(n_queries)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.array(qdf["embedding"].to_list(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qids, qmat, k=k).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "vec_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Drift detectors over the events stream (reference parity surface)
+# ---------------------------------------------------------------------------
+
+def _events_projection(sf_dir: str, block_size: int = 1000):
+    """Categorical projection of events in event_id order (SURVEY.md §2.9:
+    order is data — the explicit event_id column, never Ray block order)."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        pid = pc.divide(t["event_id"], pa.scalar(block_size, pa.int64()))
+        bucket = pc.cast(pc.multiply(pc.floor(pc.divide(t["value"], 5.0)), 5.0), pa.string())
+        out = pa.table(
+            {
+                "partition_id": pid,
+                "event_type": t["event_type"],
+                "value_bucket": bucket,
+            }
+        )
+        return out
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+        .map_batches(proj, batch_format="pyarrow")
+    )
+
+
+def _events_drift_states(sf_dir: str, block_size: int = 1000):
+    from webvalid.checks.drift_check import DriftPartial, merge_drift_states
+
+    ds = _events_projection(sf_dir, block_size)
+    partials = ds.map_batches(
+        DriftPartial(("event_type", "value_bucket")), batch_format="pyarrow"
+    )
+    return (
+        partials.groupby("partition_id")
+        .map_groups(merge_drift_states, batch_format="pyarrow")
+        .take_all()
+    )
+
+
+def cdcstream_segments_events(sf_dir: str, block_size: int = 1000):
+    import pickle
+
+    from webvalid.drift.cdcstream import control_chart_fold
+    from webvalid.drift.dilca import BlockStatistics, summary_of_stats
+
+    merged = sorted(_events_drift_states(sf_dir, block_size), key=lambda r: r["partition_id"])
+    states = [pickle.loads(r["state"]) for r in merged]
+    summaries = [
+        summary_of_stats(BlockStatistics.from_counts(s["value_counts"], s["pairs"]))
+        for s in states
+    ]
+    sizes = [s["n"] for s in states]
+    segments, _ = control_chart_fold(summaries, sizes, drift_coefficient=3.0)
+    return pd.DataFrame(
+        {"start": [s[0] for s in segments], "end": [s[1] for s in segments]}
+    )
+
+
+def cdda_segments_events(sf_dir: str, block_size: int = 1000):
+    import pickle
+
+    from webvalid.drift.cdda import cdda_fold
+
+    merged = sorted(_events_drift_states(sf_dir, block_size), key=lambda r: r["partition_id"])
+    states = [pickle.loads(r["state"]) for r in merged]
+    histograms = [s["value_counts"] for s in states]
+    sizes = [s["n"] for s in states]
+    segments, _, _ = cdda_fold(histograms, sizes, min_change_degree=0.05)
+    return pd.DataFrame(
+        {"start": [s[0] for s in segments], "end": [s[1] for s in segments]}
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only ops (approximate / heuristic — no SQL twin)
+# ---------------------------------------------------------------------------
+
+def dedup_minhash_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, min_est_jaccard=0.5).to_pandas()
+
+
+def dedup_simhash_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3).to_pandas()
+
+
+def langid_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.to_pandas()
+
+
+def quality_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.to_pandas()
+
+
+def distinct_hll_documents(sf_dir: str):
+    """HLL estimates vs exact distinct per column (approximate → rows-only)."""
+    from webvalid.sketches import HyperLogLog
+
+    cols = ["lang", "source", "text"]
+    hlls = {c: HyperLogLog() for c in cols}
+    ds = _read(sf_dir, "documents", columns=cols)
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for c in cols:
+            vals = batch[c].drop_null().to_numpy(zero_copy_only=False)
+            if len(vals):
+                hlls[c].add(vals)
+    return pd.DataFrame(
+        {"column": cols, "distinct_est": [round(hlls[c].estimate()) for c in cols]}
+    )
+
+
+def quantiles_tdigest_lineitem(sf_dir: str):
+    """TDigest quantiles of l_extendedprice (approximate → rows-only)."""
+    from webvalid.sketches import TDigest
+
+    class TDPartial:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            td = TDigest()
+            td.add_array(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+            return pa.table({"state": pa.array([td.serialize()], pa.binary())})
+
+    parts = _read(sf_dir, "lineitem", columns=["l_extendedprice"]).map_batches(
+        TDPartial(), batch_format="pyarrow"
+    ).take_all()
+    td = TDigest.deserialize(parts[0]["state"])
+    for p in parts[1:]:
+        td.merge(TDigest.deserialize(p["state"]))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    return pd.DataFrame({"q": qs, "value": [td.quantile(q) for q in qs]})
