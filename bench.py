@@ -1,0 +1,183 @@
+"""Benchmark harness: headline validation pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "num_cpus": N, ...}
+
+Headline = the full webvalid validation suite over a deterministic
+synthetic webpages table sized to the scale factor (generation is
+cached in /tmp and excluded from timing). Per-query timings cover the
+driver-table pipelines from __ray_entry__.
+
+--scaling: runs bench.py twice in fresh processes at num_cpus=8 and 32
+(same inputs, warmed page cache) and reports both headline times plus
+scaling efficiency = (t8/t32)/(32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "column_stats_lineitem",
+    "pricing_summary_lineitem",
+    "uniqueness_events_user",
+    "orders_by_nation",
+    "histogram_lang_documents",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "similarity_topk_embeddings",
+    "text_stats_documents",
+    "cdcstream_segments_events",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _bench_fixture(sf: float) -> dict:
+    """Seeded webpages fixture sized to sf, cached across runs."""
+    from webvalid.gen import generate_webpages
+
+    n_rows = max(20_000, int(2_000_000 * sf))
+    block = 2_000
+    cache = f"/tmp/webvalid_bench/sf{sf}"
+    marker = os.path.join(cache, "DONE.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    shutil.rmtree(cache, ignore_errors=True)
+    info = generate_webpages(
+        cache, n_rows=n_rows, block_size=block, seed=42, partitions_per_file=8
+    )
+    slim = {
+        "pages_dir": info["pages_dir"],
+        "ref_langs": info["ref_langs"],
+        "text_hashes": info["text_hashes"],
+        "ts_window": info["ts_window"],
+        "n_rows": info["n_rows"],
+        "block_size": info["block_size"],
+        "n_partitions": info["n_partitions"],
+    }
+    with open(marker, "w") as f:
+        json.dump(slim, f)
+    return slim
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_from_dir(SF_DIR)
+    info = _bench_fixture(sf)
+
+    from webvalid.checks.base import CheckConfig
+    from webvalid.pipeline import run_validation
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(info["pages_dir"], "*.parquet")):
+        pq.read_metadata(f)
+
+    out_dir = "/tmp/webvalid_bench/out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = CheckConfig(block_size=info["block_size"], ts_range=tuple(info["ts_window"]))
+    t0 = time.time()
+    res = run_validation(
+        info["pages_dir"], out_dir, cfg=cfg,
+        ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
+        files_per_group=1_000_000,  # one group: pure throughput, no ckpt overhead
+        batch_size=4096,
+    )
+    headline = time.time() - t0
+    rows = res["report"]["rows"]
+
+    query_times: dict[str, float] = {}
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        out = qs[name](SF_DIR)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        query_times[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "webvalid_suite_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": query_times,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "rows_per_sec": round(rows / headline, 1),
+        "n_partitions": info["n_partitions"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm-up run so the fixture exists and the page cache is hot
+    _ = run_at(8)
+    lo = run_at(8)
+    hi = run_at(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "rows_per_sec_8": lo["rows_per_sec"],
+        "rows_per_sec_32": hi["rows_per_sec"],
+        "sf": lo["sf"],
+        "rows": lo["rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

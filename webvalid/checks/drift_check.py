@@ -86,21 +86,26 @@ class DriftPartial:
         )
 
 
+def merge_drift_state_dicts(acc: dict, s: dict) -> dict:
+    """Additive merge of two drift state dicts (mutates and returns acc)."""
+    acc["n"] += s["n"]
+    for i, vc in enumerate(s["value_counts"]):
+        dst = acc["value_counts"][i]
+        for v, c in vc.items():
+            dst[v] = dst.get(v, 0) + c
+    for key, d in s["pairs"].items():
+        dst = acc["pairs"][key]
+        for k, c in d.items():
+            dst[k] = dst.get(k, 0) + c
+    return acc
+
+
 def merge_drift_states(group: pa.Table) -> pa.Table:
     """map_groups callable: additive merge of one partition's partials."""
     blobs = group["state"].to_pylist()
     acc = pickle.loads(blobs[0])
     for b in blobs[1:]:
-        s = pickle.loads(b)
-        acc["n"] += s["n"]
-        for i, vc in enumerate(s["value_counts"]):
-            dst = acc["value_counts"][i]
-            for v, c in vc.items():
-                dst[v] = dst.get(v, 0) + c
-        for key, d in s["pairs"].items():
-            dst = acc["pairs"][key]
-            for k, c in d.items():
-                dst[k] = dst.get(k, 0) + c
+        acc = merge_drift_state_dicts(acc, pickle.loads(b))
     return pa.table(
         {
             "partition_id": pa.array([group["partition_id"][0].as_py()], pa.int64()),

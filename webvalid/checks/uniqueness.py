@@ -24,7 +24,13 @@ from webvalid.checks.base import CheckConfig, verdict_row, violation_row
 
 
 def duplicate_keys(ds, column: str):
-    """Dataset of (column, count) for keys appearing more than once."""
+    """Dataset of (column, count) for keys appearing more than once.
+
+    Shuffle path (ray groupby) — kept for very large key spaces where
+    the hash-collect path's driver memory (8 bytes/row) won't fit; at
+    multi-node 10^12-row scale this is the route, pre-bucketed by
+    hash(key) % B.
+    """
     import pyarrow.compute as pc
 
     counts = ds.select_columns([column]).groupby(column).count()
@@ -33,55 +39,110 @@ def duplicate_keys(ds, column: str):
     )
 
 
-class _CollectDupRows:
-    """map_batches semi-join against the broadcast duplicate-key set."""
+def _dup_hash_candidates(ds, column: str) -> np.ndarray:
+    """Find duplicate-key *hash* candidates without a shuffle.
 
-    def __init__(self, dup_ref, column: str, check_name: str):
-        self.dups = set(ray.get(dup_ref))
-        self.column = column
-        self.check_name = check_name
+    Streams only a uint64 hash per row to the driver (8 B/row — e.g.
+    8 GB per 10^9 rows) and finds repeated hashes vectorized. Returns
+    the candidate hash values (superset of true dup keys: includes any
+    hash collisions, which pass 2 filters exactly by key).
+    """
+    from webvalid.sketches import hash64
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = batch[self.column].to_numpy(zero_copy_only=False)
-        mask = np.array([v in self.dups for v in vals], dtype=bool)
-        idx = np.flatnonzero(mask)
+    def to_hash(t: pa.Table) -> pa.Table:
+        vals = t[column].to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(hash64(vals), pa.uint64())})
+
+    hash_ds = ds.select_columns([column]).map_batches(to_hash, batch_format="pyarrow")
+    chunks = [b["h"].to_numpy() for b in hash_ds.iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")]
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    all_hashes = np.concatenate(chunks)
+    uniq, counts = np.unique(all_hashes, return_counts=True)
+    return uniq[counts > 1]
+
+
+def _collect_candidate_rows_fn(cand_ref, column: str):
+    """Task-based map_batches semi-join against the broadcast
+    candidate-hash set (vectorized np.isin on uint64 hashes; plasma get
+    of the shared array is cached per worker — cheaper than spinning an
+    actor pool for a pass that usually touches few rows)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from webvalid.sketches import hash64
+
+        cand = ray.get(cand_ref)
+        vals = batch[column].to_numpy(zero_copy_only=False)
+        h = hash64(vals)
+        idx = np.flatnonzero(np.isin(h, cand, assume_unique=False))
         pids = batch["partition_id"].to_numpy()
         return pa.table(
             {
                 "partition_id": pa.array(pids[idx], pa.int64()),
-                "check": pa.array([self.check_name] * len(idx), pa.string()),
                 "url": pa.array(vals[idx].astype(object), pa.string()),
-                "reason": pa.array(["duplicate"] * len(idx), pa.string()),
             }
         )
+
+    return fn
+
+
+def _empty_violations() -> pa.Table:
+    return pa.table(
+        {
+            "partition_id": pa.array([], pa.int64()),
+            "check": pa.array([], pa.string()),
+            "url": pa.array([], pa.string()),
+            "reason": pa.array([], pa.string()),
+        }
+    )
+
+
+def collect_dup_rows(ds, cand: np.ndarray, cfg: CheckConfig, column: str = "url",
+                     check_name: str = "uniqueness"):
+    """Pass 2: given candidate dup-key hashes, collect the matching rows
+    and group exactly by key driver-side (hash collisions filtered).
+    Returns (violations_table, dup_key_count)."""
+    if len(cand) == 0:
+        return _empty_violations(), 0
+    cand_ref = ray.put(np.sort(cand))
+    rows = ds.select_columns([column, "partition_id"]).map_batches(
+        _collect_candidate_rows_fn(cand_ref, column),
+        batch_format="pyarrow",
+    ).to_pandas()
+    counts = rows.groupby("url")["partition_id"].transform("size")
+    rows = rows[counts > 1]  # drop hash-collision singletons
+    if len(rows) == 0:
+        return _empty_violations(), 0
+    vtab = pa.table(
+        {
+            "partition_id": pa.array(rows["partition_id"].to_numpy(), pa.int64()),
+            "check": pa.array([check_name] * len(rows), pa.string()),
+            "url": pa.array(rows["url"].astype(object), pa.string()),
+            "reason": pa.array(["duplicate"] * len(rows), pa.string()),
+        }
+    )
+    return vtab, int(rows["url"].nunique())
+
+
+def dup_candidates_from_hash_arrays(hash_blobs: list[bytes]) -> np.ndarray:
+    """Pass 1 over pre-collected uint64 hash blobs (one per batch,
+    emitted by the main partial pass): repeated hash values."""
+    if not hash_blobs:
+        return np.empty(0, dtype=np.uint64)
+    all_hashes = np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in hash_blobs])
+    uniq, counts = np.unique(all_hashes, return_counts=True)
+    return uniq[counts > 1]
 
 
 def uniqueness_check(ds, cfg: CheckConfig, column: str = "url",
                      check_name: str = "uniqueness"):
-    """Returns (violations_table, dup_key_count).
-
-    `ds` must already carry partition_id and the key column.
-    """
-    dup_ds = duplicate_keys(ds, column)
-    dup_keys = [r[column] for r in dup_ds.take_all()]  # small by construction
-    if not dup_keys:
-        return pa.table(
-            {
-                "partition_id": pa.array([], pa.int64()),
-                "check": pa.array([], pa.string()),
-                "url": pa.array([], pa.string()),
-                "reason": pa.array([], pa.string()),
-            }
-        ), 0
-    dup_ref = ray.put(dup_keys)
-    violations = ds.select_columns([column, "partition_id"]).map_batches(
-        _CollectDupRows,
-        fn_constructor_kwargs={"dup_ref": dup_ref, "column": column, "check_name": check_name},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    vtab = pa.Table.from_pandas(violations.to_pandas(), preserve_index=False)
-    return vtab, len(dup_keys)
+    """Standalone two-pass uniqueness check (no shuffle): (1) stream
+    per-row uint64 key hashes to the driver, find repeats vectorized;
+    (2) collect rows matching the (rare) candidate hashes and group
+    exactly. `ds` must already carry partition_id and the key column."""
+    cand = _dup_hash_candidates(ds, column)
+    return collect_dup_rows(ds, cand, cfg, column=column, check_name=check_name)
 
 
 def uniqueness_verdicts(violations: pa.Table, all_partitions: list[int],

@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import pickle
 import time
 
 import numpy as np
@@ -36,11 +37,11 @@ import ray.data
 
 from webvalid import checkpoint as ckpt
 from webvalid.checks.base import CheckConfig, VERDICT_SCHEMA, VIOLATION_SCHEMA, verdict_row
-from webvalid.checks.column_stats import ColumnState, StatsPartial, merge_states, stats_rows, stats_verdicts
-from webvalid.checks.drift_check import DriftPartial, drift_fold, merge_drift_states
+from webvalid.checks.column_stats import ColumnState, StatsPartial, stats_rows, stats_verdicts
+from webvalid.checks.drift_check import DriftPartial, drift_fold, merge_drift_state_dicts
 from webvalid.checks.referential import RefCheckBatcher, load_ref_sets, referential_verdicts
 from webvalid.checks.text_parity import TextParityBatcher
-from webvalid.checks.uniqueness import uniqueness_check, uniqueness_verdicts
+from webvalid.checks.uniqueness import collect_dup_rows, dup_candidates_from_hash_arrays, uniqueness_verdicts
 from webvalid.partition import add_host, add_partition_id
 from webvalid.schema import WEBPAGES_SCHEMA, schema_mismatches
 from webvalid.sketches import NumericHistogram
@@ -101,10 +102,22 @@ class CombinedPartial:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from webvalid.sketches import hash64
+
         batch = self.prep(batch)
+        # per-batch url-hash blob: feeds the shuffle-free uniqueness
+        # pass 1 straight from the checkpointed partials
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        hash_tab = pa.table(
+            {
+                "partition_id": pa.array([int(batch["partition_id"][0].as_py())], pa.int64()),
+                "state": pa.array([hash64(urls).tobytes()], pa.binary()),
+            }
+        )
         parts = [
             _to_union("stats", self.stats(batch)),
             _to_union("drift", self.drift(batch)),
+            _to_union("urlhash", hash_tab),
         ]
         if self.ref is not None:
             parts.append(_to_union("violation", self.ref(batch)))
@@ -142,6 +155,55 @@ def _filter_kind(ds, kind: str):
     )
 
 
+def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge) -> list[dict]:
+    """Merge pickled mergeable states by key WITHOUT a shuffle.
+
+    States are associative/commutative, so: one distributed map_batches
+    round merges block-locally by key (collapsing the per-batch partial
+    fan-out), then the survivors — O(#keys × #blocks-touching-key),
+    small because batches cover contiguous partitions — are merged to
+    completion on the driver. This outperforms Ray's sort-based
+    groupby by orders of magnitude for sketch-sized state tables; for
+    key spaces too large for a driver finish, chain more local-merge
+    rounds with `repartition` between them (tree reduce).
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        key_arrays = [t[k].to_pylist() for k in key_cols]
+        blobs = t["state"].to_pylist()
+        for i, blob in enumerate(blobs):
+            k = tuple(col[i] for col in key_arrays)
+            st = deserialize(blob)
+            if k in acc:
+                acc[k] = merge(acc[k], st)
+            else:
+                acc[k] = st
+        keys = list(acc.keys())
+        cols = {
+            name: pa.array([k[j] for k in keys])
+            for j, name in enumerate(key_cols)
+        }
+        cols["state"] = pa.array([pickle.dumps(acc[k]) for k in keys], pa.binary())
+        return pa.table(cols)
+
+    reduced = ds.select_columns(list(key_cols) + ["state"]).map_batches(
+        local, batch_format="pyarrow"
+    ).take_all()
+    final: dict = {}
+    for row in reduced:
+        k = tuple(row[c] for c in key_cols)
+        st = deserialize(row["state"])
+        if k in final:
+            final[k] = merge(final[k], st)
+        else:
+            final[k] = st
+    return [
+        {**dict(zip(key_cols, k)), "state": pickle.dumps(st)}
+        for k, st in final.items()
+    ]
+
+
 def run_validation(
     pages_dir: str,
     out_dir: str,
@@ -162,6 +224,10 @@ def run_validation(
     """
     cfg = cfg or CheckConfig()
     t_run0 = time.time()
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        timings[name] = round(timings.get(name, 0.0) + time.time() - t0, 3)
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -207,7 +273,7 @@ def run_validation(
         ckpt.reset_group(ckpt_dir, gid)
         t0 = time.time()
         ds = ray.data.read_parquet(group_files, columns=READ_COLUMNS)
-        n_rows = ds.count()
+        n_rows = sum(pq.read_metadata(f).num_rows for f in group_files)
         partials = ds.map_batches(
             CombinedPartial,
             fn_constructor_kwargs={
@@ -225,6 +291,7 @@ def run_validation(
         m["reused"] = False
         lineage.append(m)
         new_groups += 1
+        _mark("partial_pass", t0)
 
     done_groups = [g for g in range(len(groups)) if ckpt.is_done(ckpt_dir, g)]
     complete = len(done_groups) == len(groups)
@@ -237,12 +304,14 @@ def run_validation(
     )
     partials_ds = ray.data.read_parquet(partial_files)
 
-    merged_stats = (
-        _filter_kind(partials_ds, "stats")
-        .groupby(["partition_id", "column"])
-        .map_groups(merge_states, batch_format="pyarrow")
-        .take_all()
+    t0 = time.time()
+    merged_stats = merge_keyed_states(
+        _filter_kind(partials_ds, "stats"),
+        ("partition_id", "column"),
+        ColumnState.deserialize,
+        lambda a, b: a.merge(b),
     )
+    _mark("stats_merge", t0)
     stats_table = stats_rows(merged_stats, cfg)
     verdicts: list[dict] = []
     verdicts.extend(schema_verdict_rows)
@@ -256,25 +325,31 @@ def run_validation(
             if st.num_hist is not None:
                 numeric_hists[row["partition_id"]] = st.num_hist
 
-    merged_drift = (
-        _filter_kind(partials_ds, "drift")
-        .groupby("partition_id")
-        .map_groups(merge_drift_states, batch_format="pyarrow")
-        .take_all()
+    t0 = time.time()
+    merged_drift = merge_keyed_states(
+        _filter_kind(partials_ds, "drift"),
+        ("partition_id",),
+        pickle.loads,
+        merge_drift_state_dicts,
     )
+    _mark("drift_merge", t0)
+    t0 = time.time()
     drift_verdict_rows, segments = drift_fold(
         merged_drift, cfg, numeric_hists=numeric_hists, ks_column="text_len"
     )
     verdicts.extend(drift_verdict_rows)
+    _mark("drift_fold", t0)
 
     all_partitions = sorted({r["partition_id"] for r in merged_drift})
 
+    t0 = time.time()
     violations_parts = []
     vio_tab = (
         _filter_kind(partials_ds, "violation")
         .select_columns(["partition_id", "check", "url", "reason"])
         .to_pandas()
     )
+    _mark("violations_collect", t0)
     if len(vio_tab):
         violations_parts.append(pa.Table.from_pandas(vio_tab, preserve_index=False).cast(VIOLATION_SCHEMA))
 
@@ -282,14 +357,30 @@ def run_validation(
         vio_ref = violations_parts[0] if violations_parts else VIOLATION_SCHEMA.empty_table()
         verdicts.extend(referential_verdicts(vio_ref, all_partitions, ref_cols))
 
-    # --- uniqueness (global key-only shuffle) ----------------------------
-    uniq_ds = ray.data.read_parquet(files, columns=["url", "row_index"]).map_batches(
-        lambda t: add_partition_id(t, cfg.block_size), batch_format="pyarrow"
-    )
-    for col in cfg.unique_columns:
-        vtab, n_dup_keys = uniqueness_check(uniq_ds, cfg, column=col)
-        violations_parts.append(vtab.cast(VIOLATION_SCHEMA))
-        verdicts.extend(uniqueness_verdicts(vtab, all_partitions, column=col))
+    # --- uniqueness (global, shuffle-free — see uniqueness.py) -----------
+    # Pass 1 reads the per-batch url-hash blobs already sitting in the
+    # checkpointed partials (no re-scan of the input); pass 2 touches
+    # the url column again only when candidate duplicates exist.
+    t0 = time.time()
+    hash_blobs = [
+        r["state"]
+        for r in _filter_kind(partials_ds, "urlhash")
+        .select_columns(["state"])
+        .take_all()
+    ]
+    cand = dup_candidates_from_hash_arrays(hash_blobs)
+    if len(cand):
+        uniq_ds = ray.data.read_parquet(files, columns=["url", "row_index"]).map_batches(
+            lambda t: add_partition_id(t, cfg.block_size), batch_format="pyarrow"
+        )
+        vtab, n_dup_keys = collect_dup_rows(uniq_ds, cand, cfg, column="url")
+    else:
+        from webvalid.checks.uniqueness import _empty_violations
+
+        vtab = _empty_violations()
+    violations_parts.append(vtab.cast(VIOLATION_SCHEMA))
+    verdicts.extend(uniqueness_verdicts(vtab, all_partitions, column="url"))
+    _mark("uniqueness", t0)
 
     violations = (
         pa.concat_tables(violations_parts) if violations_parts else VIOLATION_SCHEMA.empty_table()
@@ -340,6 +431,7 @@ def run_validation(
         "n_partitions": len(all_partitions),
         "n_verdicts": len(verdicts_pd),
         "n_violations": len(violations_pd),
+        "timings": timings,
         "lineage": lineage,
     }
     with open(os.path.join(out_dir, "report.json"), "w") as f:

@@ -29,6 +29,39 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+_COMBINE_HOW = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def twophase_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]]) -> pd.DataFrame:
+    """Grouped aggregate as partial-per-batch + driver combine.
+
+    `spec`: {out_col: (src_col, how)} with how in sum/count/min/max.
+    Avoids the all-to-all sort shuffle of `Dataset.groupby` — each
+    batch pre-aggregates with pandas (one row per in-batch group), the
+    driver combines the tiny partials. Right whenever #groups is small
+    relative to #rows (the usual case for analytics rollups); for huge
+    group counts fall back to Dataset.groupby.
+    """
+    named = {
+        out: pd.NamedAgg(column=src, aggfunc="size" if how == "count" else how)
+        for out, (src, how) in spec.items()
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(keys, as_index=False, sort=False).agg(**named)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    combined = parts.groupby(keys, as_index=False, sort=False).agg(
+        **{
+            out: pd.NamedAgg(column=out, aggfunc=_COMBINE_HOW[how])
+            for out, (_, how) in spec.items()
+        }
+    )
+    return combined
+
+
 def _read(sf_dir: str, name: str, columns=None):
     return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
 
@@ -90,11 +123,8 @@ def column_stats_lineitem(sf_dir: str):
 
 def uniqueness_events_user(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
-    counts = ds.groupby("user_id").count()
-    dup = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
-    ).to_pandas()
-    dup = dup.rename(columns={"count()": "cnt"})
+    counts = twophase_agg(ds, ["user_id"], {"cnt": ("user_id", "count")})
+    dup = counts[counts["cnt"] > 1]
     return dup.sort_values("user_id").reset_index(drop=True)
 
 
@@ -145,16 +175,16 @@ def histogram_lang_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
         _add_doc_partition, batch_format="pyarrow"
     )
-    out = ds.groupby(["partition_id", "lang"]).count().to_pandas()
-    return out.rename(columns={"count()": "cnt"})
+    return twophase_agg(ds.select_columns(["partition_id", "lang"]),
+                        ["partition_id", "lang"], {"cnt": ("lang", "count")})
 
 
 def cooccurrence_lang_source_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"]).map_batches(
         _add_doc_partition, batch_format="pyarrow"
     )
-    out = ds.groupby(["partition_id", "lang", "source"]).count().to_pandas()
-    return out.rename(columns={"count()": "cnt"})
+    return twophase_agg(ds.select_columns(["partition_id", "lang", "source"]),
+                        ["partition_id", "lang", "source"], {"cnt": ("lang", "count")})
 
 
 # ---------------------------------------------------------------------------
@@ -162,21 +192,18 @@ def cooccurrence_lang_source_documents(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def pricing_summary_lineitem(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min, Sum
-
     ds = _read(
         sf_dir, "lineitem",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Count(alias_name="count_order"),
-            Min("l_extendedprice", alias_name="min_price"),
-            Max("l_extendedprice", alias_name="max_price"),
-        )
-        .to_pandas()
+    out = twophase_agg(
+        ds, ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "count_order": ("l_quantity", "count"),
+            "min_price": ("l_extendedprice", "min"),
+            "max_price": ("l_extendedprice", "max"),
+        },
     )
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -211,7 +238,8 @@ def orders_by_nation(sf_dir: str):
         AddNation, fn_constructor_kwargs={"ref": lookup_ref},
         batch_format="pyarrow", concurrency=(1, 4),
     )
-    out = ds.groupby("n_name").count().to_pandas().rename(columns={"count()": "n_orders"})
+    out = twophase_agg(ds.select_columns(["n_name"]), ["n_name"],
+                       {"n_orders": ("n_name", "count")})
     return out.sort_values("n_name").reset_index(drop=True)
 
 
@@ -233,16 +261,12 @@ def text_stats_documents(sf_dir: str):
 
 
 def token_totals_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
         text_stats_batch, batch_format="pyarrow"
     )
-    out = (
-        ds.select_columns(["lang", "n_tokens"])
-        .groupby("lang")
-        .aggregate(Sum("n_tokens", alias_name="total_tokens"), Count(alias_name="n_docs"))
-        .to_pandas()
+    out = twophase_agg(
+        ds.select_columns(["lang", "n_tokens"]), ["lang"],
+        {"total_tokens": ("n_tokens", "sum"), "n_docs": ("n_tokens", "count")},
     )
     return out.sort_values("lang").reset_index(drop=True)
 
