@@ -55,8 +55,8 @@ def _bench_fixture(sf: float) -> dict:
     """Seeded webpages fixture sized to sf, cached across runs."""
     from webvalid.gen import generate_webpages
 
-    n_rows = max(20_000, int(2_000_000 * sf))
-    block = 2_000
+    n_rows = max(20_000, int(20_000_000 * sf))
+    block = 10_000
     cache = f"/tmp/webvalid_bench/sf{sf}"
     marker = os.path.join(cache, "DONE.json")
     if os.path.exists(marker):
@@ -64,7 +64,7 @@ def _bench_fixture(sf: float) -> dict:
             return json.load(f)
     shutil.rmtree(cache, ignore_errors=True)
     info = generate_webpages(
-        cache, n_rows=n_rows, block_size=block, seed=42, partitions_per_file=8
+        cache, n_rows=n_rows, block_size=block, seed=42, partitions_per_file=2
     )
     slim = {
         "pages_dir": info["pages_dir"],
@@ -149,6 +149,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=N vs 4N on identical input.
+
+    Defaults N=8 (levels 8 and 32, overridable via GRAFT_SCALE_LO/HI).
+    Note the 4N level equals the machine's core count, so that leg also
+    hosts the Ray driver/raylet/object-store threads — a structural
+    handicap a real 4N-node cluster doesn't have.
+    """
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(lo_n * 4)))
+
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
@@ -158,19 +168,21 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # warm-up run so the fixture exists and the page cache is hot
-    _ = run_at(8)
-    lo = run_at(8)
-    hi = run_at(32)
+    _ = run_at(lo_n)
+    lo = run_at(lo_n)
+    hi = run_at(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "rows_per_sec_8": lo["rows_per_sec"],
-        "rows_per_sec_32": hi["rows_per_sec"],
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        f"sec_{lo_n}": t_lo,
+        f"sec_{hi_n}": t_hi,
+        f"rows_per_sec_{lo_n}": lo["rows_per_sec"],
+        f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
         "sf": lo["sf"],
         "rows": lo["rows"],
     }

@@ -1,0 +1,227 @@
+"""Tests for dedup / similarity / text / multimodal ops (planted cases)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _docs_ds(ray_session, rows):
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the sun sets "
+        "slowly behind the ancient mountain range casting long shadows")
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},  # exact dup of 0
+        {"doc_id": 2, "text": BASE.replace("lazy", "sleepy")},  # near dup of 0
+        {"doc_id": 3, "text": "completely different content about database systems "
+                              "and distributed query processing engines at scale"},
+        {"doc_id": 4, "text": "yet another unrelated snippet regarding neural "
+                              "machine translation quality estimation research"},
+    ]
+    return _docs_ds(ray_session, rows)
+
+
+def test_exact_dedup(docs):
+    from webvalid.ops.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(docs).to_pandas()
+    dup = out[out["cnt"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["keeper"] == 0 and dup.iloc[0]["cnt"] == 2
+    assert len(out) == 4  # 4 distinct contents
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    from webvalid.ops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs, min_est_jaccard=0.4).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got  # exact dup
+    assert (0, 2) in got or (1, 2) in got  # near dup
+    # unrelated docs must not pair with the BASE cluster
+    for a, b in got:
+        assert not (b in (3, 4) or a in (3, 4))
+
+
+def test_minhash_estimates_jaccard(docs):
+    from webvalid.ops.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(docs, min_est_jaccard=0.0).to_pandas()
+    exact_pair = pairs[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)]
+    assert len(exact_pair) == 1 and exact_pair.iloc[0]["est_jaccard"] == 1.0
+
+
+def test_ngram_jaccard():
+    from webvalid.ops.dedup import ngram_jaccard
+
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    near = ngram_jaccard(BASE, BASE.replace("lazy", "sleepy"))
+    far = ngram_jaccard(BASE, "unrelated text entirely")
+    assert 0.5 < near < 1.0 and far < 0.2
+
+
+def test_simhash_near_dups(docs):
+    from webvalid.ops.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(docs, max_hamming=6).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (0, 1) in got
+    ham = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["hamming"]))
+    assert ham[(0, 1)] == 0
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+
+    from webvalid.ops.dedup import embedding_near_dups
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=8)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + rng.normal(scale=0.01, size=8)).tolist()},
+        {"vec_id": 2, "embedding": rng.normal(size=8).tolist()},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    pairs = embedding_near_dups(ds, threshold=0.99).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == {(0, 1)}
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data
+
+    from webvalid.ops.similarity import brute_force_topk
+
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(200, 16))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in mat]})
+    )
+    qids = [0, 5]
+    out = brute_force_topk(ds, qids, mat[qids], k=5).to_pandas()
+
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qi in qids:
+        sims = norm @ norm[qi]
+        expected = set(np.argsort(-sims)[:5])
+        got = set(out[out["query_id"] == qi]["vec_id"])
+        assert got == expected
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    from webvalid.ops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(2)
+    mat = rng.normal(size=(500, 16))
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": range(500), "embedding": [v.tolist() for v in mat]})
+    )
+    qids = [3, 7, 11]
+    exact = brute_force_topk(ds, qids, mat[qids], k=10).to_pandas()
+    approx = ivf_topk(ds, qids, mat[qids], k=10, nlist=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in qids:
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 clusters
+
+
+def test_quality_scorer_ranks_text(ray_session):
+    import ray.data
+
+    from webvalid.ops.textstats import QualityScorer
+
+    rows = [
+        {"doc_id": 0, "text": "The quick brown fox jumps over the lazy dog and "
+                              "runs far into the quiet forest for a long time."},
+        {"doc_id": 1, "text": "!!! ??? ### 123 456 789 000 !!!"},
+        {"doc_id": 2, "text": None},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = ds.map_batches(QualityScorer, batch_format="pyarrow",
+                         concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "quality_score"] > out.loc[1, "quality_score"]
+    assert out.loc[2, "quality_score"] == 0.0
+    assert out.loc[1, "digit_ratio"] > 0.3
+
+
+def test_langid(ray_session):
+    import ray.data
+
+    from webvalid.ops.textstats import LangId
+
+    rows = [
+        {"doc_id": 0, "text": "the cat is in the house and it is warm for the winter"},
+        {"doc_id": 1, "text": "der Hund ist nicht in das Haus und die Katze ist zu alt"},
+        {"doc_id": 2, "text": "это не просто текст на русском что и как надо по делу"},
+        {"doc_id": 3, "text": "这是一个中文文本的例子非常好的内容这里还有更多的汉字用来测试语言识别"},
+        {"doc_id": 4, "text": "zzz qqq xxx"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=1).to_pandas()
+    pred = dict(zip(out["doc_id"], out["lang_pred"]))
+    assert pred[0] == "en" and pred[1] == "de" and pred[2] == "ru"
+    assert pred[3] == "zh" and pred[4] == "und"
+
+
+def test_fingerprinter_deterministic(ray_session):
+    import ray.data
+
+    from webvalid.ops.textstats import Fingerprinter
+
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": "other words entirely different from the base text here"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = ds.map_batches(Fingerprinter, batch_format="pyarrow",
+                         concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint_xor"] == out.loc[1, "fingerprint_xor"]
+    assert out.loc[0, "fingerprint_xor"] != out.loc[2, "fingerprint_xor"]
+    assert out.loc[0, "n_fingerprints"] > 0
+
+
+def test_multimodal_decode_and_frames(ray_session):
+    import ray.data
+
+    from webvalid.ops.multimodal import FEATURE_DIM, decode_images, sample_frames
+
+    rows = [
+        {"url": "a", "html": b"<html>" + b"x" * 10_000 + b"</html>"},
+        {"url": "b", "html": None},
+        {"url": "c", "html": b"<html>tiny</html>"},
+    ]
+    ds = ray.data.from_arrow(
+        __import__("pyarrow").table(
+            {
+                "url": ["a", "b", "c"],
+                "html": __import__("pyarrow").array(
+                    [r["html"] for r in rows], __import__("pyarrow").binary()
+                ),
+            }
+        )
+    )
+    dec = decode_images(ds, concurrency=1).to_pandas().set_index("url")
+    assert dec.loc["a", "width"] > 0 and dec.loc["b", "width"] == 0
+    assert len(dec.loc["a", "features"]) == FEATURE_DIM
+    # determinism: same payload → same decode
+    dec2 = decode_images(ds, concurrency=1).to_pandas().set_index("url")
+    assert dec.loc["a", "width"] == dec2.loc["a", "width"]
+
+    fr = sample_frames(ds, concurrency=1).to_pandas()
+    assert set(fr["url"]) == {"a", "c"}  # null payload skipped
+    assert (fr[fr["url"] == "a"]["frame_idx"] % 4 == 0).all()

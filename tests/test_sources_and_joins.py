@@ -1,0 +1,110 @@
+"""CSV compat source (KDD-shaped) end-to-end parity + salted join tests."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests import oracle
+from tests.test_drift_parity import drifting_rows
+
+
+@pytest.fixture(scope="module")
+def csv_stream(tmp_path_factory):
+    """Headerless categorical CSV with planted shifts (reference input shape)."""
+    rows = drifting_rows(3, n_blocks=8, block_size=200, m=4, shift_at=(5,))
+    path = tmp_path_factory.mktemp("csv") / "stream.csv"
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(",".join(r) + "\n")
+    return str(path), rows
+
+
+def test_csv_detectors_match_oracle(ray_session, csv_stream):
+    """Full Main.java-equivalent run over CSV == naive oracle, both detectors."""
+    from webvalid.sources import csv_drift_segments
+
+    path, rows = csv_stream
+    got = csv_drift_segments(path, block_size=200)
+    assert got["cdcstream"] == oracle.cdcstream_run(rows, 200, 3.0)
+    assert got["cdda"] == oracle.cdda_run(rows, 200, 0.1)
+
+
+def test_csv_reader_types_and_order(ray_session, csv_stream):
+    from webvalid.sources import read_categorical_csv
+
+    path, rows = csv_stream
+    ds = read_categorical_csv(path)
+    schema = ds.schema()
+    assert schema.names[:4] == ["c0", "c1", "c2", "c3"]
+    df = ds.to_pandas().sort_values("row_index")
+    assert len(df) == len(rows)
+    # all-string contract: numeric-looking tokens stay strings
+    assert df["c0"].map(type).eq(str).all()
+    assert tuple(df.iloc[0][:4]) == rows[0]
+
+
+def test_salted_anti_join(ray_session):
+    import ray.data
+
+    from webvalid.ops.joins import salted_anti_join
+
+    rng = random.Random(4)
+    valid_keys = [f"k{i}" for i in range(100)]
+    right = pa.table({"key": pa.array(valid_keys, pa.string()),
+                      "payload": pa.array(range(100), pa.int64())})
+    left_keys = [rng.choice(valid_keys) for _ in range(500)] + ["orphan1", "orphan2"] * 3
+    left = ray.data.from_pandas(pd.DataFrame({"key": left_keys,
+                                              "val": range(len(left_keys))}))
+    out = salted_anti_join(left, right, "key", num_buckets=8).to_pandas()
+    assert set(out["key"]) == {"orphan1", "orphan2"} and len(out) == 6
+
+
+def test_salted_anti_join_with_hot_keys(ray_session):
+    import ray.data
+
+    from webvalid.ops.joins import salted_anti_join
+
+    right = pa.table({"key": pa.array(["hot", "cold"], pa.string())})
+    left_keys = ["hot"] * 400 + ["cold"] * 5 + ["missing"] * 7
+    left = ray.data.from_pandas(pd.DataFrame({"key": left_keys}))
+    out = salted_anti_join(left, right, "key", num_buckets=4,
+                           hot_keys={"hot"}, n_salts=3).to_pandas()
+    assert list(out["key"].unique()) == ["missing"] and len(out) == 7
+
+
+def test_salted_inner_join(ray_session):
+    import ray.data
+
+    from webvalid.ops.joins import salted_inner_join
+
+    right = pa.table({"key": pa.array([f"k{i}" for i in range(50)], pa.string()),
+                      "payload": pa.array(range(50), pa.int64())})
+    left = ray.data.from_pandas(
+        pd.DataFrame({"key": [f"k{i % 60}" for i in range(300)], "v": range(300)})
+    )
+    out = salted_inner_join(left, right, "key", num_buckets=8).to_pandas()
+    # keys k50..k59 have no right match → dropped
+    expected = sum(1 for i in range(300) if i % 60 < 50)
+    assert len(out) == expected
+    assert (out["payload"] == out["key"].str[1:].astype(int)).all()
+
+
+def test_salted_inner_join_hot_keys(ray_session):
+    import ray.data
+
+    from webvalid.ops.joins import salted_inner_join
+
+    right = pa.table({"key": pa.array(["en", "de"], pa.string()),
+                      "name": pa.array(["english", "german"], pa.string())})
+    left = ray.data.from_pandas(
+        pd.DataFrame({"key": ["en"] * 200 + ["de"] * 10 + ["xx"] * 5})
+    )
+    out = salted_inner_join(left, right, "key", num_buckets=4,
+                            hot_keys={"en"}, n_salts=4).to_pandas()
+    assert len(out) == 210  # xx dropped, no duplicate matches from salting
+    assert (out[out["key"] == "en"]["name"] == "english").all()

@@ -1,12 +1,17 @@
 """Byte-identical-text-per-url parity check (BASELINE.json input_hint).
 
 Verifies that the `text` column is byte-identical per `url` to the
-reference fixture's extracted text, via md5 fingerprints. The expected
-(url → md5) table is broadcast once (`ray.put`) and each batch is
-checked vectorized-ish (md5 per non-null row — hashlib's C core — no
-reference dict copies per batch). For fixture tables too large to
-broadcast, co-partition both sides by `hash(url)` instead
-(webvalid/ops/joins.py).
+reference fixture's extracted text, via md5 fingerprints.
+
+Broadcast representation matters at scale: a Python dict of
+url → md5 would be re-deserialized by every actor (seconds each, and
+O(fixture) heap per actor). Instead the driver ships two SORTED uint64
+numpy arrays — hash64(url) and hash64(url + ":" + md5) — which
+`ray.get` maps zero-copy from the object store; membership is a
+vectorized binary search (np.searchsorted). A row violates when its
+url is in the fixture but its (url, md5(text)) pair hash is not.
+Collision risk is the usual 64-bit birthday bound (~1e-7 at 10^6
+fixture rows) and only ever *hides* a violation, never invents one.
 
 Also emits row-level warc_ts window violations in the same pass (the
 row-scan twin of the per-partition ts_range verdict in column_stats).
@@ -21,12 +26,29 @@ import pyarrow as pa
 
 import ray
 
+from webvalid.sketches import hash64
+
+
+def build_expected_hashes(urls: list, md5s: list) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted url hashes, sorted url:md5 pair hashes) for broadcasting."""
+    url_arr = np.asarray(urls, dtype=object)
+    pair_arr = np.asarray([f"{u}:{m}" for u, m in zip(urls, md5s)], dtype=object)
+    return np.sort(hash64(url_arr)), np.sort(hash64(pair_arr))
+
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    idx = np.searchsorted(sorted_arr, values)
+    idx[idx >= len(sorted_arr)] = len(sorted_arr) - 1 if len(sorted_arr) else 0
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    return sorted_arr[idx] == values
+
 
 class TextParityBatcher:
     """Actor-pool callable: text md5 mismatches + ts-window violations."""
 
     def __init__(self, expected_ref, ts_range: tuple[int, int] | None = None):
-        self.expected: dict[str, str] = ray.get(expected_ref)
+        self.url_hashes, self.pair_hashes = ray.get(expected_ref)  # zero-copy
         self.ts_range = ts_range
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -37,19 +59,27 @@ class TextParityBatcher:
         out_check: list[str] = []
         out_url: list[str] = []
         out_reason: list[str] = []
-        exp = self.expected
-        for i, (u, t) in enumerate(zip(urls, texts)):
-            if t is None:
-                continue
-            e = exp.get(u)
-            if e is None:
-                continue
-            h = hashlib.md5(t.encode()).hexdigest()
-            if h != e:
-                out_pid.append(int(pids[i]))
-                out_check.append("text_parity")
-                out_url.append(u)
-                out_reason.append(f"md5 {h} != expected {e}")
+
+        has_text = np.array([t is not None for t in texts], dtype=bool)
+        if has_text.any():
+            url_h = hash64(np.asarray(urls, dtype=object))
+            known = _in_sorted(url_h, self.url_hashes) & has_text
+            if known.any():
+                pair_strs = np.asarray(
+                    [
+                        f"{u}:{hashlib.md5(t.encode()).hexdigest()}" if k else ""
+                        for u, t, k in zip(urls, texts, known)
+                    ],
+                    dtype=object,
+                )
+                pair_ok = _in_sorted(hash64(pair_strs), self.pair_hashes)
+                bad = np.flatnonzero(known & ~pair_ok)
+                for i in bad:
+                    out_pid.append(int(pids[i]))
+                    out_check.append("text_parity")
+                    out_url.append(urls[int(i)])
+                    out_reason.append("text md5 differs from fixture")
+
         if self.ts_range is not None:
             lo, hi = self.ts_range
             ts = batch["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)

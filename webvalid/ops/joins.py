@@ -1,0 +1,171 @@
+"""Partitioned hash joins with salting — the large-side referential path.
+
+When a reference table is too large to broadcast, both sides are
+co-partitioned by `hash(key) % num_buckets` and joined bucket-by-bucket:
+the right side is bucketed driver-side once (it is the smaller side by
+assumption — big, but far smaller than the fact table) and each bucket
+is shipped to the object store; the left side tags rows with their
+bucket in `map_batches` and each batch joins against only its buckets'
+tables. Hot keys are handled by SALTING: keys whose frequency exceeds
+the skew threshold get `salt = hash(row) % n_salts` appended to the
+bucket id, and the right-side rows for those keys are replicated into
+every salted bucket — the classic skew-join transform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from webvalid.sketches import hash64
+
+
+def bucket_of(values, num_buckets: int) -> np.ndarray:
+    return (hash64(np.asarray(values)) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def build_right_buckets(right: pa.Table, key: str, num_buckets: int,
+                        hot_keys: set | None = None, n_salts: int = 1) -> list:
+    """Bucket the right side; replicate hot-key rows across salt buckets.
+
+    Returns a list of `num_buckets * n_salts` ObjectRefs of pa.Table.
+    Bucket layout: bucket_id * n_salts + salt.
+    """
+    keys = right[key].to_numpy(zero_copy_only=False)
+    b = bucket_of(keys, num_buckets)
+    hot = np.array([k in hot_keys for k in keys], dtype=bool) if hot_keys else np.zeros(len(keys), bool)
+    tables: list[list[pa.Table]] = [[] for _ in range(num_buckets * n_salts)]
+    for bucket in range(num_buckets):
+        in_bucket = b == bucket
+        cold = right.filter(pa.array(in_bucket & ~hot))
+        hot_rows = right.filter(pa.array(in_bucket & hot))
+        for salt in range(n_salts):
+            parts = [cold] if salt == 0 or hot_keys is None else []
+            if salt == 0 and n_salts > 1:
+                parts = [cold]
+            if hot_rows.num_rows:
+                parts.append(hot_rows)  # replicate hot keys into every salt
+            if salt != 0 and not parts:
+                parts = [right.slice(0, 0)]
+            tables[bucket * n_salts + salt] = (
+                pa.concat_tables(parts) if parts else right.slice(0, 0)
+            )
+    # cold rows live only in salt 0; lookups for cold keys always use salt 0
+    return [ray.put(t) for t in tables]
+
+
+class BucketedAntiJoin:
+    """map_batches callable: rows whose key misses the right side.
+
+    Resolves only the bucket tables a batch actually needs, builds a
+    per-bucket key set lazily, caches across batches (actor pool).
+    """
+
+    def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1):
+        self.bucket_refs = bucket_refs
+        self.key = key
+        self.num_buckets = num_buckets
+        self.n_salts = n_salts
+        self._key_sets: dict[int, set] = {}
+
+    def _key_set(self, bucket: int) -> set:
+        ks = self._key_sets.get(bucket)
+        if ks is None:
+            ks = set()
+            for salt in range(self.n_salts):
+                t = ray.get(self.bucket_refs[bucket * self.n_salts + salt])
+                ks.update(t[self.key].to_pylist())
+            self._key_sets[bucket] = ks
+        return ks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key].to_numpy(zero_copy_only=False)
+        b = bucket_of(keys, self.num_buckets)
+        miss = np.zeros(len(keys), dtype=bool)
+        for bucket in np.unique(b):
+            ks = self._key_set(int(bucket))
+            sel = b == bucket
+            miss[sel] = np.array([k not in ks for k in keys[sel]])
+        return batch.filter(pa.array(miss))
+
+
+def salted_anti_join(left_ds, right: pa.Table, key: str,
+                     num_buckets: int = 32, hot_keys: set | None = None,
+                     n_salts: int = 4):
+    """Left rows whose `key` is absent from `right` (referential violations)."""
+    refs = build_right_buckets(right, key, num_buckets, hot_keys=hot_keys,
+                               n_salts=n_salts if hot_keys else 1)
+    return left_ds.map_batches(
+        BucketedAntiJoin,
+        fn_constructor_kwargs={
+            "bucket_refs": refs, "key": key, "num_buckets": num_buckets,
+            "n_salts": n_salts if hot_keys else 1,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+class BucketedInnerJoin:
+    """map_batches callable: inner hash join of each batch against its
+    bucket tables (payload columns appended)."""
+
+    def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1):
+        self.bucket_refs = bucket_refs
+        self.key = key
+        self.num_buckets = num_buckets
+        self.n_salts = n_salts
+        self._lookups: dict[int, pa.Table] = {}
+
+    def _bucket_table(self, bucket: int) -> pa.Table:
+        t = self._lookups.get(bucket)
+        if t is None:
+            parts = [
+                ray.get(self.bucket_refs[bucket * self.n_salts + s])
+                for s in range(self.n_salts)
+            ]
+            # salt replicas duplicate hot keys — keep first occurrence
+            t = pa.concat_tables(parts)
+            if self.n_salts > 1 and t.num_rows:
+                import pandas as pd
+
+                df = t.to_pandas().drop_duplicates(subset=[self.key])
+                t = pa.Table.from_pandas(df, preserve_index=False)
+            self._lookups[bucket] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key].to_numpy(zero_copy_only=False)
+        b = bucket_of(keys, self.num_buckets)
+        out = []
+        for bucket in np.unique(b):
+            sub = batch.filter(pa.array(b == bucket))
+            right = self._bucket_table(int(bucket))
+            joined = sub.join(right, keys=self.key, join_type="inner")
+            if joined.num_rows:
+                out.append(joined)
+        if not out:
+            empty = batch.slice(0, 0)
+            right0 = self._bucket_table(0)
+            return empty.join(right0.slice(0, 0), keys=self.key, join_type="inner")
+        return pa.concat_tables(out, promote_options="default")
+
+
+def salted_inner_join(left_ds, right: pa.Table, key: str,
+                      num_buckets: int = 32, hot_keys: set | None = None,
+                      n_salts: int = 4):
+    """Inner join left_ds ⋈ right on `key`, bucketed + hot-key salted."""
+    refs = build_right_buckets(right, key, num_buckets, hot_keys=hot_keys,
+                               n_salts=n_salts if hot_keys else 1)
+    return left_ds.map_batches(
+        BucketedInnerJoin,
+        fn_constructor_kwargs={
+            "bucket_refs": refs, "key": key, "num_buckets": num_buckets,
+            "n_salts": n_salts if hot_keys else 1,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

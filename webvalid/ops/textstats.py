@@ -88,6 +88,7 @@ class QualityScorer:
             + 0.2 * (1 - np.clip(digit_ratio * 4, 0, 1))
             + 0.2 * np.clip((mean_tok_len - 1) / 6.0, 0, 1)
         )
+        score[n_tokens == 0] = 0.0  # null/empty documents score zero
         cols = {
             self.id_col: batch[self.id_col],
             "n_tokens": pa.array(n_tokens),

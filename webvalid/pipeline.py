@@ -82,8 +82,36 @@ def _make_prep(block_size: int):
     return prep
 
 
+_COMBINED_CACHE: dict = {}
+
+
+def make_combined_fn(cfg, block_size, ref_sets_ref, expected_text_ref):
+    """Task-based wrapper around CombinedPartial.
+
+    Stateless tasks schedule to full width immediately (no actor-pool
+    ramp-up); the heavy per-process setup (broadcast resolution, regex
+    compiles) runs once per WORKER via a module-level cache — same
+    amortization as an actor pool without its spin-up serialization.
+    """
+    key = (
+        ref_sets_ref.hex() if ref_sets_ref is not None else None,
+        expected_text_ref.hex() if expected_text_ref is not None else None,
+        block_size,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cp = _COMBINED_CACHE.get(key)
+        if cp is None:
+            cp = CombinedPartial(cfg, block_size, ref_sets_ref, expected_text_ref)
+            _COMBINED_CACHE.clear()  # one live config per worker
+            _COMBINED_CACHE[key] = cp
+        return cp(batch)
+
+    return fn
+
+
 class CombinedPartial:
-    """Single-pass actor: stats + drift partials + row-level violations."""
+    """Single-pass per-batch kernel: stats + drift partials + violations."""
 
     def __init__(self, cfg: CheckConfig, block_size: int,
                  ref_sets_ref=None, expected_text_ref=None):
@@ -204,6 +232,107 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge) -> lis
     ]
 
 
+def collect_merged_partials(partials_ds) -> dict:
+    """ONE distributed pass over the union-schema partials: merge stats
+    states by (partition, column) and drift states by partition
+    block-locally, pass violation / urlhash rows through, then finish
+    the (now tiny) merges on the driver. Collapses what would be four
+    separate Ray jobs — each with ~1s of launch overhead — into one.
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        kinds = t["kind"].to_pylist()
+        pids = t["partition_id"].to_pylist()
+        cols = t["column"].to_pylist()
+        states = t["state"].to_pylist()
+        checks = t["check"].to_pylist()
+        urls = t["url"].to_pylist()
+        reasons = t["reason"].to_pylist()
+
+        stats_acc: dict = {}
+        drift_acc: dict = {}
+        out_rows = {name: [] for name in UNION_SCHEMA.names}
+
+        def emit(kind, pid=None, col=None, state=None, check=None, url=None, reason=None):
+            out_rows["kind"].append(kind)
+            out_rows["partition_id"].append(pid)
+            out_rows["column"].append(col)
+            out_rows["state"].append(state)
+            out_rows["check"].append(check)
+            out_rows["url"].append(url)
+            out_rows["reason"].append(reason)
+
+        for i, kind in enumerate(kinds):
+            if kind == "stats":
+                k = (pids[i], cols[i])
+                st = ColumnState.deserialize(states[i])
+                if k in stats_acc:
+                    stats_acc[k].merge(st)
+                else:
+                    stats_acc[k] = st
+            elif kind == "drift":
+                s = pickle.loads(states[i])
+                if pids[i] in drift_acc:
+                    merge_drift_state_dicts(drift_acc[pids[i]], s)
+                else:
+                    drift_acc[pids[i]] = s
+            else:  # urlhash / violation pass through
+                emit(kind, pids[i], cols[i], states[i], checks[i], urls[i], reasons[i])
+
+        for (pid, col), st in stats_acc.items():
+            emit("stats", pid, col, pickle.dumps(st))
+        for pid, s in drift_acc.items():
+            emit("drift", pid, None, pickle.dumps(s))
+        return pa.table(
+            {
+                name: pa.array(out_rows[name],
+                               UNION_SCHEMA.field(name).type)
+                for name in UNION_SCHEMA.names
+            }
+        )
+
+    rows = partials_ds.map_batches(local, batch_format="pyarrow").take_all()
+
+    stats_final: dict = {}
+    drift_final: dict = {}
+    hash_blobs: list[bytes] = []
+    violations: list[dict] = []
+    for r in rows:
+        kind = r["kind"]
+        if kind == "stats":
+            k = (r["partition_id"], r["column"])
+            st = ColumnState.deserialize(r["state"])
+            if k in stats_final:
+                stats_final[k].merge(st)
+            else:
+                stats_final[k] = st
+        elif kind == "drift":
+            s = pickle.loads(r["state"])
+            if r["partition_id"] in drift_final:
+                merge_drift_state_dicts(drift_final[r["partition_id"]], s)
+            else:
+                drift_final[r["partition_id"]] = s
+        elif kind == "urlhash":
+            hash_blobs.append(r["state"])
+        else:
+            violations.append(
+                {"partition_id": r["partition_id"], "check": r["check"],
+                 "url": r["url"], "reason": r["reason"]}
+            )
+    return {
+        "stats": [
+            {"partition_id": pid, "column": col, "state": pickle.dumps(st)}
+            for (pid, col), st in stats_final.items()
+        ],
+        "drift": [
+            {"partition_id": pid, "state": pickle.dumps(s)}
+            for pid, s in drift_final.items()
+        ],
+        "hash_blobs": hash_blobs,
+        "violations": violations,
+    }
+
+
 def run_validation(
     pages_dir: str,
     out_dir: str,
@@ -253,9 +382,11 @@ def run_validation(
         ref_sets_ref = ray.put(load_ref_sets(paths))
     expected_text_ref = None
     if text_hashes:
+        from webvalid.checks.text_parity import build_expected_hashes
+
         t = pq.read_table(text_hashes)
         expected_text_ref = ray.put(
-            dict(zip(t["url"].to_pylist(), t["text_md5"].to_pylist()))
+            build_expected_hashes(t["url"].to_pylist(), t["text_md5"].to_pylist())
         )
 
     # --- per-group partial pass (resumable) ------------------------------
@@ -272,21 +403,24 @@ def run_validation(
             continue
         ckpt.reset_group(ckpt_dir, gid)
         t0 = time.time()
-        ds = ray.data.read_parquet(group_files, columns=READ_COLUMNS)
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        ds = ray.data.read_parquet(
+            group_files,
+            columns=READ_COLUMNS,
+            # read parallelism must not be capped by file count
+            override_num_blocks=max(len(group_files), 2 * n_cpus),
+        )
         n_rows = sum(pq.read_metadata(f).num_rows for f in group_files)
         partials = ds.map_batches(
-            CombinedPartial,
-            fn_constructor_kwargs={
-                "cfg": cfg,
-                "block_size": cfg.block_size,
-                "ref_sets_ref": ref_sets_ref,
-                "expected_text_ref": expected_text_ref,
-            },
+            make_combined_fn(cfg, cfg.block_size, ref_sets_ref, expected_text_ref),
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=(1, 8),
         )
-        partials.write_parquet(ckpt.data_dir(ckpt_dir, gid))
+        # coalesce the tiny per-batch partial blocks so the checkpoint is
+        # a handful of files, not one file per batch
+        partials.repartition(max(1, n_cpus // 4)).write_parquet(
+            ckpt.data_dir(ckpt_dir, gid)
+        )
         m = ckpt.commit_group(ckpt_dir, gid, group_files, n_rows, time.time() - t0)
         m["reused"] = False
         lineage.append(m)
@@ -305,13 +439,9 @@ def run_validation(
     partials_ds = ray.data.read_parquet(partial_files)
 
     t0 = time.time()
-    merged_stats = merge_keyed_states(
-        _filter_kind(partials_ds, "stats"),
-        ("partition_id", "column"),
-        ColumnState.deserialize,
-        lambda a, b: a.merge(b),
-    )
-    _mark("stats_merge", t0)
+    merged = collect_merged_partials(partials_ds)
+    merged_stats = merged["stats"]
+    _mark("merge_pass", t0)
     stats_table = stats_rows(merged_stats, cfg)
     verdicts: list[dict] = []
     verdicts.extend(schema_verdict_rows)
@@ -325,14 +455,7 @@ def run_validation(
             if st.num_hist is not None:
                 numeric_hists[row["partition_id"]] = st.num_hist
 
-    t0 = time.time()
-    merged_drift = merge_keyed_states(
-        _filter_kind(partials_ds, "drift"),
-        ("partition_id",),
-        pickle.loads,
-        merge_drift_state_dicts,
-    )
-    _mark("drift_merge", t0)
+    merged_drift = merged["drift"]
     t0 = time.time()
     drift_verdict_rows, segments = drift_fold(
         merged_drift, cfg, numeric_hists=numeric_hists, ks_column="text_len"
@@ -342,14 +465,11 @@ def run_validation(
 
     all_partitions = sorted({r["partition_id"] for r in merged_drift})
 
-    t0 = time.time()
+    import pandas as pd
+
     violations_parts = []
-    vio_tab = (
-        _filter_kind(partials_ds, "violation")
-        .select_columns(["partition_id", "check", "url", "reason"])
-        .to_pandas()
-    )
-    _mark("violations_collect", t0)
+    vio_tab = pd.DataFrame(merged["violations"],
+                           columns=["partition_id", "check", "url", "reason"])
     if len(vio_tab):
         violations_parts.append(pa.Table.from_pandas(vio_tab, preserve_index=False).cast(VIOLATION_SCHEMA))
 
@@ -362,13 +482,7 @@ def run_validation(
     # checkpointed partials (no re-scan of the input); pass 2 touches
     # the url column again only when candidate duplicates exist.
     t0 = time.time()
-    hash_blobs = [
-        r["state"]
-        for r in _filter_kind(partials_ds, "urlhash")
-        .select_columns(["state"])
-        .take_all()
-    ]
-    cand = dup_candidates_from_hash_arrays(hash_blobs)
+    cand = dup_candidates_from_hash_arrays(merged["hash_blobs"])
     if len(cand):
         uniq_ds = ray.data.read_parquet(files, columns=["url", "row_index"]).map_batches(
             lambda t: add_partition_id(t, cfg.block_size), batch_format="pyarrow"

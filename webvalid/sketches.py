@@ -126,12 +126,14 @@ class TDigest:
         self.count += len(v)
         self._buf_v.append(v)
         self._buf_w.append(np.ones(len(v)))
-        if sum(len(b) for b in self._buf_v) > 8 * self.delta:
+        if sum(len(b) for b in self._buf_v) > max(16_384, 8 * self.delta):
             self._compress()
         return self
 
-    def _k(self, q: np.ndarray | float) -> np.ndarray | float:
-        return (self.delta / (2 * math.pi)) * np.arcsin(2 * np.asarray(q) - 1)
+    def _k(self, q: float) -> float:
+        # scalar on purpose: called once per input point in _compress's
+        # sequential merge loop — numpy wrappers would dominate runtime
+        return (self.delta / (2 * math.pi)) * math.asin(2 * q - 1)
 
     def _compress(self) -> None:
         if not self._buf_v and len(self.means) <= self.delta:
@@ -140,23 +142,23 @@ class TDigest:
         ws = np.concatenate([self.weights] + self._buf_w) if self._buf_w else self.weights
         self._buf_v, self._buf_w = [], []
         order = np.argsort(vs, kind="mergesort")
-        vs, ws = vs[order], ws[order]
-        total = ws.sum()
+        vs, ws = vs[order].tolist(), ws[order].tolist()
+        total = float(sum(ws))
         out_m: list[float] = []
         out_w: list[float] = []
         q0 = 0.0
-        k_limit = float(self._k(min(1.0, q0 + 1e-12))) + 1.0
+        k_limit = self._k(min(1.0, q0 + 1e-12)) + 1.0
         cur_m, cur_w = vs[0], ws[0]
         for i in range(1, len(vs)):
             q = (q0 + cur_w + ws[i]) / total
-            if float(self._k(min(q, 1.0))) <= k_limit:
+            if self._k(min(q, 1.0)) <= k_limit:
                 cur_w += ws[i]
                 cur_m += (ws[i] / cur_w) * (vs[i] - cur_m)
             else:
                 out_m.append(cur_m)
                 out_w.append(cur_w)
                 q0 += cur_w
-                k_limit = float(self._k(min(1.0, q0 / total))) + 1.0
+                k_limit = self._k(min(1.0, q0 / total)) + 1.0
                 cur_m, cur_w = vs[i], ws[i]
         out_m.append(cur_m)
         out_w.append(cur_w)
