@@ -264,4 +264,17 @@ def stats_verdicts(stats: list[dict], cfg: CheckConfig) -> list[dict]:
                     f"window=[{lo},{hi})",
                 )
             )
+        if col == "url":
+            # degenerate-key guard: a partition whose url column collapses
+            # to few distinct values signals a broken upstream extractor
+            n_nonnull = s["n"] - s["nulls"]
+            est = s["distinct_hll"]
+            ok = n_nonnull == 0 or est >= 0.5 * n_nonnull
+            verdicts.append(
+                verdict_row(
+                    s["partition_id"], "distinct_collapse", col, ok,
+                    est / n_nonnull if n_nonnull else math.nan,
+                    "HLL distinct / non-null rows >= 0.5",
+                )
+            )
     return verdicts

@@ -125,14 +125,51 @@ def collect_dup_rows(ds, cand: np.ndarray, cfg: CheckConfig, column: str = "url"
     return vtab, int(rows["url"].nunique())
 
 
-def dup_candidates_from_hash_arrays(hash_blobs: list[bytes]) -> np.ndarray:
+def _dups_in(arrays: list[np.ndarray]) -> np.ndarray:
+    if not arrays:
+        return np.empty(0, dtype=np.uint64)
+    s = np.sort(np.concatenate(arrays))
+    dup = s[1:][s[1:] == s[:-1]]
+    if len(dup) == 0:
+        return dup
+    return np.unique(dup)
+
+
+def dup_candidates_from_hash_arrays(hash_blobs: list[bytes],
+                                    n_buckets: int = 16) -> np.ndarray:
     """Pass 1 over pre-collected uint64 hash blobs (one per batch,
-    emitted by the main partial pass): repeated hash values."""
+    emitted by the main partial pass): repeated hash values.
+
+    The O(n log n) sort is sharded by the hashes' top bits into
+    `n_buckets` Ray tasks so candidate-finding parallelizes instead of
+    serializing the driver (duplicates can only collide within a
+    bucket). Falls back to a local sort for small inputs.
+    """
     if not hash_blobs:
         return np.empty(0, dtype=np.uint64)
-    all_hashes = np.concatenate([np.frombuffer(b, dtype=np.uint64) for b in hash_blobs])
-    uniq, counts = np.unique(all_hashes, return_counts=True)
-    return uniq[counts > 1]
+    arrays = [np.frombuffer(b, dtype=np.uint64) for b in hash_blobs]
+    total = sum(len(a) for a in arrays)
+    if total < 4_000_000 or not ray.is_initialized():
+        return _dups_in(arrays)
+
+    shift = np.uint64(64 - int(np.log2(n_buckets)))
+    buckets: list[list[np.ndarray]] = [[] for _ in range(n_buckets)]
+    for a in arrays:
+        b = (a >> shift).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        sorted_a, sorted_b = a[order], b[order]
+        bounds = np.searchsorted(sorted_b, np.arange(1, n_buckets))
+        for i, chunk in enumerate(np.split(sorted_a, bounds)):
+            if len(chunk):
+                buckets[i].append(chunk)
+
+    dups_task = ray.remote(_dups_in)
+    refs = [dups_task.remote(chunks) for chunks in buckets if chunks]
+    found = ray.get(refs)
+    found = [f for f in found if len(f)]
+    if not found:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(found)
 
 
 def uniqueness_check(ds, cfg: CheckConfig, column: str = "url",

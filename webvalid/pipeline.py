@@ -342,7 +342,7 @@ def run_validation(
     text_hashes: str | None = None,
     files_per_group: int = 8,
     max_groups: int | None = None,
-    batch_size: int = 2048,
+    batch_size: int | None = None,
 ) -> dict:
     """Run the full suite; resumable via per-group checkpoints under out_dir.
 
@@ -380,24 +380,40 @@ def run_validation(
             paths["host"] = (ref_hosts, "host")
             ref_cols.append("host")
         ref_sets_ref = ray.put(load_ref_sets(paths))
+    t0 = time.time()
     expected_text_ref = None
     if text_hashes:
         from webvalid.checks.text_parity import build_expected_hashes
 
-        t = pq.read_table(text_hashes)
-        expected_text_ref = ray.put(
-            build_expected_hashes(t["url"].to_pylist(), t["text_md5"].to_pylist())
-        )
+        schema_names = pq.read_schema(text_hashes).names
+        if "url_hash" in schema_names and "pair_hash" in schema_names:
+            t = pq.read_table(text_hashes, columns=["url_hash", "pair_hash"])
+            expected_text_ref = ray.put(
+                (
+                    np.sort(t["url_hash"].to_numpy()),
+                    np.sort(t["pair_hash"].to_numpy()),
+                )
+            )
+        else:
+            t = pq.read_table(text_hashes)
+            expected_text_ref = ray.put(
+                build_expected_hashes(t["url"].to_pylist(), t["text_md5"].to_pylist())
+            )
+
+    _mark("setup_broadcast", t0)
 
     # --- per-group partial pass (resumable) ------------------------------
     groups = [files[i: i + files_per_group] for i in range(0, len(files), files_per_group)]
     lineage: list[dict] = []
     new_groups = 0
+    fresh_partials = []  # materialized partials of groups processed THIS run
+    reused_groups: list[int] = []
     for gid, group_files in enumerate(groups):
         if ckpt.is_done(ckpt_dir, gid):
             m = ckpt.read_manifest(ckpt_dir, gid)
             m["reused"] = True
             lineage.append(m)
+            reused_groups.append(gid)
             continue
         if max_groups is not None and new_groups >= max_groups:
             continue
@@ -417,10 +433,11 @@ def run_validation(
             batch_size=batch_size,
         )
         # coalesce the tiny per-batch partial blocks so the checkpoint is
-        # a handful of files, not one file per batch
-        partials.repartition(max(1, n_cpus // 4)).write_parquet(
-            ckpt.data_dir(ckpt_dir, gid)
-        )
+        # a handful of files, not one file per batch; keep the
+        # materialized result so this run's merge skips re-reading it
+        mat = partials.repartition(max(1, n_cpus // 4)).materialize()
+        mat.write_parquet(ckpt.data_dir(ckpt_dir, gid))
+        fresh_partials.append(mat)
         m = ckpt.commit_group(ckpt_dir, gid, group_files, n_rows, time.time() - t0)
         m["reused"] = False
         lineage.append(m)
@@ -431,22 +448,29 @@ def run_validation(
     complete = len(done_groups) == len(groups)
 
     # --- merge partials (distributed) + folds (tiny, driver) -------------
+    # Fresh groups merge from their in-memory materialized partials;
+    # only groups checkpointed by PREVIOUS runs are read back from disk.
     partial_files = sorted(
         f
-        for g in done_groups
+        for g in reused_groups
         for f in glob.glob(os.path.join(ckpt.data_dir(ckpt_dir, g), "*.parquet"))
     )
-    partials_ds = ray.data.read_parquet(partial_files)
+    sources = list(fresh_partials)
+    if partial_files:
+        sources.append(ray.data.read_parquet(partial_files))
+    partials_ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
 
     t0 = time.time()
     merged = collect_merged_partials(partials_ds)
     merged_stats = merged["stats"]
     _mark("merge_pass", t0)
+    t0 = time.time()
     stats_table = stats_rows(merged_stats, cfg)
     verdicts: list[dict] = []
     verdicts.extend(schema_verdict_rows)
     verdicts.extend(stats_verdicts(stats_table, cfg))
 
+    _mark("stats_fold", t0)
     # numeric per-partition histograms for the KS drift test
     numeric_hists: dict[int, NumericHistogram] = {}
     for row in merged_stats:
@@ -483,6 +507,8 @@ def run_validation(
     # the url column again only when candidate duplicates exist.
     t0 = time.time()
     cand = dup_candidates_from_hash_arrays(merged["hash_blobs"])
+    _mark("uniq_pass1", t0)
+    t0 = time.time()
     if len(cand):
         uniq_ds = ray.data.read_parquet(files, columns=["url", "row_index"]).map_batches(
             lambda t: add_partition_id(t, cfg.block_size), batch_format="pyarrow"
@@ -511,6 +537,17 @@ def run_validation(
             c = per.get(pid, 0)
             verdicts.append(verdict_row(pid, check, "*", c == 0, float(c), "row violations"))
 
+    t0 = time.time()
+    # cap violation rows per check AFTER verdict counting, so one
+    # systemic failure can't blow up the output table but verdicts stay
+    # exact
+    if violations.num_rows:
+        capped = []
+        for check_name in pc.unique(violations["check"]).to_pylist():
+            sub = violations.filter(pc.equal(violations["check"], check_name))
+            capped.append(sub.slice(0, cfg.max_violations_per_check))
+        violations = pa.concat_tables(capped)
+
     # --- write outputs ---------------------------------------------------
     import pandas as pd
 
@@ -531,6 +568,7 @@ def run_validation(
         os.path.join(out_dir, "segments.parquet"),
     )
 
+    _mark("outputs", t0)
     total_rows = sum(m["rows"] for m in lineage)
     wall = time.time() - t_run0
     report = {
