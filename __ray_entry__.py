@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped aggregation + broadcast join machinery
         "pricing_summary_lineitem": q.pricing_summary_lineitem,
         "orders_by_nation": q.orders_by_nation,
+        "events_type_by_day": q.events_type_by_day,
+        "distinct_exact_part_brand": q.distinct_exact_part_brand,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_minhash_documents": q.dedup_minhash_documents,
@@ -141,6 +143,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
+        """,
+        "events_type_by_day": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "distinct_exact_part_brand": """
+            SELECT COUNT(DISTINCT p_brand) AS n_distinct FROM part
         """,
         "dedup_exact_documents": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS cnt

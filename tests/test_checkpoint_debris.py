@@ -1,0 +1,58 @@
+"""Crash-debris resume: an uncommitted checkpoint group (data written,
+manifest missing — i.e. the process died mid-write) must be wiped and
+recomputed, yielding results identical to a clean run."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from webvalid import checkpoint as ckpt
+from webvalid.checks.base import CheckConfig
+from webvalid.gen import generate_webpages
+
+BLOCK = 400
+
+
+@pytest.fixture(scope="module")
+def fix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("debris_fix")
+    return generate_webpages(str(d), n_rows=3200, block_size=BLOCK, seed=13)
+
+
+def test_uncommitted_group_debris_is_recomputed(ray_session, fix, tmp_path_factory):
+    from webvalid.pipeline import run_validation
+
+    kwargs = dict(
+        cfg=CheckConfig(block_size=BLOCK, ts_range=fix["ts_window"]),
+        ref_langs=fix["ref_langs"], text_hashes=fix["text_hashes"],
+        files_per_group=1,
+    )
+    clean_out = tmp_path_factory.mktemp("clean")
+    clean = run_validation(fix["pages_dir"], str(clean_out), **kwargs)
+
+    # simulate a crash: group 0 has a data dir with garbage but NO manifest
+    crash_out = tmp_path_factory.mktemp("crash")
+    ckpt_dir = os.path.join(str(crash_out), "checkpoints")
+    debris = ckpt.data_dir(ckpt_dir, 0)
+    os.makedirs(debris)
+    pq.write_table(pa.table({"junk": pa.array([1, 2, 3])}),
+                   os.path.join(debris, "partial.parquet"))
+    assert not ckpt.is_done(ckpt_dir, 0)
+
+    res = run_validation(fix["pages_dir"], str(crash_out), **kwargs)
+    assert res["report"]["complete"]
+    # debris was replaced by real partials + a manifest
+    assert ckpt.is_done(ckpt_dir, 0)
+
+    def canon(df):
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    for key in ("verdicts", "segments"):
+        a = canon(clean[key].drop(columns=["detail"], errors="ignore"))
+        b = canon(res[key].drop(columns=["detail"], errors="ignore"))
+        assert a.equals(b), key

@@ -1,0 +1,130 @@
+"""Property-style tests: sketch merge laws + drift math invariants
+(SURVEY.md §5.2.4) using hypothesis."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from webvalid.sketches import CategoricalHistogram, HyperLogLog, NumericHistogram, TDigest
+from webvalid.drift.dilca import block_summary
+from webvalid.drift.cdda import change_degree, column_histograms, merge_histograms
+from tests import oracle
+
+
+values_arrays = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=1, max_size=300
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(values_arrays, values_arrays, values_arrays)
+def test_hll_merge_associative_commutative(a, b, c):
+    def h(vals):
+        return HyperLogLog(p=8).add(np.asarray(vals))
+
+    left = h(a).merge(h(b)).merge(h(c))
+    right = h(c).merge(h(a).merge(h(b)))
+    together = HyperLogLog(p=8).add(np.asarray(a + b + c))
+    assert (left.registers == right.registers).all()
+    assert (left.registers == together.registers).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+             min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=5),
+)
+def test_tdigest_merge_order_independent_quantiles(data, n_splits):
+    arr = np.asarray(data)
+    parts = np.array_split(arr, n_splits)
+    fwd = TDigest(delta=100)
+    for p in parts:
+        fwd.merge(TDigest(delta=100).add_array(p))
+    rev = TDigest(delta=100)
+    for p in reversed(parts):
+        rev.merge(TDigest(delta=100).add_array(p))
+    assert fwd.count == rev.count == len(arr)
+    # rank-window bound: the digest's q-quantile must fall between the
+    # exact (q ± 0.25)-quantiles (tiny samples make point comparisons
+    # meaningless — numpy interpolates, digests snap to centroids)
+    for q in (0.1, 0.5, 0.9):
+        lo_b = float(np.quantile(arr, max(0.0, q - 0.25)))
+        hi_b = float(np.quantile(arr, min(1.0, q + 0.25)))
+        for d in (fwd, rev):
+            v = d.quantile(q)
+            assert lo_b - 1e-9 <= v <= hi_b + 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(values_arrays, values_arrays)
+def test_numeric_histogram_merge_equals_whole(a, b):
+    h1 = NumericHistogram(0, 500, 32).add_array(np.asarray(a, dtype=float))
+    h2 = NumericHistogram(0, 500, 32).add_array(np.asarray(b, dtype=float))
+    whole = NumericHistogram(0, 500, 32).add_array(np.asarray(a + b, dtype=float))
+    h1.merge(h2)
+    assert (h1.counts == whole.counts).all()
+    assert h1.total() == whole.total()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=100),
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=100),
+)
+def test_categorical_histogram_merge_equals_whole(a, b):
+    h1 = CategoricalHistogram().add(np.array(a, dtype=object))
+    h2 = CategoricalHistogram().add(np.array(b, dtype=object))
+    whole = CategoricalHistogram().add(np.array(a + b, dtype=object))
+    h1.merge(h2)
+    assert h1.counts == whole.counts
+
+
+rows_strategy = st.lists(
+    st.tuples(st.sampled_from("abc"), st.sampled_from("xyz"), st.sampled_from("pq")),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows_strategy)
+def test_block_summary_matches_oracle_property(rows):
+    cols = [np.array([r[i] for r in rows], dtype=object) for i in range(3)]
+    expected = oracle.summary_of(rows)
+    actual = block_summary(cols)
+    if math.isnan(expected):
+        assert math.isnan(actual)
+    else:
+        assert actual == pytest.approx(expected, rel=1e-10, abs=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows_strategy, rows_strategy)
+def test_change_degree_matches_oracle_property(r1, r2):
+    c1 = [np.array([r[i] for r in r1], dtype=object) for i in range(3)]
+    c2 = [np.array([r[i] for r in r2], dtype=object) for i in range(3)]
+    expected = oracle.change_degree_for(r1, r2)
+    actual = change_degree(column_histograms(c1), column_histograms(c2))
+    if math.isnan(expected):
+        assert math.isnan(actual)
+    elif math.isinf(expected):
+        assert math.isinf(actual)
+    else:
+        assert actual == pytest.approx(expected, rel=1e-12)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows_strategy, rows_strategy)
+def test_histogram_merge_equals_concat_block(r1, r2):
+    """Per-column histogram of concatenated rows == merged histograms —
+    the invariant the per-batch drift partials rely on."""
+    c1 = [np.array([r[i] for r in r1], dtype=object) for i in range(3)]
+    c2 = [np.array([r[i] for r in r2], dtype=object) for i in range(3)]
+    both = [np.concatenate([a, b]) for a, b in zip(c1, c2)]
+    merged = merge_histograms(column_histograms(c1), column_histograms(c2))
+    assert merged == column_histograms(both)

@@ -243,6 +243,33 @@ def orders_by_nation(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def events_type_by_day(sf_dir: str):
+    """Timestamp binning + grouped counts (the warc_ts-histogram pattern)."""
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], "%Y-%m-%d")
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+        add_day, batch_format="pyarrow"
+    )
+    out = twophase_agg(ds, ["day", "event_type"], {"cnt": ("event_type", "count")})
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+def distinct_exact_part_brand(sf_dir: str):
+    """Exact distinct count via per-batch unique sets → driver union (A1)."""
+
+    def uniques(t: pa.Table) -> pa.Table:
+        u = pc.unique(t["p_brand"])
+        return pa.table({"p_brand": u})
+
+    parts = _read(sf_dir, "part", columns=["p_brand"]).map_batches(
+        uniques, batch_format="pyarrow"
+    ).to_pandas()
+    return pd.DataFrame({"n_distinct": [int(parts["p_brand"].nunique())]})
+
+
 # ---------------------------------------------------------------------------
 # Dedup / text / similarity ops
 # ---------------------------------------------------------------------------
