@@ -35,7 +35,9 @@ def entry() -> Any:
     base = os.path.join(tempfile.gettempdir(), "webvalid_entry")
     fix_dir = os.path.join(base, "fixture")
     out_dir = os.path.join(base, "out")
-    marker = os.path.join(fix_dir, "ref_langs.parquet")
+    # text_hashes.parquet is generated LAST — its presence implies a
+    # complete fixture
+    marker = os.path.join(fix_dir, "text_hashes.parquet")
     if not os.path.exists(marker):
         generate_webpages(fix_dir, n_rows=5_000, block_size=500, seed=7)
     info = {
@@ -73,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q.orders_by_nation,
         "events_type_by_day": q.events_type_by_day,
         "distinct_exact_part_brand": q.distinct_exact_part_brand,
+        # event-time windows (windows-as-data; Ray has no native windows)
+        "tumbling_hourly_events": q.tumbling_hourly_events,
+        "sessionize_events_users": q.sessionize_events_users,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_minhash_documents": q.dedup_minhash_documents,
@@ -150,6 +155,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_exact_part_brand": """
             SELECT COUNT(DISTINCT p_brand) AS n_distinct FROM part
+        """,
+        "tumbling_hourly_events": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+                   event_type, COUNT(*) AS cnt,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
         """,
         "dedup_exact_documents": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS cnt

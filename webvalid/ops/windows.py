@@ -1,0 +1,108 @@
+"""Event-time windowed aggregation over stream-shaped tables.
+
+Ray Data has no native event-time windows or watermarks, so windows
+are expressed as data (SURVEY.md §2.9 applied to the `events` table):
+
+- tumbling windows: `window_start = floor(ts / size) * size` computed
+  vectorized in `map_batches`, then an ordinary grouped aggregate over
+  (key?, window_start) — two-phase, no row shuffle;
+- sliding windows: each row replicated into the ceil(size/step)
+  windows it belongs to (flat map), then the same grouped aggregate;
+- session windows: rows co-located per key (`groupby(key)`), sorted by
+  ts inside `map_groups`, and split where the gap exceeds the timeout.
+  This is the one genuinely key-partitioned operator here — the
+  partitioning assumption is that one key's events fit one group.
+
+All timestamps are epoch microseconds (Arrow timestamp[us] cast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ts_us(col) -> pa.ChunkedArray:
+    """Normalize any timestamp unit to epoch microseconds (int64)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return pc.cast(col, pa.int64())
+
+
+def add_tumbling_window(batch: pa.Table, ts_col: str, size_us: int,
+                        out_col: str = "window_start") -> pa.Table:
+    ts = _ts_us(batch[ts_col])
+    start = pc.multiply(pc.divide(ts, size_us), size_us)
+    return batch.append_column(out_col, start)
+
+
+def tumbling_aggregate(ds, ts_col: str, size_us: int, keys: list[str],
+                       spec: dict) -> pd.DataFrame:
+    """Two-phase tumbling-window aggregate: {out: (src, how)} like
+    queries.twophase_agg, grouped by [window_start] + keys."""
+    from webvalid.queries import twophase_agg
+
+    with_win = ds.map_batches(
+        lambda t: add_tumbling_window(t, ts_col, size_us), batch_format="pyarrow"
+    )
+    need = ["window_start"] + keys + sorted({src for src, _ in spec.values()})
+    return twophase_agg(with_win.select_columns(list(dict.fromkeys(need))),
+                        ["window_start"] + keys, spec)
+
+
+def explode_sliding_windows(batch: pa.Table, ts_col: str, size_us: int,
+                            step_us: int) -> pa.Table:
+    """Replicate each row into every sliding window containing it."""
+    ts = _ts_us(batch[ts_col]).to_numpy()
+    n_windows = int(np.ceil(size_us / step_us))
+    last_start = (ts // step_us) * step_us
+    parts = []
+    for k in range(n_windows):
+        start = last_start - k * step_us
+        keep = ts < start + size_us
+        sub = batch.filter(pa.array(keep))
+        if sub.num_rows:
+            parts.append(
+                sub.append_column("window_start", pa.array(start[keep], pa.int64()))
+            )
+    return pa.concat_tables(parts) if parts else batch.slice(0, 0).append_column(
+        "window_start", pa.array([], pa.int64())
+    )
+
+
+def sliding_aggregate(ds, ts_col: str, size_us: int, step_us: int,
+                      keys: list[str], spec: dict) -> pd.DataFrame:
+    from webvalid.queries import twophase_agg
+
+    exploded = ds.map_batches(
+        lambda t: explode_sliding_windows(t, ts_col, size_us, step_us),
+        batch_format="pyarrow",
+    )
+    need = ["window_start"] + keys + sorted({src for src, _ in spec.values()})
+    return twophase_agg(exploded.select_columns(list(dict.fromkeys(need))),
+                        ["window_start"] + keys, spec)
+
+
+def sessionize(ds, key: str, ts_col: str, gap_us: int):
+    """Session windows per key: sorted-by-ts gap splitting inside
+    map_groups. Returns a Dataset of
+    (key, session_id, session_start, session_end, n_events)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(new_session) - 1
+        out = (
+            pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "ts": ts})
+            .groupby([key, "session_id"], as_index=False)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("ts", "size"))
+        )
+        return out
+
+    return ds.select_columns([key, ts_col]).groupby(key).map_groups(
+        per_key, batch_format="pandas"
+    )

@@ -1,20 +1,25 @@
 """End-to-end validation pipeline over a webpages Parquet table.
 
 One streaming, column-pruned read per checkpoint group feeds a single
-combined `map_batches` pass (actor pool — broadcast reference tables
-resolved once per actor in `__init__`) that emits union-schema partial
-rows for three families at once:
+combined `map_batches` pass (stateless tasks with per-worker cached
+broadcast state — see `make_combined_fn`) that emits union-schema
+partial rows for four families at once:
 
 - `stats`:     per-(partition, column) sketch states (column_stats.py)
 - `drift`:     per-partition categorical count states (drift_check.py)
+- `urlhash`:   per-batch uint64 key-hash blobs (uniqueness pass 1)
 - `violation`: row-level referential / text-parity / ts-window hits
 
-Partials are checkpointed per group (checkpoint.py), then merged
-distributed by `groupby(partition_id[, column]).map_groups` — only
-O(#partitions × #columns) sketch-sized states ever shuffle. The final
+Partials are checkpointed per group (checkpoint.py) and merged without
+any shuffle: one distributed block-local merge pass
+(`collect_merged_partials`) collapses the per-batch fan-out, then the
+driver finishes the tiny per-(partition, column) merges. The only
 sequential work (CDCStream control chart, CDDA pairwise fold) touches
 one float / one small histogram per partition, per SURVEY.md §3.1.
-Uniqueness runs as its own key-only shuffle pass (uniqueness.py).
+Uniqueness finds duplicate-key hash candidates in bucketed parallel
+tasks and re-scans only the key column when candidates exist
+(uniqueness.py). No row-level all-to-all exchange happens anywhere in
+the suite.
 
 The whole module is Ray-session-agnostic: callers own `ray.init`.
 """

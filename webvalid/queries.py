@@ -257,6 +257,28 @@ def events_type_by_day(sf_dir: str):
     return out.sort_values(["day", "event_type"]).reset_index(drop=True)
 
 
+def tumbling_hourly_events(sf_dir: str):
+    """Tumbling 1-hour event-time windows (windows are data, not runtime)."""
+    from webvalid.ops.windows import tumbling_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = tumbling_aggregate(
+        ds, "ts", 3_600_000_000, ["event_type"],
+        {"cnt": ("event_type", "count"), "min_value": ("value", "min"),
+         "max_value": ("value", "max")},
+    )
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def sessionize_events_users(sf_dir: str, gap_minutes: int = 60):
+    """Session windows per user (rows-only: gap-based splitting)."""
+    from webvalid.ops.windows import sessionize
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = sessionize(ds, "user_id", "ts", gap_us=gap_minutes * 60_000_000).to_pandas()
+    return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def distinct_exact_part_brand(sf_dir: str):
     """Exact distinct count via per-batch unique sets → driver union (A1)."""
 
