@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_minhash_documents": q.dedup_minhash_documents,
         "dedup_simhash_documents": q.dedup_simhash_documents,
+        "dedup_verified_documents": q.dedup_verified_documents,
         # text analysis
         "text_stats_documents": q.text_stats_documents,
         "token_totals_by_lang": q.token_totals_by_lang,
@@ -89,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": q.quality_documents,
         # similarity search
         "similarity_topk_embeddings": q.similarity_topk_embeddings,
+        "similarity_ivf_embeddings": q.similarity_ivf_embeddings,
+        # document fingerprinting
+        "fingerprint_documents": q.fingerprint_documents,
         # sketches (approximate — rows-only checks)
         "distinct_hll_documents": q.distinct_hll_documents,
         "quantiles_tdigest_lineitem": q.quantiles_tdigest_lineitem,

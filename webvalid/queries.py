@@ -436,6 +436,66 @@ def quality_documents(sf_dir: str):
     return ds.to_pandas()
 
 
+def dedup_verified_documents(sf_dir: str, min_jaccard: float = 0.6):
+    """MinHash-LSH candidates verified with exact n-gram Jaccard.
+
+    The candidate pairs are rare by construction, so their texts are
+    broadcast for the verify stage (ops/dedup.py JaccardVerifier)."""
+    import pyarrow.parquet as pq
+    import ray as _ray
+
+    from webvalid.ops.dedup import JaccardVerifier
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(ds, min_est_jaccard=0.3)
+    cand_pdf = cands.to_pandas()
+    if len(cand_pdf) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64"),
+             "jaccard": pd.Series([], dtype="float64")}
+        )
+    need = set(cand_pdf["doc_a"]) | set(cand_pdf["doc_b"])
+    t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    texts = {
+        i: x for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()) if i in need
+    }
+    texts_ref = _ray.put(texts)
+    verified = ray.data.from_pandas(cand_pdf).map_batches(
+        JaccardVerifier, fn_constructor_kwargs={"texts_ref": texts_ref},
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).to_pandas()
+    out = verified[verified["jaccard"] >= min_jaccard]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def similarity_ivf_embeddings(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """IVF-bucketed approximate top-k (the ANN scale path)."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.similarity import ivf_topk
+
+    qt = pq.read_table(_t(sf_dir, "embeddings"))
+    qdf = qt.to_pandas().sort_values("vec_id").head(n_queries)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.array(qdf["embedding"].to_list(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qids, qmat, k=k, nlist=16, nprobe=6).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["query_id", "cosine", "vec_id"],
+                           ascending=[True, False, True]).reset_index(drop=True)
+
+
+def fingerprint_documents(sf_dir: str):
+    """Winnowing-style rolling-hash document fingerprints."""
+    from webvalid.ops.textstats import Fingerprinter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def distinct_hll_documents(sf_dir: str):
     """HLL estimates vs exact distinct per column (approximate → rows-only)."""
     from webvalid.sketches import HyperLogLog
