@@ -52,8 +52,20 @@ def entry() -> Any:
         info["pages_dir"], out_dir, cfg=cfg,
         ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
     )
-    # also exercise the driver testdata path (sf0.001)
+    # also exercise the driver testdata path (sf0.001) and the multimodal
+    # decode plumbing over the fixture's html binary column
     _ = histogram_lang_documents(SF0001)
+    import glob
+
+    import ray.data
+
+    from webvalid.ops.multimodal import decode_images
+
+    first = sorted(glob.glob(os.path.join(info["pages_dir"], "*.parquet")))[0]
+    decoded = decode_images(
+        ray.data.read_parquet(first, columns=["url", "html"]), concurrency=2
+    )
+    assert decoded.count() > 0
     return res["verdicts"]
 
 
@@ -62,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from webvalid import queries as q
 
     return {
+        # flagship: full webpages validation suite (rows-only)
+        "webpages_validation_suite": q.webpages_validation_suite,
         # column statistics (SURVEY §2.5 A1/A8 + north_rule stats)
         "column_stats_lineitem": q.column_stats_lineitem,
         # uniqueness / referential (north_rule §2.4/§2.7)

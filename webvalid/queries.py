@@ -436,6 +436,35 @@ def quality_documents(sf_dir: str):
     return ds.to_pandas()
 
 
+def webpages_validation_suite(sf_dir: str):
+    """Flagship: the full validation suite on the seeded webpages fixture.
+
+    Deterministic (fixed seed/size, independent of sf_dir — the driver
+    tables have no webpages-shaped data); returns the verdicts table.
+    Rows-only check: every other query covers the SQL-expressible parts.
+    """
+    import os
+    import tempfile
+
+    from webvalid.checks.base import CheckConfig
+    from webvalid.gen import TS_HI, TS_LO, generate_webpages
+    from webvalid.pipeline import run_validation
+
+    base = os.path.join(tempfile.gettempdir(), "webvalid_query_fixture")
+    marker = os.path.join(base, "text_hashes.parquet")
+    if not os.path.exists(marker):
+        generate_webpages(base, n_rows=8_000, block_size=800, seed=19)
+    out = os.path.join(base, "out")
+    cfg = CheckConfig(block_size=800, ts_range=(int(TS_LO), int(TS_HI)))
+    res = run_validation(
+        os.path.join(base, "webpages"), out, cfg=cfg,
+        ref_langs=os.path.join(base, "ref_langs.parquet"),
+        text_hashes=marker,
+    )
+    v = res["verdicts"]
+    return v.sort_values(["check", "column", "partition_id"]).reset_index(drop=True)
+
+
 def dedup_verified_documents(sf_dir: str, min_jaccard: float = 0.6):
     """MinHash-LSH candidates verified with exact n-gram Jaccard.
 
