@@ -182,6 +182,32 @@ def test_resume_skips_done_groups_and_matches(ray_session, fixture_info, tmp_pat
     assert a.equals(b)
 
 
+def test_referential_host_column(ray_session, tmp_path_factory):
+    """Two-column referential: planted orphan HOSTS caught via the salted
+    reference host table (the derived-host path of RefCheckBatcher)."""
+    from webvalid.pipeline import run_validation
+
+    d = tmp_path_factory.mktemp("hostfix")
+    info = generate_webpages(str(d), n_rows=3_000, block_size=500, seed=29,
+                             orphan_host_frac=0.004)
+    assert info["orphan_host_rows"], "fixture must plant orphan hosts"
+    out = tmp_path_factory.mktemp("hostout")
+    cfg = CheckConfig(block_size=500, ts_range=info["ts_window"])
+    res = run_validation(
+        info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=info["ref_langs"], ref_hosts=info["ref_hosts"],
+        text_hashes=info["text_hashes"],
+    )
+    vio = res["violations"]
+    host_vio = vio[vio["check"] == "referential_host"]
+    assert len(host_vio) == len(info["orphan_host_rows"])
+    assert host_vio["url"].str.contains("unregistered").all()
+    v = res["verdicts"]
+    ref = v[v["check"] == "referential_host"]
+    bad_parts = {r // 500 for r in info["orphan_host_rows"]}
+    assert set(ref[~ref["pass"]]["partition_id"]) == bad_parts
+
+
 def test_output_files_written(run_result):
     out = run_result["out_dir"]
     for name in ("verdicts.parquet", "violations.parquet", "stats.parquet",

@@ -83,6 +83,7 @@ def _gen_file(file_idx: int, part_lo: int, n_parts_total: int, path: str,
     dup_rows: list[tuple[int, str]] = []
     ts_outlier_rows: list[int] = []
     orphan_rows: list[int] = []
+    orphan_host_rows: list[int] = []
     exp_urls: list[str] = []
     exp_md5: list[str] = []
 
@@ -110,6 +111,7 @@ def _gen_file(file_idx: int, part_lo: int, n_parts_total: int, path: str,
 
         row_index = np.arange(lo, hi, dtype=np.int64)
 
+        dup_pos_set: set[int] = set()
         n_dup = rng.binomial(size, params["dup_frac"])
         if n_dup > 0 and file_urls:
             dup_pos = rng.choice(size, size=n_dup, replace=False)
@@ -117,6 +119,15 @@ def _gen_file(file_idx: int, part_lo: int, n_parts_total: int, path: str,
                 src = file_urls[int(rng.integers(0, len(file_urls)))]
                 urls[int(dp)] = src
                 dup_rows.append((lo + int(dp), src))
+                dup_pos_set.add(int(dp))
+
+        n_bad_host = rng.binomial(size, params["orphan_host_frac"])
+        if n_bad_host > 0:
+            pos = [int(p) for p in rng.choice(size, size=n_bad_host, replace=False)
+                   if int(p) not in dup_pos_set]
+            for bp in pos:
+                urls[bp] = f"https://unregistered{bp % 7}.bad/p/{lo + bp:08x}"
+                orphan_host_rows.append(lo + bp)
 
         n_out = rng.binomial(size, params["ts_outlier_frac"])
         if n_out > 0:
@@ -187,6 +198,7 @@ def _gen_file(file_idx: int, part_lo: int, n_parts_total: int, path: str,
         "dup_rows": dup_rows,
         "ts_outlier_rows": ts_outlier_rows,
         "orphan_lang_rows": orphan_rows,
+        "orphan_host_rows": orphan_host_rows,
         "exp_urls": exp_urls,
         "exp_md5": exp_md5,
         "url_hash": url_hash,
@@ -218,6 +230,7 @@ def generate_webpages(
     null_text_frac: float = 0.02,
     ts_outlier_frac: float = 0.0005,
     orphan_lang_frac: float = 0.0002,
+    orphan_host_frac: float = 0.0,
     partitions_per_file: int = 4,
     giant_html_every: int = 7_001,
     giant_html_bytes: int = 1 << 20,
@@ -250,6 +263,7 @@ def generate_webpages(
         "null_text_frac": null_text_frac,
         "ts_outlier_frac": ts_outlier_frac,
         "orphan_lang_frac": orphan_lang_frac,
+        "orphan_host_frac": orphan_host_frac,
         "giant_html_every": giant_html_every,
         "giant_html_bytes": giant_html_bytes,
         "html_mu": html_mu,
@@ -277,6 +291,7 @@ def generate_webpages(
     dup_rows = [d for r in results for d in r["dup_rows"]]
     ts_outlier_rows = sorted(t for r in results for t in r["ts_outlier_rows"])
     orphan_rows = sorted(o for r in results for o in r["orphan_lang_rows"])
+    orphan_host_rows = sorted(o for r in results for o in r["orphan_host_rows"])
 
     # Reference key tables (F2)
     ref_langs = pa.table(
@@ -347,6 +362,7 @@ def generate_webpages(
         "dup_rows": dup_rows,
         "ts_outlier_rows": ts_outlier_rows,
         "orphan_lang_rows": orphan_rows,
+        "orphan_host_rows": orphan_host_rows,
         "ts_window": (int(TS_LO), int(TS_HI)),
         "seed": seed,
     }
