@@ -65,6 +65,9 @@ class CheckConfig:
     null_frac_max: dict = field(default_factory=lambda: {"html": 0.05, "text": 0.06})
     ts_range: tuple[int, int] | None = None  # (lo_us, hi_us) inclusive-exclusive
     hll_p: int = 12
+    # HLL distinct sketches only where distinctness is meaningful; hashing
+    # every long text body costs real scan time for a rarely-used number
+    hll_columns: tuple[str, ...] = ("url", "lang", "host", "warc_ts")
     tdigest_delta: int = 200
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.99)
     # uniqueness

@@ -54,7 +54,8 @@ class ColumnState:
                  "hll", "tdigest", "cat_hist", "num_hist", "n_bytes", "max_bytes")
 
     def __init__(self, cfg: CheckConfig | None = None, kind: str = "str",
-                 hist_range: tuple[float, float] | None = None):
+                 hist_range: tuple[float, float] | None = None,
+                 use_hll: bool = True):
         cfg = cfg or CheckConfig()
         self.n = 0
         self.nulls = 0
@@ -62,7 +63,7 @@ class ColumnState:
         self.max_num = -math.inf
         self.min_str: str | None = None
         self.max_str: str | None = None
-        self.hll = HyperLogLog(p=cfg.hll_p)
+        self.hll = HyperLogLog(p=cfg.hll_p) if use_hll else None
         self.tdigest = TDigest(delta=cfg.tdigest_delta) if kind == "num" else None
         self.cat_hist = CategoricalHistogram() if kind == "cat" else None
         self.num_hist = (
@@ -87,7 +88,8 @@ class ColumnState:
             if len(vals):
                 self.min_num = min(self.min_num, float(vals.min()))
                 self.max_num = max(self.max_num, float(vals.max()))
-                self.hll.add_hashes(hash64(vals))
+                if self.hll is not None:
+                    self.hll.add_hashes(hash64(vals))
                 if self.tdigest is not None:
                     self.tdigest.add_array(vals)
                 if self.num_hist is not None:
@@ -102,10 +104,12 @@ class ColumnState:
                 self.min_str = lo
             if self.max_str is None or hi > self.max_str:
                 self.max_str = hi
-            np_vals = nn.to_numpy(zero_copy_only=False)
-            self.hll.add_hashes(hash64(np_vals))
-            if self.cat_hist is not None:
-                self.cat_hist.add(np_vals)
+            if self.hll is not None or self.cat_hist is not None:
+                np_vals = nn.to_numpy(zero_copy_only=False)
+                if self.hll is not None:
+                    self.hll.add_hashes(hash64(np_vals))
+                if self.cat_hist is not None:
+                    self.cat_hist.add(np_vals)
 
     # -- merge -------------------------------------------------------------
 
@@ -120,7 +124,10 @@ class ColumnState:
         for v in (other.max_str,):
             if v is not None and (self.max_str is None or v > self.max_str):
                 self.max_str = v
-        self.hll.merge(other.hll)
+        if self.hll is not None and other.hll is not None:
+            self.hll.merge(other.hll)
+        elif self.hll is None:
+            self.hll = other.hll
         if self.tdigest is not None and other.tdigest is not None:
             self.tdigest.merge(other.tdigest)
         elif self.tdigest is None:
@@ -177,7 +184,9 @@ class StatsPartial:
             for name in self.columns:
                 col = sub[name]
                 kind = column_kind(name, col.type, self.categorical)
-                st = ColumnState(self.cfg, kind=kind, hist_range=self.hist_ranges.get(name))
+                st = ColumnState(self.cfg, kind=kind,
+                                 hist_range=self.hist_ranges.get(name),
+                                 use_hll=name in self.cfg.hll_columns)
                 st.update_from_array(col.combine_chunks(), col.type)
                 pids.append(pid)
                 cols.append(name)
@@ -227,7 +236,7 @@ def stats_rows(merged: list[dict], cfg: CheckConfig) -> list[dict]:
                 "max_num": st.max_num if st.max_num != -math.inf else math.nan,
                 "min_str": st.min_str,
                 "max_str": st.max_str,
-                "distinct_hll": st.hll.estimate(),
+                "distinct_hll": st.hll.estimate() if st.hll is not None else math.nan,
                 **{f"q{int(q * 100):02d}": v for q, v in zip(cfg.quantiles, qs)},
                 "n_bytes": st.n_bytes,
                 "max_bytes": st.max_bytes,

@@ -62,19 +62,22 @@ class TextParityBatcher:
 
         has_text = np.array([t is not None for t in texts], dtype=bool)
         if has_text.any():
-            url_h = hash64(np.asarray(urls, dtype=object))
-            known = _in_sorted(url_h, self.url_hashes) & has_text
-            if known.any():
-                pair_strs = np.asarray(
-                    [
-                        f"{u}:{hashlib.md5(t.encode()).hexdigest()}" if k else ""
-                        for u, t, k in zip(urls, texts, known)
-                    ],
-                    dtype=object,
-                )
-                pair_ok = _in_sorted(hash64(pair_strs), self.pair_hashes)
-                bad = np.flatnonzero(known & ~pair_ok)
-                for i in bad:
+            # pair check first — it must run for every non-null row anyway;
+            # the url-membership search then runs only on the (rare) pair
+            # misses, halving the binary-search work on the big arrays
+            pair_strs = np.asarray(
+                [
+                    f"{u}:{hashlib.md5(t.encode()).hexdigest()}" if k else ""
+                    for u, t, k in zip(urls, texts, has_text)
+                ],
+                dtype=object,
+            )
+            pair_ok = _in_sorted(hash64(pair_strs), self.pair_hashes)
+            suspects = np.flatnonzero(has_text & ~pair_ok)
+            if len(suspects):
+                url_h = hash64(np.asarray(urls, dtype=object)[suspects])
+                known = _in_sorted(url_h, self.url_hashes)
+                for i in suspects[known]:
                     out_pid.append(int(pids[i]))
                     out_check.append("text_parity")
                     out_url.append(urls[int(i)])

@@ -126,7 +126,7 @@ class TDigest:
         self.count += len(v)
         self._buf_v.append(v)
         self._buf_w.append(np.ones(len(v)))
-        if sum(len(b) for b in self._buf_v) > max(16_384, 8 * self.delta):
+        if sum(len(b) for b in self._buf_v) > max(65_536, 8 * self.delta):
             self._compress()
         return self
 
