@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_documents": q.dedup_minhash_documents,
         "dedup_simhash_documents": q.dedup_simhash_documents,
         "dedup_verified_documents": q.dedup_verified_documents,
+        "embedding_near_dups": q.embedding_near_dups_gate,
         # text analysis
         "text_stats_documents": q.text_stats_documents,
         "token_totals_by_lang": q.token_totals_by_lang,
@@ -193,6 +194,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, SUM(LEN(STR_SPLIT(text, ' '))) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY doc_a, doc_b
         """,
         "similarity_topk_embeddings": """
             WITH q AS (

@@ -515,6 +515,24 @@ def similarity_ivf_embeddings(sf_dir: str, n_queries: int = 5, k: int = 10):
                            ascending=[True, False, True]).reset_index(drop=True)
 
 
+def embedding_near_dups_gate(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+
+    Threshold 0.4 sits above the 99.9th percentile of pairwise cosines
+    in the synthetic embeddings (max ≈ 0.51) so the result is small but
+    non-empty."""
+    from webvalid.ops.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_near_dups(ds, threshold=threshold).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def fingerprint_documents(sf_dir: str):
     """Winnowing-style rolling-hash document fingerprints."""
     from webvalid.ops.textstats import Fingerprinter
