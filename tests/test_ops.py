@@ -60,6 +60,25 @@ def test_minhash_estimates_jaccard(docs):
     assert len(exact_pair) == 1 and exact_pair.iloc[0]["est_jaccard"] == 1.0
 
 
+def test_minhash_shuffle_strategy_matches_driver(docs):
+    from webvalid.ops.dedup import minhash_lsh_candidates
+
+    drv = minhash_lsh_candidates(docs, min_est_jaccard=0.4).to_pandas()
+    shf = minhash_lsh_candidates(docs, min_est_jaccard=0.4,
+                                 strategy="shuffle").to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["est_jaccard"].round(9)))
+    assert key(drv) == key(shf)
+
+
+def test_simhash_shuffle_strategy_matches_driver(docs):
+    from webvalid.ops.dedup import simhash_near_dups
+
+    drv = simhash_near_dups(docs, max_hamming=6).to_pandas()
+    shf = simhash_near_dups(docs, max_hamming=6, strategy="shuffle").to_pandas()
+    key = lambda df: sorted(zip(df["doc_a"], df["doc_b"], df["hamming"]))
+    assert key(drv) == key(shf)
+
+
 def test_ngram_jaccard():
     from webvalid.ops.dedup import ngram_jaccard
 

@@ -149,10 +149,56 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     )
 
 
+def _pairs_from_band_rows(pdf, min_est_jaccard: float):
+    """Vectorized bucket detection over collected band rows.
+
+    Sorts (band_id, band_hash) with np.lexsort, finds runs of length>1
+    (the LSH buckets with collisions — rare), and emits estimated-
+    Jaccard pairs only for those. No per-bucket Python calls for the
+    overwhelmingly common singleton buckets.
+    """
+    bid = pdf["band_id"].to_numpy()
+    bhash = pdf["band_hash"].to_numpy()
+    ids = pdf["doc_id"].to_numpy()
+    sigs = pdf["signature"].to_numpy()
+    order = np.lexsort((bhash, bid))
+    bid, bhash, ids, sigs = bid[order], bhash[order], ids[order], sigs[order]
+    boundary = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bhash) != 0)) + 1
+    bounds = np.concatenate([[0], boundary, [len(bid)]])
+    seen: set = set()
+    a_out, b_out, est = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        bucket_ids = ids[s:e]
+        bucket_sigs = [np.frombuffer(x, dtype=np.uint64) for x in sigs[s:e]]
+        for i in range(len(bucket_ids)):
+            for j in range(i + 1, len(bucket_ids)):
+                lo, hi = sorted((bucket_ids[i], bucket_ids[j]))
+                if lo == hi or (lo, hi) in seen:
+                    continue
+                seen.add((lo, hi))
+                ej = float((bucket_sigs[i] == bucket_sigs[j]).mean())
+                if ej >= min_est_jaccard:
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    est.append(ej)
+    import pandas as pd
+
+    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": est})
+
+
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
-                           min_est_jaccard: float = 0.5):
-    """Dataset of candidate near-dup pairs (doc_a < doc_b, est_jaccard)."""
+                           min_est_jaccard: float = 0.5, strategy: str = "driver"):
+    """Dataset/DataFrame of candidate near-dup pairs (doc_a < doc_b).
+
+    `strategy="driver"` (default): band rows (~(8+num_perm*8) bytes per
+    doc per band) are collected and buckets detected vectorized — right
+    up to ~10^7 docs per run. `strategy="shuffle"`: the fully
+    distributed `groupby(band_id, band_hash)` path for corpus sizes
+    beyond driver memory.
+    """
     import pyarrow.compute as pc
 
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
@@ -164,6 +210,13 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 8, shingle_k: in
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    if strategy == "driver":
+        import ray.data
+
+        pairs = _pairs_from_band_rows(band_rows.to_pandas(), min_est_jaccard)
+        return ray.data.from_pandas(
+            pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
     pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pyarrow"
     )
@@ -287,14 +340,52 @@ def _simhash_pairs(max_hamming: int):
 
 
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3):
-    """Dataset of near-dup pairs by SimHash banding + Hamming verify."""
+                      max_hamming: int = 3, strategy: str = "driver"):
+    """Near-dup pairs by SimHash banding + Hamming verify.
+
+    Like minhash_lsh_candidates, the default path collects the (tiny)
+    chunk rows and detects collision buckets vectorized;
+    `strategy="shuffle"` keeps the distributed groupby for huge corpora.
+    """
     chunk_rows = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+    if strategy == "driver":
+        import pandas as pd
+        import ray.data
+
+        pdf = chunk_rows.to_pandas()
+        cid = pdf["chunk_id"].to_numpy()
+        cval = pdf["chunk_val"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        hashes = pdf["simhash"].to_numpy()
+        order = np.lexsort((cval, cid))
+        cid, cval, ids, hashes = cid[order], cval[order], ids[order], hashes[order]
+        boundary = np.flatnonzero((np.diff(cid) != 0) | (np.diff(cval) != 0)) + 1
+        bounds = np.concatenate([[0], boundary, [len(cid)]])
+        seen: set = set()
+        a_out, b_out, ham = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    lo, hi = sorted((ids[i], ids[j]))
+                    if lo == hi or (lo, hi) in seen:
+                        continue
+                    seen.add((lo, hi))
+                    d = bin(int(hashes[i]) ^ int(hashes[j])).count("1")
+                    if d <= max_hamming:
+                        a_out.append(lo)
+                        b_out.append(hi)
+                        ham.append(d)
+        out = pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": ham})
+        return ray.data.from_pandas(
+            out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
     pairs = chunk_rows.groupby(["chunk_id", "chunk_val"]).map_groups(
         _simhash_pairs(max_hamming), batch_format="pyarrow"
     )
