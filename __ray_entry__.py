@@ -191,7 +191,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "token_totals_by_lang": """
-            SELECT lang, SUM(LEN(STR_SPLIT(text, ' '))) AS total_tokens,
+            SELECT lang, CAST(SUM(LEN(STR_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
         """,

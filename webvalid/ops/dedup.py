@@ -1,20 +1,34 @@
 """Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup.
 
-Scale shapes:
+Scale shapes (all designed for the 10^12-row target, tested at sf):
 - exact: content fingerprint (md5) per batch (vectorized C hashing) →
   `groupby(fingerprint)` keeps min-id per group. The shuffle ships only
   (fingerprint, id) pairs, never text.
-- MinHash-LSH: shingle → minhash signature per batch → explode to one
-  row per LSH band (band_id, band_hash, doc_id, signature) →
-  `groupby(band_id, band_hash)` → candidate pairs with
-  signature-estimated Jaccard → optional exact n-gram Jaccard verify
-  against a broadcast text lookup (candidates are assumed rare).
-- SimHash: 64-bit signature per doc; banded into 16-bit chunks for
-  candidate generation; verify by Hamming distance.
-- embedding cosine: per-batch matmul against a broadcast (ray.put)
-  normalized matrix of comparison vectors — brute force baseline; see
-  similarity.py for the bucketed scale path.
+- MinHash-LSH: batch-vectorized shingle hashing + signature kernel →
+  one row per LSH band carrying ONLY (band_hash, doc_id) — 16 bytes,
+  never the signature blob. Collision buckets are detected either by a
+  driver-side lexsort (small corpora) or a distributed
+  `groupby(band_hash)` (the scale path) — `strategy="auto"` picks by
+  corpus size. Candidate pairs are rare by construction; their
+  signatures are recomputed in a second targeted pass (membership
+  filter on a broadcast sorted id array) to attach est_jaccard.
+- SimHash: 64-bit signature per doc, batch-vectorized; banded into
+  16-bit chunks for candidate generation (24 B/chunk row incl. the
+  signature, so Hamming verifies in the bucket stage — no second
+  pass). Same auto driver/shuffle selection.
+- embedding cosine near-dup: exact all-pairs via BLOCK-PAIR tasks —
+  normalized blocks stay in the object store (`to_arrow_refs`), one
+  Ray task per block pair computes the partial similarity matrix and
+  emits only above-threshold pairs. No full-matrix broadcast, no
+  driver materialization of the corpus. `method="ivf"` is the
+  approximate bucketed path for when exact O(N²) FLOPs are
+  unaffordable.
+
+Empty/too-short documents never emit band/chunk rows (a single shared
+sentinel signature would otherwise put every empty doc in one LSH
+bucket and explode candidate pairs quadratically); they are simply
+never near-dup candidates.
 """
 
 from __future__ import annotations
@@ -27,8 +41,18 @@ import pyarrow as pa
 
 import ray
 
-_MERSENNE = (1 << 61) - 1
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+_U64 = np.uint64
+_POLY = _U64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 arrays."""
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return x ^ (x >> _U64(31))
 
 
 def md5_hex(texts: list) -> list:
@@ -56,21 +80,62 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
 # MinHash-LSH
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of character k-shingles (vectorized siphash)."""
-    from webvalid.sketches import hash64
+_SENTINEL = np.uint32(0xFFFFFFFF)  # not a valid Unicode codepoint
 
-    if text is None or len(text) < k:
-        return np.empty(0, dtype=np.uint64)
-    shingles = list({text[i: i + k] for i in range(len(text) - k + 1)})
-    return hash64(np.array(shingles, dtype=object))
+
+def _batch_shingle_hashes(texts: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized char-k-gram hashing for a whole batch of texts.
+
+    Encodes every text to a uint32 codepoint array, concatenates them
+    with a sentinel separator, rolls ONE polynomial hash over the whole
+    buffer (k vectorized passes), masks windows that cross a document
+    boundary, and finalizes with splitmix64. Returns
+    (windows_per_doc counts, valid window hashes in doc order).
+    Duplicated shingles are NOT deduplicated — min over a multiset
+    equals min over its set, so minhash signatures are unaffected.
+    """
+    n = len(texts)
+    pieces: list[np.ndarray] = []
+    lens = np.zeros(n, dtype=np.int64)
+    sep = np.array([_SENTINEL], dtype=np.uint32)
+    for i, t in enumerate(texts):
+        cp = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
+        lens[i] = len(cp)
+        pieces.append(cp)
+        pieces.append(sep)
+    arr = np.concatenate(pieces) if pieces else np.empty(0, np.uint32)
+    total = len(arr)
+    if total < k:
+        return np.zeros(n, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    n_win = total - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = h * _POLY + arr[j: j + n_win].astype(np.uint64)
+    h = _mix64(h)
+    # doc i starts at offset_i = sum(lens[:i]) + i (one sentinel each)
+    starts = np.concatenate([[0], np.cumsum(lens + 1)[:-1]])
+    counts = np.maximum(lens - k + 1, 0)
+    valid_total = int(counts.sum())
+    if valid_total == 0:
+        return counts, np.empty(0, dtype=np.uint64)
+    # ragged-range trick: window start indices for every doc, in order
+    rep_starts = np.repeat(starts, counts)
+    excl = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    local = np.arange(valid_total, dtype=np.int64) - np.repeat(excl, counts)
+    return counts, h[rep_starts + local]
 
 
 class MinHasher:
-    """Actor-pool callable: text → minhash signature → LSH band rows.
+    """map_batches callable: text batch → LSH band rows (band_hash, doc_id).
 
-    Permutation coefficients are derived from a fixed seed in
-    `__init__` (once per actor). Output: one row per (doc, band).
+    The minhash signature kernel is fully vectorized: one rolling-hash
+    pass over the batch's concatenated codepoints, then `num_perm`
+    (multiply-add + minimum.reduceat) passes. Band hashes mix the band
+    index into a single uint64 key so downstream bucketing groups by
+    ONE column. Signatures are NOT carried on band rows (they would be
+    8*num_perm bytes per row at 10^12-doc scale); see
+    `minhash_signatures` for the targeted second pass.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
@@ -88,145 +153,218 @@ class MinHasher:
         self.text_col = text_col
         self.id_col = id_col
 
-    def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle_k)
-        if len(h) == 0:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    def signatures(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """(keep_mask, signature matrix) for a list of texts.
+
+        Docs with no k-shingle (None / shorter than k) are dropped from
+        the output (keep_mask False) — they never become candidates.
+        """
+        counts, h = _batch_shingle_hashes(texts, self.shingle_k)
+        keep = counts > 0
+        kept = int(keep.sum())
+        sig = np.empty((kept, self.num_perm), dtype=np.uint64)
+        if kept == 0:
+            return keep, sig
+        offs = np.concatenate([[0], np.cumsum(counts[keep])[:-1]]).astype(np.int64)
         with np.errstate(over="ignore"):
-            vals = self.a[:, None] * h[None, :] + self.b[:, None]  # wraps mod 2^64
-        return vals.min(axis=1)
+            for p in range(self.num_perm):
+                vals = self.a[p] * h + self.b[p]
+                sig[:, p] = np.minimum.reduceat(vals, offs)
+        return keep, sig
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(n, num_perm) signatures → (n, bands) uint64 bucket keys."""
+        n = sig.shape[0]
+        v = sig.reshape(n, self.bands, self.rows_per_band)
+        acc = np.zeros((n, self.bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(self.rows_per_band):
+                acc = _mix64(acc * _POLY + v[:, :, j])
+            # mix the band index in so ONE uint64 is the full bucket key
+            acc = _mix64(acc ^ (np.arange(self.bands, dtype=np.uint64)[None, :] * _POLY))
+        return acc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_band: list[int] = []
-        out_hash: list[int] = []
-        out_id: list = []
-        out_sig: list[bytes] = []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t)
-            sig_bytes = sig.tobytes()
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band: (b + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
-                )
-                out_band.append(b)
-                out_hash.append(bh)
-                out_id.append(i)
-                out_sig.append(sig_bytes)
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        keep, sig = self.signatures(batch[self.text_col].to_pylist())
+        kept_ids = ids[keep]
+        bh = self.band_hashes(sig)
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.uint64()),
-                "doc_id": pa.array(out_id),
-                "signature": pa.array(out_sig, pa.binary()),
+                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(kept_ids, self.bands), pa.int64()),
             }
         )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket, with estimated Jaccard."""
-    ids = group["doc_id"].to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["signature"].to_pylist()]
-    a_out, b_out, est = [], [], []
-    seen = set()
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            lo, hi = sorted((ids[i], ids[j]))
-            if (lo, hi) in seen or lo == hi:
-                continue
-            seen.add((lo, hi))
-            a_out.append(lo)
-            b_out.append(hi)
-            est.append(float((sigs[i] == sigs[j]).mean()))
-    return pa.table(
-        {
-            "doc_a": pa.array(a_out),
-            "doc_b": pa.array(b_out),
-            "est_jaccard": pa.array(est, pa.float64()),
-        }
-    )
+class MinHashSignatures(MinHasher):
+    """Second-pass callable: (doc_id, signature bytes) for candidate ids only.
 
-
-def _pairs_from_band_rows(pdf, min_est_jaccard: float):
-    """Vectorized bucket detection over collected band rows.
-
-    Sorts (band_id, band_hash) with np.lexsort, finds runs of length>1
-    (the LSH buckets with collisions — rare), and emits estimated-
-    Jaccard pairs only for those. No per-bucket Python calls for the
-    overwhelmingly common singleton buckets.
+    `ids_ref` broadcasts a SORTED int64 numpy array of candidate doc
+    ids (ray.put, zero-copy); each batch keeps only matching rows via
+    searchsorted before computing signatures — the corpus is re-scanned
+    but only candidate texts are hashed.
     """
-    bid = pdf["band_id"].to_numpy()
-    bhash = pdf["band_hash"].to_numpy()
-    ids = pdf["doc_id"].to_numpy()
-    sigs = pdf["signature"].to_numpy()
-    order = np.lexsort((bhash, bid))
-    bid, bhash, ids, sigs = bid[order], bhash[order], ids[order], sigs[order]
-    boundary = np.flatnonzero((np.diff(bid) != 0) | (np.diff(bhash) != 0)) + 1
-    bounds = np.concatenate([[0], boundary, [len(bid)]])
+
+    def __init__(self, *args, ids_ref=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.wanted = ray.get(ids_ref) if ids_ref is not None else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        texts = batch[self.text_col].to_pylist()
+        if self.wanted is not None and len(ids):
+            pos = np.searchsorted(self.wanted, ids)
+            pos = np.clip(pos, 0, len(self.wanted) - 1)
+            m = self.wanted[pos] == ids
+            ids = ids[m]
+            texts = [t for t, keep in zip(texts, m) if keep]
+        keep, sig = self.signatures(texts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "signature": pa.array([s.tobytes() for s in sig], pa.binary()),
+            }
+        )
+
+
+def _pairs_in_sorted_runs(keys: np.ndarray, ids: np.ndarray,
+                          payload: np.ndarray | None = None):
+    """Emit unordered id pairs within equal-key runs of a SORTED key array.
+
+    Runs of length 1 (the overwhelming majority) cost nothing; Python
+    touches only collision buckets. Returns (a, b[, payload_a,
+    payload_b]) lists with a < b, deduplicated.
+    """
+    if len(keys) == 0:
+        return [], [], [], []
+    boundary = np.flatnonzero(np.diff(keys) != 0) + 1
+    bounds = np.concatenate([[0], boundary, [len(keys)]])
     seen: set = set()
-    a_out, b_out, est = [], [], []
+    a_out, b_out, pa_out, pb_out = [], [], [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         if e - s < 2:
             continue
-        bucket_ids = ids[s:e]
-        bucket_sigs = [np.frombuffer(x, dtype=np.uint64) for x in sigs[s:e]]
-        for i in range(len(bucket_ids)):
-            for j in range(i + 1, len(bucket_ids)):
-                lo, hi = sorted((bucket_ids[i], bucket_ids[j]))
-                if lo == hi or (lo, hi) in seen:
+        for i in range(s, e):
+            for j in range(i + 1, e):
+                ia, ib = ids[i], ids[j]
+                if ia == ib:
+                    continue
+                lo, hi = (ia, ib) if ia < ib else (ib, ia)
+                if (lo, hi) in seen:
                     continue
                 seen.add((lo, hi))
-                ej = float((bucket_sigs[i] == bucket_sigs[j]).mean())
-                if ej >= min_est_jaccard:
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    est.append(ej)
+                a_out.append(lo)
+                b_out.append(hi)
+                if payload is not None:
+                    pl, ph = (payload[i], payload[j]) if ia < ib else (payload[j], payload[i])
+                    pa_out.append(pl)
+                    pb_out.append(ph)
+    return a_out, b_out, pa_out, pb_out
+
+
+def _minhash_bucket_pairs(group: pa.Table) -> pa.Table:
+    """Candidate pairs within one LSH bucket (shuffle path map_groups)."""
+    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+    keys = np.zeros(len(ids), dtype=np.int8)  # whole group = one bucket
+    a, b, _, _ = _pairs_in_sorted_runs(keys, ids)
+    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+
+def _resolve_strategy(strategy: str, ds, driver_max_docs: int) -> str:
+    if strategy != "auto":
+        return strategy
+    try:
+        n = ds.count()
+    except Exception:
+        return "shuffle"
+    return "driver" if n <= driver_max_docs else "shuffle"
+
+
+def _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs: dict,
+                        min_est_jaccard: float,
+                        text_col: str, id_col: str):
+    """Second pass: signatures for candidate ids only → est_jaccard filter."""
     import pandas as pd
 
-    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": est})
+    if len(pairs_pdf) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "est_jaccard": pd.Series([], dtype="float64")})
+    need = np.unique(
+        np.concatenate([pairs_pdf["doc_a"].to_numpy(), pairs_pdf["doc_b"].to_numpy()])
+    ).astype(np.int64)
+    ids_ref = ray.put(need)
+    sig_rows = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={**hasher_kwargs, "ids_ref": ids_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    ).to_pandas()  # candidates are rare — this table is tiny
+    sig_map = {
+        int(i): np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(sig_rows["doc_id"], sig_rows["signature"])
+    }
+    a = pairs_pdf["doc_a"].to_numpy()
+    b = pairs_pdf["doc_b"].to_numpy()
+    est = np.array([
+        float((sig_map[int(x)] == sig_map[int(y)]).mean())
+        if int(x) in sig_map and int(y) in sig_map else 0.0
+        for x, y in zip(a, b)
+    ])
+    out = pd.DataFrame({"doc_a": a, "doc_b": b, "est_jaccard": est})
+    out = out[out["est_jaccard"] >= min_est_jaccard]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
-                           min_est_jaccard: float = 0.5, strategy: str = "driver"):
-    """Dataset/DataFrame of candidate near-dup pairs (doc_a < doc_b).
+                           min_est_jaccard: float = 0.5, strategy: str = "auto",
+                           driver_max_docs: int = 2_000_000):
+    """Dataset of candidate near-dup pairs (doc_a < doc_b, est_jaccard).
 
-    `strategy="driver"` (default): band rows (~(8+num_perm*8) bytes per
-    doc per band) are collected and buckets detected vectorized — right
-    up to ~10^7 docs per run. `strategy="shuffle"`: the fully
-    distributed `groupby(band_id, band_hash)` path for corpus sizes
-    beyond driver memory.
+    Band rows carry only (band_hash: u64, doc_id) — 16 B/row. Bucket
+    collisions are found by `strategy`:
+    - "driver": collect band rows (16 B × docs × bands) and lexsort —
+      cheapest below `driver_max_docs` (default 2M docs ≈ 256 MB);
+    - "shuffle": distributed `groupby(band_hash)` — the 100-TB path,
+      nothing corpus-sized ever reaches the driver;
+    - "auto" (default): pick by `ds.count()` (parquet metadata — cheap).
+    Both paths then recompute signatures for the (rare) candidate ids
+    in a targeted second scan to attach/filter est_jaccard, so results
+    are strategy-independent.
     """
-    import pyarrow.compute as pc
-
+    hasher_kwargs = {
+        "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+        "text_col": text_col, "id_col": id_col,
+    }
+    strategy = _resolve_strategy(strategy, ds, driver_max_docs)
     band_rows = ds.select_columns([id_col, text_col]).map_batches(
         MinHasher,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
-            "text_col": text_col, "id_col": id_col,
-        },
+        fn_constructor_kwargs=hasher_kwargs,
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    if strategy == "driver":
-        import ray.data
+    import pandas as pd
+    import ray.data
 
-        pairs = _pairs_from_band_rows(band_rows.to_pandas(), min_est_jaccard)
-        return ray.data.from_pandas(
-            pairs.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    if strategy == "driver":
+        pdf = band_rows.to_pandas()
+        bh = pdf["band_hash"].to_numpy()
+        ids = pdf["doc_id"].to_numpy()
+        order = np.argsort(bh, kind="stable")
+        a, b, _, _ = _pairs_in_sorted_runs(bh[order], ids[order])
+        pairs_pdf = pd.DataFrame({"doc_a": a, "doc_b": b})
+    else:
+        pairs = band_rows.groupby("band_hash").map_groups(
+            _minhash_bucket_pairs, batch_format="pyarrow"
         )
-    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow"
-    )
-    uniq = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    return uniq.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], min_est_jaccard)),
-        batch_format="pyarrow",
-    )
+        # candidate pairs are rare (bounded by real near-dups + LSH false
+        # positives) — dedupe the pair list driver-side
+        pairs_pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    out = _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs, min_est_jaccard,
+                              text_col, id_col)
+    return ray.data.from_pandas(out)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -261,14 +399,43 @@ class JaccardVerifier:
         return batch.append_column("jaccard", pa.array(sims, pa.float64()))
 
 
+def fetch_texts_for_ids(ds, ids, text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Distributed targeted fetch: {id: text} for a small id set.
+
+    Broadcasts the sorted id array and filters inside map_batches —
+    only the matching rows ever leave the workers (never the corpus).
+    """
+    need = np.unique(np.asarray(list(ids), dtype=np.int64))
+    ids_ref = ray.put(need)
+
+    class Fetch:
+        def __init__(self, ref):
+            self.wanted = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_np = np.asarray(t[id_col].to_pylist())
+            if len(ids_np) == 0:
+                return t.select([id_col, text_col])
+            pos = np.clip(np.searchsorted(self.wanted, ids_np), 0, len(self.wanted) - 1)
+            m = self.wanted[pos] == ids_np
+            return t.filter(pa.array(m)).select([id_col, text_col])
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        Fetch, fn_constructor_kwargs={"ref": ids_ref},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).to_pandas()
+    return dict(zip(rows[id_col].astype(int), rows[text_col]))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over token hashes; emits 16-bit chunk rows for
-    candidate generation (near-dups agree on >=1 chunk when Hamming <= 3
-    per chunk-pigeonhole)."""
+    """64-bit SimHash over token hashes, batch-vectorized; emits 16-bit
+    chunk rows for candidate generation (near-dups agree on >=1 chunk
+    when Hamming <= chunks-1 by pigeonhole). Docs with no tokens emit
+    nothing (they can never be near-dup candidates)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id", chunks: int = 4):
         self.text_col = text_col
@@ -276,63 +443,73 @@ class SimHasher:
         self.chunks = chunks
         self.bits_per_chunk = 64 // chunks
 
-    @staticmethod
-    def simhash64(text: str) -> int:
+    def simhashes(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """(keep_mask, simhash array) — one vectorized pass per batch."""
         from webvalid.sketches import hash64
 
-        if not text:
-            return 0
-        tokens = _TOKEN_RE.findall(text.lower())
-        if not tokens:
-            return 0
-        h = hash64(np.array(tokens, dtype=object))
-        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        n = len(texts)
+        all_tokens: list[str] = []
+        counts = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = _TOKEN_RE.findall(t.lower()) if t else []
+            counts[i] = len(toks)
+            all_tokens.extend(toks)
+        keep = counts > 0
+        kept = int(keep.sum())
+        if kept == 0:
+            return keep, np.empty(0, dtype=np.uint64)
+        h = hash64(np.array(all_tokens, dtype=object))
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int32)
+        contrib = 2 * bits - 1  # (total_tokens, 64)
+        offs = np.concatenate([[0], np.cumsum(counts[keep])[:-1]]).astype(np.int64)
+        acc = np.add.reduceat(contrib, offs, axis=0)  # (kept, 64)
+        out = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return keep, out
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        """Single-doc convenience wrapper (tests / notebooks)."""
+        keep, h = SimHasher().simhashes([text])
+        return int(h[0]) if keep[0] else 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        hashes = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
-        out_id, out_chunk, out_val, out_hash = [], [], [], []
-        mask = (1 << self.bits_per_chunk) - 1
-        for i, h in zip(ids, hashes):
-            for c in range(self.chunks):
-                out_id.append(i)
-                out_chunk.append(c)
-                out_val.append((h >> (c * self.bits_per_chunk)) & mask)
-                out_hash.append(h)
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        keep, hashes = self.simhashes(batch[self.text_col].to_pylist())
+        kept_ids = ids[keep]
+        n = len(kept_ids)
+        mask = _U64((1 << self.bits_per_chunk) - 1)
+        shifts = (np.arange(self.chunks, dtype=np.uint64) * _U64(self.bits_per_chunk))
+        vals = (hashes[:, None] >> shifts[None, :]) & mask  # (n, chunks)
+        # mix chunk index into the value so ONE uint64 is the bucket key
+        keyed = _mix64(vals ^ (np.arange(self.chunks, dtype=np.uint64)[None, :] * _POLY))
         return pa.table(
             {
-                "doc_id": pa.array(out_id),
-                "chunk_id": pa.array(out_chunk, pa.int32()),
-                "chunk_val": pa.array(out_val, pa.uint64()),
-                "simhash": pa.array(out_hash, pa.uint64()),
+                "chunk_key": pa.array(keyed.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(kept_ids, self.chunks), pa.int64()),
+                "simhash": pa.array(np.repeat(hashes, self.chunks), pa.uint64()),
             }
         )
 
 
-def _simhash_pairs(max_hamming: int):
+def _hamming64(a, b) -> int:
+    return bin(int(a) ^ int(b)).count("1")
+
+
+def _simhash_bucket_pairs(max_hamming: int):
     def fn(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_pylist()
-        hashes = group["simhash"].to_pylist()
-        a_out, b_out, ham = [], [], []
-        seen = set()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                lo, hi = sorted((ids[i], ids[j]))
-                if lo == hi or (lo, hi) in seen:
-                    continue
-                seen.add((lo, hi))
-                d = bin(hashes[i] ^ hashes[j]).count("1")
-                if d <= max_hamming:
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    ham.append(d)
+        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
+        hashes = np.asarray(group["simhash"].to_pylist(), dtype=np.uint64)
+        keys = np.zeros(len(ids), dtype=np.int8)
+        a, b, ha, hb = _pairs_in_sorted_runs(keys, ids, payload=hashes)
+        dist = [_hamming64(x, y) for x, y in zip(ha, hb)]
+        m = [d <= max_hamming for d in dist]
         return pa.table(
             {
-                "doc_a": pa.array(a_out),
-                "doc_b": pa.array(b_out),
-                "hamming": pa.array(ham, pa.int32()),
+                "doc_a": pa.array([x for x, k in zip(a, m) if k], pa.int64()),
+                "doc_b": pa.array([x for x, k in zip(b, m) if k], pa.int64()),
+                "hamming": pa.array([d for d, k in zip(dist, m) if k], pa.int32()),
             }
         )
 
@@ -340,13 +517,18 @@ def _simhash_pairs(max_hamming: int):
 
 
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
-                      max_hamming: int = 3, strategy: str = "driver"):
+                      max_hamming: int = 3, strategy: str = "auto",
+                      driver_max_docs: int = 2_000_000):
     """Near-dup pairs by SimHash banding + Hamming verify.
 
-    Like minhash_lsh_candidates, the default path collects the (tiny)
-    chunk rows and detects collision buckets vectorized;
-    `strategy="shuffle"` keeps the distributed groupby for huge corpora.
+    Chunk rows are 24 B (chunk_key, doc_id, simhash) so the Hamming
+    verify happens in the bucket stage — no second corpus pass. Same
+    auto driver/shuffle selection as minhash_lsh_candidates.
     """
+    import pandas as pd
+    import ray.data
+
+    strategy = _resolve_strategy(strategy, ds, driver_max_docs)
     chunk_rows = ds.select_columns([id_col, text_col]).map_batches(
         SimHasher,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
@@ -354,104 +536,173 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
         concurrency=(1, 8),
     )
     if strategy == "driver":
-        import pandas as pd
-        import ray.data
-
         pdf = chunk_rows.to_pandas()
-        cid = pdf["chunk_id"].to_numpy()
-        cval = pdf["chunk_val"].to_numpy()
+        key = pdf["chunk_key"].to_numpy()
         ids = pdf["doc_id"].to_numpy()
         hashes = pdf["simhash"].to_numpy()
-        order = np.lexsort((cval, cid))
-        cid, cval, ids, hashes = cid[order], cval[order], ids[order], hashes[order]
-        boundary = np.flatnonzero((np.diff(cid) != 0) | (np.diff(cval) != 0)) + 1
-        bounds = np.concatenate([[0], boundary, [len(cid)]])
-        seen: set = set()
-        a_out, b_out, ham = [], [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    lo, hi = sorted((ids[i], ids[j]))
-                    if lo == hi or (lo, hi) in seen:
-                        continue
-                    seen.add((lo, hi))
-                    d = bin(int(hashes[i]) ^ int(hashes[j])).count("1")
-                    if d <= max_hamming:
-                        a_out.append(lo)
-                        b_out.append(hi)
-                        ham.append(d)
-        out = pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": ham})
+        order = np.argsort(key, kind="stable")
+        a, b, ha, hb = _pairs_in_sorted_runs(key[order], ids[order],
+                                             payload=hashes[order])
+        dist = [_hamming64(x, y) for x, y in zip(ha, hb)]
+        out = pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": dist})
+        out = out[out["hamming"] <= max_hamming]
         return ray.data.from_pandas(
             out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
-    pairs = chunk_rows.groupby(["chunk_id", "chunk_val"]).map_groups(
-        _simhash_pairs(max_hamming), batch_format="pyarrow"
+    pairs = chunk_rows.groupby("chunk_key").map_groups(
+        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return ray.data.from_pandas(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
 
 
 # ---------------------------------------------------------------------------
-# Embedding cosine near-dup (brute-force baseline)
+# Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-class CosinePairFinder:
-    """Per-batch matmul against the broadcast full (normalized) matrix;
-    emits pairs above threshold with id_a < id_b. Brute-force baseline —
-    O(n * N) work per run; the IVF path in similarity.py is the scale
-    route."""
+def _table_to_norm_mat(t: pa.Table, id_col: str, vec_col: str):
+    """(ids, L2-normalized float64 matrix) from a list-column table —
+    flat-values reshape, no per-row Python."""
+    import pyarrow.compute as pc
 
-    def __init__(self, matrix_ref, threshold: float, id_col: str = "vec_id",
-                 vec_col: str = "embedding"):
-        ids, mat = ray.get(matrix_ref)
-        self.all_ids = np.asarray(ids)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        self.matrix = (mat / norms).astype(np.float64)
-        self.threshold = threshold
-        self.id_col = id_col
-        self.vec_col = vec_col
+    ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    col = t[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list_flatten respects slice offsets; .values on a sliced ListArray
+    # would return the whole (misaligned) child buffer
+    flat = np.asarray(pc.list_flatten(col).to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    mat = flat.reshape(t.num_rows, -1) if t.num_rows else flat.reshape(0, 1)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist())
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        vecs = vecs / norms
-        sims = vecs @ self.matrix.T
-        rows, cols = np.nonzero(sims >= self.threshold)
-        a, b, s = [], [], []
-        for r, c in zip(rows, cols):
-            ia, ib = int(ids[r]), int(self.all_ids[c])
-            if ia < ib:
-                a.append(ia)
-                b.append(ib)
-                s.append(float(sims[r, c]))
+
+_PAIR_SCHEMA = pa.schema(
+    [pa.field("doc_a", pa.int64()), pa.field("doc_b", pa.int64()),
+     pa.field("cosine", pa.float64())]
+)
+
+
+@ray.remote
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, threshold: float,
+                     id_col: str, vec_col: str, same: bool) -> pa.Table:
+    """Above-threshold cosine pairs between two normalized blocks."""
+    # repartition can produce empty blocks whose schema is empty too
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return _PAIR_SCHEMA.empty_table()
+    ids_a, ma = _table_to_norm_mat(ta, id_col, vec_col)
+    ids_b, mb = _table_to_norm_mat(tb, id_col, vec_col)
+    sims = ma @ mb.T
+    if same:
+        sims[np.tril_indices_from(sims)] = -2.0  # keep strict upper triangle
+    rows, cols = np.nonzero(sims >= threshold)
+    ia, ib = ids_a[rows], ids_b[cols]
+    lo = np.minimum(ia, ib)
+    hi = np.maximum(ia, ib)
+    keep = lo != hi
+    return pa.table(
+        {
+            "doc_a": pa.array(lo[keep], pa.int64()),
+            "doc_b": pa.array(hi[keep], pa.int64()),
+            "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
+        }
+    )
+
+
+def _ivf_cluster_pairs(threshold: float, id_col: str, vec_col: str):
+    def fn(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_cluster"]) if "_cluster" in group.column_names else group
+        ids, mat = _table_to_norm_mat(g, id_col, vec_col)
+        if len(ids) < 2:
+            return _PAIR_SCHEMA.empty_table()
+        sims = mat @ mat.T
+        sims[np.tril_indices_from(sims)] = -2.0
+        rows, cols = np.nonzero(sims >= threshold)
+        ia, ib = ids[rows], ids[cols]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        keep = lo != hi
         return pa.table(
             {
-                "doc_a": pa.array(a, pa.int64()),
-                "doc_b": pa.array(b, pa.int64()),
-                "cosine": pa.array(s, pa.float64()),
+                "doc_a": pa.array(lo[keep], pa.int64()),
+                "doc_b": pa.array(hi[keep], pa.int64()),
+                "cosine": pa.array(sims[rows, cols][keep], pa.float64()),
             }
         )
 
+    return fn
+
 
 def embedding_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
-                        vec_col: str = "embedding"):
-    """Pairs of near-duplicate embeddings by cosine (brute force)."""
-    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
-    matrix_ref = ray.put(
-        (tbl[id_col].to_numpy(), np.array(tbl[vec_col].to_list(), dtype=np.float64))
+                        vec_col: str = "embedding", method: str = "block",
+                        target_blocks: int = 16, nlist: int = 16,
+                        n_assign: int = 2, sample_size: int = 2048, seed: int = 0):
+    """Pairs of near-duplicate embeddings by cosine.
+
+    method="block" (default, EXACT): the corpus is split into
+    `target_blocks` normalized blocks that stay in the Ray object
+    store; one task per block pair computes that tile of the
+    similarity matrix and returns only above-threshold pairs. No full
+    N×d broadcast, no driver materialization — driver memory is
+    O(result pairs). FLOPs are inherently O(N²·d); use method="ivf"
+    when that is unaffordable.
+
+    method="ivf" (approximate, scale path): vectors are assigned to
+    their `n_assign` nearest of `nlist` sampled-k-means centroids
+    (multi-probe), pairs are generated only within clusters — recall
+    loss is pairs whose two vectors share no cluster.
+    """
+    import pandas as pd
+    import ray.data
+
+    sel = ds.select_columns([id_col, vec_col])
+    if method == "block":
+        refs = sel.repartition(target_blocks).to_arrow_refs()
+        futs = [
+            _block_pair_sims.remote(refs[i], refs[j], threshold, id_col, vec_col, i == j)
+            for i in range(len(refs))
+            for j in range(i, len(refs))
+        ]
+        tables = [t for t in ray.get(futs) if t.num_rows]
+        if not tables:
+            return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+        out = pa.concat_tables(tables).to_pandas()
+        return ray.data.from_pandas(
+            out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+    # ---- IVF bucketed (approximate) ----
+    from webvalid.ops.similarity import fit_centroids
+
+    n = sel.count()
+    sample = sel.select_columns([vec_col]).random_sample(
+        min(1.0, sample_size / max(1, n)), seed=seed
+    ).to_pandas()
+    centroids = fit_centroids(np.array(sample[vec_col].to_list()), nlist, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _table_to_norm_mat(t, id_col, vec_col)
+        if len(ids) == 0:
+            return t.append_column("_cluster", pa.array([], pa.int32()))
+        sims = mat @ cents.T
+        k = min(n_assign, cents.shape[0])
+        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]  # (n, k)
+        reps = []
+        for c in range(k):
+            reps.append(t.append_column("_cluster", pa.array(top[:, c].astype(np.int32))))
+        return pa.concat_tables(reps)
+
+    assigned = sel.map_batches(assign, batch_format="pyarrow")
+    pairs = assigned.groupby("_cluster").map_groups(
+        _ivf_cluster_pairs(threshold, id_col, vec_col), batch_format="pyarrow"
     )
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        CosinePairFinder,
-        fn_constructor_kwargs={
-            "matrix_ref": matrix_ref, "threshold": threshold,
-            "id_col": id_col, "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    if len(out) == 0:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    return ray.data.from_pandas(
+        out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )

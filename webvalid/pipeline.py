@@ -98,10 +98,17 @@ def make_combined_fn(cfg, block_size, ref_sets_ref, expected_text_ref):
     compiles) runs once per WORKER via a module-level cache — same
     amortization as an actor pool without its spin-up serialization.
     """
+    import hashlib
+
+    # the cfg fingerprint keeps a warm worker from reusing a
+    # CombinedPartial built for a previous run's CheckConfig when the
+    # broadcast refs happen to be absent/equal and block_size matches
+    cfg_fp = hashlib.blake2b(pickle.dumps(cfg), digest_size=8).hexdigest()
     key = (
         ref_sets_ref.hex() if ref_sets_ref is not None else None,
         expected_text_ref.hex() if expected_text_ref is not None else None,
         block_size,
+        cfg_fp,
     )
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -463,6 +470,13 @@ def run_validation(
     sources = list(fresh_partials)
     if partial_files:
         sources.append(ray.data.read_parquet(partial_files))
+    if not sources:
+        raise ValueError(
+            "run_validation has no partials to merge: no fresh groups were "
+            "processed this run (max_groups may be 0) and no committed "
+            "checkpoints exist under "
+            f"{ckpt_dir}"
+        )
     partials_ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
 
     t0 = time.time()

@@ -469,11 +469,12 @@ def dedup_verified_documents(sf_dir: str, min_jaccard: float = 0.6):
     """MinHash-LSH candidates verified with exact n-gram Jaccard.
 
     The candidate pairs are rare by construction, so their texts are
-    broadcast for the verify stage (ops/dedup.py JaccardVerifier)."""
-    import pyarrow.parquet as pq
+    fetched with a distributed membership filter (only matching rows
+    leave the workers) and broadcast for the verify stage
+    (ops/dedup.py JaccardVerifier)."""
     import ray as _ray
 
-    from webvalid.ops.dedup import JaccardVerifier
+    from webvalid.ops.dedup import JaccardVerifier, fetch_texts_for_ids
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(ds, min_est_jaccard=0.3)
@@ -485,10 +486,7 @@ def dedup_verified_documents(sf_dir: str, min_jaccard: float = 0.6):
              "jaccard": pd.Series([], dtype="float64")}
         )
     need = set(cand_pdf["doc_a"]) | set(cand_pdf["doc_b"])
-    t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    texts = {
-        i: x for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()) if i in need
-    }
+    texts = fetch_texts_for_ids(ds, need)
     texts_ref = _ray.put(texts)
     verified = ray.data.from_pandas(cand_pdf).map_batches(
         JaccardVerifier, fn_constructor_kwargs={"texts_ref": texts_ref},

@@ -393,7 +393,8 @@ def chi2_two_sample(counts1: np.ndarray, counts2: np.ndarray) -> tuple[float, in
 
 def ks_two_sample_from_hist(h1: NumericHistogram, h2: NumericHistogram) -> tuple[float, float]:
     """Approximate two-sample KS over binned CDFs; returns (D, p_value)."""
-    n1, n2 = h1.total() - h1.n_nan, h2.total() - h2.n_nan
+    # total() already excludes NaNs (counts + underflow + overflow)
+    n1, n2 = h1.total(), h2.total()
     if n1 == 0 or n2 == 0:
         return math.nan, math.nan
     c1 = np.concatenate([[h1.underflow], h1.counts, [h1.overflow]]).astype(np.float64)

@@ -20,8 +20,10 @@ Usage:
 
 from __future__ import annotations
 
+import base64
 import json
 import os
+import pickle
 
 import ray
 
@@ -53,10 +55,14 @@ class DriftChartActor:
     def _save(self) -> None:
         if not self.path:
             return
+        # histograms are keyed by raw category values (may be None,
+        # numbers, …) — JSON would stringify the keys and change_degree
+        # would then never match them against fresh raw-keyed
+        # histograms after a restart; pickle+base64 keeps them lossless
         state = {
             "chart": self.chart.to_dict(),
             "prev_histograms": (
-                [{str(k): v for k, v in h.items()} for h in self.prev_histograms]
+                base64.b64encode(pickle.dumps(self.prev_histograms)).decode("ascii")
                 if self.prev_histograms is not None else None
             ),
             "cdda_last_count": self.cdda_last_count,
@@ -73,7 +79,10 @@ class DriftChartActor:
         with open(self.path) as f:
             state = json.load(f)
         self.chart = ChartState.from_dict(state["chart"])
-        self.prev_histograms = state["prev_histograms"]
+        ph = state["prev_histograms"]
+        self.prev_histograms = (
+            pickle.loads(base64.b64decode(ph)) if ph is not None else None
+        )
         self.cdda_last_count = state["cdda_last_count"]
         self.cdda_rows_before = state["cdda_rows_before"]
         self.next_pid = state["next_pid"]
