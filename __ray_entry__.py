@@ -91,7 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_exact_part_brand": q.distinct_exact_part_brand,
         # event-time windows (windows-as-data; Ray has no native windows)
         "tumbling_hourly_events": q.tumbling_hourly_events,
+        "sliding_2h_hourly_events": q.sliding_2h_hourly_events,
         "sessionize_events_users": q.sessionize_events_users,
+        # bucketed + hot-key-salted hash join (ops/joins.py)
+        "salted_join_orders_customer": q.salted_join_orders_customer,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_minhash_documents": q.dedup_minhash_documents,
@@ -180,6 +183,51 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS cnt,
                    MIN(value) AS min_value, MAX(value) AS max_value
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "sliding_2h_hourly_events": """
+            WITH bounds AS (
+                SELECT (MIN(epoch_us(ts)) // 3600000000 - 1) * 3600000000 AS lo,
+                       (MAX(epoch_us(ts)) // 3600000000) * 3600000000 AS hi
+                FROM events
+            ), wins AS (
+                SELECT unnest(generate_series(lo, hi, 3600000000)) AS window_start
+                FROM bounds
+            )
+            SELECT w.window_start, COUNT(*) AS cnt,
+                   MIN(e.value) AS min_value, MAX(e.value) AS max_value
+            FROM wins w JOIN events e
+              ON epoch_us(e.ts) >= w.window_start
+             AND epoch_us(e.ts) <  w.window_start + 7200000000
+            GROUP BY w.window_start ORDER BY w.window_start
+        """,
+        "sessionize_events_users": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_us(ts)) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts_us,
+                       CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 3600000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM e
+            ), sess AS (
+                SELECT user_id, ts_us,
+                       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                             ROWS UNBOUNDED PRECEDING) - 1
+                            AS BIGINT) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   MIN(ts_us) AS session_start, MAX(ts_us) AS session_end,
+                   COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "salted_join_orders_customer": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "dedup_exact_documents": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS cnt

@@ -208,6 +208,92 @@ def test_referential_host_column(ray_session, tmp_path_factory):
     assert set(ref[~ref["pass"]]["partition_id"]) == bad_parts
 
 
+def test_uniqueness_shuffle_cutover_matches_driver_path(
+    ray_session, fixture_info, tmp_path_factory
+):
+    """Forcing the groupby-count cutover (uniqueness_driver_max_rows=0)
+    must produce the same verdicts and violations as the default
+    hash-blob pass 1."""
+    from webvalid.pipeline import run_validation
+
+    out = tmp_path_factory.mktemp("cutover_out")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"],
+                      uniqueness_driver_max_rows=0)
+    res = run_validation(
+        fixture_info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+    )
+    vio = res["violations"]
+    dup_urls = {u for _, u in fixture_info["dup_rows"]}
+    assert set(vio[vio["check"] == "uniqueness"]["url"]) == dup_urls
+    v = res["verdicts"]
+    uniq = v[v["check"] == "uniqueness"]
+    bad_parts = {r // BLOCK for r, _ in fixture_info["dup_rows"]}
+    assert bad_parts <= set(uniq[~uniq["pass"]]["partition_id"])
+
+
+def test_systemic_failure_bounded_violations_exact_verdicts(
+    ray_session, tmp_path_factory
+):
+    """Every row violating ts_window must not flood the driver: the
+    violations table is capped per check, while verdict metrics carry
+    the EXACT per-partition counts from the distributed viocount
+    merge."""
+    from webvalid.pipeline import run_validation
+
+    d = tmp_path_factory.mktemp("floodfix")
+    info = generate_webpages(str(d), n_rows=2_000, block_size=500, seed=31)
+    out = tmp_path_factory.mktemp("floodout")
+    # a ts_range entirely before the generated window → 100% violations
+    cfg = CheckConfig(block_size=500, ts_range=(0, 1),
+                      max_violations_per_check=50)
+    res = run_validation(
+        info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
+    )
+    vio = res["violations"]
+    assert len(vio[vio["check"] == "ts_window"]) <= 50
+    v = res["verdicts"]
+    tsw = v[v["check"] == "ts_window"]
+    assert (~tsw["pass"]).all()
+    # exact counts survive the cap: every partition reports its full 500
+    assert sorted(tsw["metric"]) == [500.0] * 4
+
+
+def test_tree_reduce_merge_matches_flat(ray_session, fixture_info, tmp_path_factory):
+    """collect_merged_partials(tree=True) must equal the flat merge."""
+    import glob
+
+    import ray.data
+
+    from webvalid.pipeline import collect_merged_partials, run_validation
+
+    out = tmp_path_factory.mktemp("tree_out")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"])
+    run_validation(
+        fixture_info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+    )
+    files = sorted(glob.glob(os.path.join(str(out), "checkpoints", "**", "*.parquet"),
+                             recursive=True))
+    assert files
+    flat = collect_merged_partials(ray.data.read_parquet(files), tree=False)
+    tree = collect_merged_partials(ray.data.read_parquet(files), tree=True)
+    assert tree["viocounts"] == flat["viocounts"]
+    assert len(tree["stats"]) == len(flat["stats"])
+    assert len(tree["drift"]) == len(flat["drift"])
+    import pickle
+
+    f = {(r["partition_id"], r["column"]): r["state"] for r in flat["stats"]}
+    t = {(r["partition_id"], r["column"]): r["state"] for r in tree["stats"]}
+    assert set(f) == set(t)
+    fd = {r["partition_id"]: pickle.loads(r["state"]) for r in flat["drift"]}
+    td = {r["partition_id"]: pickle.loads(r["state"]) for r in tree["drift"]}
+    assert fd == td
+
+
 def test_output_files_written(run_result):
     out = run_result["out_dir"]
     for name in ("verdicts.parquet", "violations.parquet", "stats.parquet",

@@ -80,5 +80,10 @@ class CheckConfig:
     min_change_degree: float = 0.1
     chi2_alpha: float = 1e-3
     ks_alpha: float = 1e-3
+    # uniqueness pass-1 route: below this row count, per-batch uint64
+    # key-hash blobs are sorted in bucketed tasks (8 B/row of transient
+    # memory); above it, the groupby(key).count() shuffle path is used
+    # so nothing O(rows) converges on one place
+    uniqueness_driver_max_rows: int = 2_000_000_000
     # violations
     max_violations_per_check: int = 10_000

@@ -102,9 +102,13 @@ def collect_dup_rows(ds, cand: np.ndarray, cfg: CheckConfig, column: str = "url"
                      check_name: str = "uniqueness"):
     """Pass 2: given candidate dup-key hashes, collect the matching rows
     and group exactly by key driver-side (hash collisions filtered).
-    Returns (violations_table, dup_key_count)."""
+
+    Returns (violations_table capped at cfg.max_violations_per_check,
+    dup_key_count, exact per-partition violation counts). Verdicts must
+    use the counts dict, not the capped row sample.
+    """
     if len(cand) == 0:
-        return _empty_violations(), 0
+        return _empty_violations(), 0, {}
     cand_ref = ray.put(np.sort(cand))
     rows = ds.select_columns([column, "partition_id"]).map_batches(
         _collect_candidate_rows_fn(cand_ref, column),
@@ -113,7 +117,10 @@ def collect_dup_rows(ds, cand: np.ndarray, cfg: CheckConfig, column: str = "url"
     counts = rows.groupby("url")["partition_id"].transform("size")
     rows = rows[counts > 1]  # drop hash-collision singletons
     if len(rows) == 0:
-        return _empty_violations(), 0
+        return _empty_violations(), 0, {}
+    per_part = rows.groupby("partition_id").size().to_dict()
+    n_keys = int(rows["url"].nunique())
+    rows = rows.head(cfg.max_violations_per_check)
     vtab = pa.table(
         {
             "partition_id": pa.array(rows["partition_id"].to_numpy(), pa.int64()),
@@ -122,7 +129,7 @@ def collect_dup_rows(ds, cand: np.ndarray, cfg: CheckConfig, column: str = "url"
             "reason": pa.array(["duplicate"] * len(rows), pa.string()),
         }
     )
-    return vtab, int(rows["url"].nunique())
+    return vtab, n_keys, {int(k): int(v) for k, v in per_part.items()}
 
 
 def _dups_in(arrays: list[np.ndarray]) -> np.ndarray:
@@ -177,17 +184,28 @@ def uniqueness_check(ds, cfg: CheckConfig, column: str = "url",
     """Standalone two-pass uniqueness check (no shuffle): (1) stream
     per-row uint64 key hashes to the driver, find repeats vectorized;
     (2) collect rows matching the (rare) candidate hashes and group
-    exactly. `ds` must already carry partition_id and the key column."""
+    exactly. `ds` must already carry partition_id and the key column.
+    Returns (capped violations table, dup key count, per-partition
+    exact counts)."""
     cand = _dup_hash_candidates(ds, column)
     return collect_dup_rows(ds, cand, cfg, column=column, check_name=check_name)
 
 
-def uniqueness_verdicts(violations: pa.Table, all_partitions: list[int],
+def dup_candidates_via_shuffle(ds, column: str) -> np.ndarray:
+    """Pass-1 cutover route: duplicate-key candidates via the
+    groupby-count shuffle (nothing O(rows) reaches the driver; only the
+    rare duplicate keys come back, as hashes for the shared pass 2)."""
+    from webvalid.sketches import hash64
+
+    dup = duplicate_keys(ds, column).to_pandas()
+    if len(dup) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(hash64(dup[column].to_numpy()))
+
+
+def uniqueness_verdicts(per_part: dict[int, int], all_partitions: list[int],
                         check_name: str = "uniqueness", column: str = "url") -> list[dict]:
-    """Per-partition pass/fail from the (small) violations table."""
-    per_part: dict[int, int] = {}
-    for pid in violations["partition_id"].to_pylist():
-        per_part[pid] = per_part.get(pid, 0) + 1
+    """Per-partition pass/fail from exact per-partition dup-row counts."""
     return [
         verdict_row(pid, check_name, column, per_part.get(pid, 0) == 0,
                     float(per_part.get(pid, 0)), "dup rows in partition")

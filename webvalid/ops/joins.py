@@ -57,11 +57,25 @@ def build_right_buckets(right: pa.Table, key: str, num_buckets: int,
     return [ray.put(t) for t in tables]
 
 
+def _in_sorted_keys(sorted_keys: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of `keys` in a SORTED unique key array.
+
+    searchsorted for numeric dtypes; np.isin (sort-based, C) for
+    object/string dtypes. Never a per-element Python `in`.
+    """
+    if len(sorted_keys) == 0:
+        return np.zeros(len(keys), dtype=bool)
+    if sorted_keys.dtype.kind in "iuf" and keys.dtype.kind in "iuf":
+        pos = np.clip(np.searchsorted(sorted_keys, keys), 0, len(sorted_keys) - 1)
+        return sorted_keys[pos] == keys
+    return np.isin(keys, sorted_keys)
+
+
 class BucketedAntiJoin:
     """map_batches callable: rows whose key misses the right side.
 
     Resolves only the bucket tables a batch actually needs, builds a
-    per-bucket key set lazily, caches across batches (actor pool).
+    per-bucket sorted key array lazily, caches across batches.
     """
 
     def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1):
@@ -69,16 +83,18 @@ class BucketedAntiJoin:
         self.key = key
         self.num_buckets = num_buckets
         self.n_salts = n_salts
-        self._key_sets: dict[int, set] = {}
+        self._key_arrays: dict[int, np.ndarray] = {}
 
-    def _key_set(self, bucket: int) -> set:
-        ks = self._key_sets.get(bucket)
+    def _keys_sorted(self, bucket: int) -> np.ndarray:
+        ks = self._key_arrays.get(bucket)
         if ks is None:
-            ks = set()
-            for salt in range(self.n_salts):
-                t = ray.get(self.bucket_refs[bucket * self.n_salts + salt])
-                ks.update(t[self.key].to_pylist())
-            self._key_sets[bucket] = ks
+            parts = [
+                ray.get(self.bucket_refs[bucket * self.n_salts + salt])[self.key]
+                .to_numpy(zero_copy_only=False)
+                for salt in range(self.n_salts)
+            ]
+            ks = np.unique(np.concatenate(parts)) if parts else np.empty(0)
+            self._key_arrays[bucket] = ks
         return ks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -86,9 +102,9 @@ class BucketedAntiJoin:
         b = bucket_of(keys, self.num_buckets)
         miss = np.zeros(len(keys), dtype=bool)
         for bucket in np.unique(b):
-            ks = self._key_set(int(bucket))
+            ks = self._keys_sorted(int(bucket))
             sel = b == bucket
-            miss[sel] = np.array([k not in ks for k in keys[sel]])
+            miss[sel] = ~_in_sorted_keys(ks, keys[sel])
         return batch.filter(pa.array(miss))
 
 
@@ -130,10 +146,9 @@ class BucketedInnerJoin:
             # salt replicas duplicate hot keys — keep first occurrence
             t = pa.concat_tables(parts)
             if self.n_salts > 1 and t.num_rows:
-                import pandas as pd
-
-                df = t.to_pandas().drop_duplicates(subset=[self.key])
-                t = pa.Table.from_pandas(df, preserve_index=False)
+                keys = t[self.key].to_numpy(zero_copy_only=False)
+                _, first_idx = np.unique(keys, return_index=True)
+                t = t.take(pa.array(np.sort(first_idx), pa.int64()))
             self._lookups[bucket] = t
         return t
 

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 # BPE-ish word/punct tokenizer (compiled once per process).
 TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 WORD_RE = re.compile(r"\w+", re.UNICODE)
+DIGIT_RE = re.compile(r"\d", re.UNICODE)
 
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
@@ -54,6 +55,7 @@ class QualityScorer:
         self.id_col = id_col
         self.token_re = TOKEN_RE
         self.word_re = WORD_RE
+        self.digit_re = DIGIT_RE
         self.all_stop = set().union(*_STOPWORDS.values())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -75,7 +77,8 @@ class QualityScorer:
             if toks:
                 punct_ratio[i] = 1.0 - len(words) / len(toks)
             nc = len(t)
-            digit_ratio[i] = sum(c.isdigit() for c in t) / nc
+            # C-level regex count, not an O(chars) interpreted loop
+            digit_ratio[i] = len(self.digit_re.findall(t)) / nc
             if words:
                 mean_tok_len[i] = sum(map(len, words)) / len(words)
                 lw = [w.lower() for w in words]

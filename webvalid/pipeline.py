@@ -44,7 +44,7 @@ from webvalid import checkpoint as ckpt
 from webvalid.checks.base import CheckConfig, VERDICT_SCHEMA, VIOLATION_SCHEMA, verdict_row
 from webvalid.checks.column_stats import ColumnState, StatsPartial, stats_rows, stats_verdicts
 from webvalid.checks.drift_check import DriftPartial, drift_fold, merge_drift_state_dicts
-from webvalid.checks.referential import RefCheckBatcher, load_ref_sets, referential_verdicts
+from webvalid.checks.referential import RefCheckBatcher, load_ref_sets
 from webvalid.checks.text_parity import TextParityBatcher
 from webvalid.checks.uniqueness import collect_dup_rows, dup_candidates_from_hash_arrays, uniqueness_verdicts
 from webvalid.partition import add_host, add_partition_id
@@ -122,11 +122,50 @@ def make_combined_fn(cfg, block_size, ref_sets_ref, expected_text_ref):
     return fn
 
 
+def _count_and_cap_violations(v: pa.Table, cap: int) -> tuple[pa.Table, pa.Table]:
+    """Exact (partition, check) violation counts + a per-check row cap.
+
+    Returns (viocount rows in union layout [partition_id, check,
+    state=count bytes], capped violation rows). Verdicts use the exact
+    counts, so capping the row sample never distorts pass/fail — and a
+    systemic failure (every row violating) can no longer flood the
+    driver or the checkpoint with O(rows) violation rows.
+    """
+    empty_counts = pa.table(
+        {
+            "partition_id": pa.array([], pa.int64()),
+            "check": pa.array([], pa.string()),
+            "state": pa.array([], pa.binary()),
+        }
+    )
+    if v.num_rows == 0:
+        return empty_counts, v
+    counts = v.group_by(["partition_id", "check"]).aggregate([("url", "count")])
+    viocount = pa.table(
+        {
+            "partition_id": counts["partition_id"].cast(pa.int64()),
+            "check": counts["check"],
+            "state": pa.array(
+                [int(c).to_bytes(8, "little") for c in counts["url_count"].to_pylist()],
+                pa.binary(),
+            ),
+        }
+    )
+    if v.num_rows > cap:
+        parts = []
+        for cname in pc.unique(v["check"]).to_pylist():
+            sub = v.filter(pc.equal(v["check"], cname))
+            parts.append(sub.slice(0, cap))
+        v = pa.concat_tables(parts)
+    return viocount, v
+
+
 class CombinedPartial:
     """Single-pass per-batch kernel: stats + drift partials + violations."""
 
     def __init__(self, cfg: CheckConfig, block_size: int,
                  ref_sets_ref=None, expected_text_ref=None):
+        self.cap = cfg.max_violations_per_check
         self.prep = _make_prep(block_size)
         stat_cols = ("url", "warc_ts", "html", "text", "lang", "host", "text_len")
         self.stats = StatsPartial(
@@ -159,10 +198,15 @@ class CombinedPartial:
             _to_union("drift", self.drift(batch)),
             _to_union("urlhash", hash_tab),
         ]
+        vio_parts = []
         if self.ref is not None:
-            parts.append(_to_union("violation", self.ref(batch)))
+            vio_parts.append(self.ref(batch))
         if self.parity is not None:
-            parts.append(_to_union("violation", self.parity(batch)))
+            vio_parts.append(self.parity(batch))
+        for v in vio_parts:
+            viocount, capped = _count_and_cap_violations(v, self.cap)
+            parts.append(_to_union("viocount", viocount))
+            parts.append(_to_union("violation", capped))
         return pa.concat_tables([p for p in parts if p.num_rows] or [_empty_union()])
 
 
@@ -244,12 +288,19 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge) -> lis
     ]
 
 
-def collect_merged_partials(partials_ds) -> dict:
+def collect_merged_partials(partials_ds, cap: int = 10_000,
+                            tree: bool = False) -> dict:
     """ONE distributed pass over the union-schema partials: merge stats
-    states by (partition, column) and drift states by partition
-    block-locally, pass violation / urlhash rows through, then finish
+    states by (partition, column), drift states by partition, and
+    violation counts by (partition, check) block-locally; cap violation
+    rows per check per block; pass urlhash rows through; then finish
     the (now tiny) merges on the driver. Collapses what would be four
     separate Ray jobs — each with ~1s of launch overhead — into one.
+
+    `tree=True` inserts a coalescing repartition + one more block-local
+    merge round before the driver finish, so the driver touches
+    O(coalesced blocks × keys) rows even when the partial pass produced
+    thousands of blocks (the tree-reduce rung for huge runs).
     """
 
     def local(t: pa.Table) -> pa.Table:
@@ -263,6 +314,8 @@ def collect_merged_partials(partials_ds) -> dict:
 
         stats_acc: dict = {}
         drift_acc: dict = {}
+        vio_counts: dict = {}
+        vio_kept: dict = {}
         out_rows = {name: [] for name in UNION_SCHEMA.names}
 
         def emit(kind, pid=None, col=None, state=None, check=None, url=None, reason=None):
@@ -288,13 +341,23 @@ def collect_merged_partials(partials_ds) -> dict:
                     merge_drift_state_dicts(drift_acc[pids[i]], s)
                 else:
                     drift_acc[pids[i]] = s
-            else:  # urlhash / violation pass through
+            elif kind == "viocount":
+                k = (pids[i], checks[i])
+                vio_counts[k] = vio_counts.get(k, 0) + int.from_bytes(states[i], "little")
+            elif kind == "violation":
+                kept = vio_kept.get(checks[i], 0)
+                if kept < cap:  # counts stay exact via viocount rows
+                    vio_kept[checks[i]] = kept + 1
+                    emit(kind, pids[i], cols[i], states[i], checks[i], urls[i], reasons[i])
+            else:  # urlhash passes through
                 emit(kind, pids[i], cols[i], states[i], checks[i], urls[i], reasons[i])
 
         for (pid, col), st in stats_acc.items():
             emit("stats", pid, col, pickle.dumps(st))
         for pid, s in drift_acc.items():
             emit("drift", pid, None, pickle.dumps(s))
+        for (pid, check), c in vio_counts.items():
+            emit("viocount", pid, None, int(c).to_bytes(8, "little"), check)
         return pa.table(
             {
                 name: pa.array(out_rows[name],
@@ -303,12 +366,20 @@ def collect_merged_partials(partials_ds) -> dict:
             }
         )
 
-    rows = partials_ds.map_batches(local, batch_format="pyarrow").take_all()
+    reduced = partials_ds.map_batches(local, batch_format="pyarrow")
+    if tree:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        reduced = reduced.repartition(max(2, n_cpus // 2)).map_batches(
+            local, batch_format="pyarrow"
+        )
+    rows = reduced.take_all()
 
     stats_final: dict = {}
     drift_final: dict = {}
+    viocounts: dict = {}
     hash_blobs: list[bytes] = []
     violations: list[dict] = []
+    vio_kept_final: dict = {}
     for r in rows:
         kind = r["kind"]
         if kind == "stats":
@@ -324,13 +395,19 @@ def collect_merged_partials(partials_ds) -> dict:
                 merge_drift_state_dicts(drift_final[r["partition_id"]], s)
             else:
                 drift_final[r["partition_id"]] = s
+        elif kind == "viocount":
+            k = (r["partition_id"], r["check"])
+            viocounts[k] = viocounts.get(k, 0) + int.from_bytes(r["state"], "little")
         elif kind == "urlhash":
             hash_blobs.append(r["state"])
         else:
-            violations.append(
-                {"partition_id": r["partition_id"], "check": r["check"],
-                 "url": r["url"], "reason": r["reason"]}
-            )
+            kept = vio_kept_final.get(r["check"], 0)
+            if kept < cap:
+                vio_kept_final[r["check"]] = kept + 1
+                violations.append(
+                    {"partition_id": r["partition_id"], "check": r["check"],
+                     "url": r["url"], "reason": r["reason"]}
+                )
     return {
         "stats": [
             {"partition_id": pid, "column": col, "state": pickle.dumps(st)}
@@ -342,6 +419,7 @@ def collect_merged_partials(partials_ds) -> dict:
         ],
         "hash_blobs": hash_blobs,
         "violations": violations,
+        "viocounts": viocounts,
     }
 
 
@@ -480,8 +558,17 @@ def run_validation(
     partials_ds = sources[0] if len(sources) == 1 else sources[0].union(*sources[1:])
 
     t0 = time.time()
-    merged = collect_merged_partials(partials_ds)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # partial block count is known driver-side: fresh groups were
+    # repartitioned to ~n_cpus/4 blocks each, disk groups to one block
+    # per file — add a tree-reduce round when that fan-in is wide
+    n_partial_blocks = len(fresh_partials) * max(1, n_cpus // 4) + len(partial_files)
+    merged = collect_merged_partials(
+        partials_ds, cap=cfg.max_violations_per_check,
+        tree=n_partial_blocks > 64,
+    )
     merged_stats = merged["stats"]
+    viocounts: dict = merged["viocounts"]
     _mark("merge_pass", t0)
     t0 = time.time()
     stats_table = stats_rows(merged_stats, cfg)
@@ -516,56 +603,59 @@ def run_validation(
     if len(vio_tab):
         violations_parts.append(pa.Table.from_pandas(vio_tab, preserve_index=False).cast(VIOLATION_SCHEMA))
 
+    # referential / text-parity / ts-window verdicts from the EXACT
+    # merged (partition, check) violation counts — the violations table
+    # is a capped row sample and must never drive pass/fail
     if ref_cols:
-        vio_ref = violations_parts[0] if violations_parts else VIOLATION_SCHEMA.empty_table()
-        verdicts.extend(referential_verdicts(vio_ref, all_partitions, ref_cols))
+        for col in ref_cols:
+            check = f"referential_{col}"
+            for pid in all_partitions:
+                c = viocounts.get((pid, check), 0)
+                verdicts.append(verdict_row(pid, check, col, c == 0, float(c), "orphan keys"))
 
-    # --- uniqueness (global, shuffle-free — see uniqueness.py) -----------
-    # Pass 1 reads the per-batch url-hash blobs already sitting in the
-    # checkpointed partials (no re-scan of the input); pass 2 touches
-    # the url column again only when candidate duplicates exist.
+    # --- uniqueness (global — see uniqueness.py) --------------------------
+    # Below cfg.uniqueness_driver_max_rows, pass 1 reads the per-batch
+    # url-hash blobs already sitting in the checkpointed partials (no
+    # re-scan, bucketed parallel sort, 8 B/row transient); above it, the
+    # groupby(url).count() shuffle finds duplicate keys with nothing
+    # O(rows) converging anywhere. Pass 2 touches the url column again
+    # only when candidate duplicates exist.
+    total_rows = sum(m["rows"] for m in lineage)
     t0 = time.time()
-    cand = dup_candidates_from_hash_arrays(merged["hash_blobs"])
+    if total_rows > cfg.uniqueness_driver_max_rows:
+        from webvalid.checks.uniqueness import dup_candidates_via_shuffle
+
+        cand = dup_candidates_via_shuffle(
+            ray.data.read_parquet(files, columns=["url"]), "url"
+        )
+    else:
+        cand = dup_candidates_from_hash_arrays(merged["hash_blobs"])
     _mark("uniq_pass1", t0)
     t0 = time.time()
     if len(cand):
         uniq_ds = ray.data.read_parquet(files, columns=["url", "row_index"]).map_batches(
             lambda t: add_partition_id(t, cfg.block_size), batch_format="pyarrow"
         )
-        vtab, n_dup_keys = collect_dup_rows(uniq_ds, cand, cfg, column="url")
+        vtab, n_dup_keys, uniq_counts = collect_dup_rows(uniq_ds, cand, cfg, column="url")
     else:
         from webvalid.checks.uniqueness import _empty_violations
 
         vtab = _empty_violations()
+        uniq_counts = {}
     violations_parts.append(vtab.cast(VIOLATION_SCHEMA))
-    verdicts.extend(uniqueness_verdicts(vtab, all_partitions, column="url"))
+    verdicts.extend(uniqueness_verdicts(uniq_counts, all_partitions, column="url"))
     _mark("uniqueness", t0)
 
     violations = (
         pa.concat_tables(violations_parts) if violations_parts else VIOLATION_SCHEMA.empty_table()
     )
 
-    # text-parity / ts-window per-partition verdicts from violation counts
     for check in ("text_parity", "ts_window"):
-        mask = pc.equal(violations["check"], check)
-        sub = violations.filter(mask)
-        per: dict[int, int] = {}
-        for pid in sub["partition_id"].to_pylist():
-            per[pid] = per.get(pid, 0) + 1
         for pid in all_partitions:
-            c = per.get(pid, 0)
+            c = viocounts.get((pid, check), 0)
             verdicts.append(verdict_row(pid, check, "*", c == 0, float(c), "row violations"))
 
     t0 = time.time()
-    # cap violation rows per check AFTER verdict counting, so one
-    # systemic failure can't blow up the output table but verdicts stay
-    # exact
-    if violations.num_rows:
-        capped = []
-        for check_name in pc.unique(violations["check"]).to_pylist():
-            sub = violations.filter(pc.equal(violations["check"], check_name))
-            capped.append(sub.slice(0, cfg.max_violations_per_check))
-        violations = pa.concat_tables(capped)
 
     # --- write outputs ---------------------------------------------------
     import pandas as pd

@@ -211,31 +211,44 @@ def pricing_summary_lineitem(sf_dir: str):
 def orders_by_nation(sf_dir: str):
     """Broadcast double-hop join: orders → customer → nation, then count.
 
-    Demonstrates the small-side broadcast join pattern (dimension dicts
-    shipped once via ray.put, numpy take inside map_batches — no
-    shuffle of the fact table).
+    Demonstrates the small-side broadcast join pattern: the dimension
+    side ships once via ray.put as SORTED numpy key arrays + aligned
+    value codes (zero-copy plasma reads), and each fact batch resolves
+    names with searchsorted + pc.take — no Python dict, no per-row
+    loop, no shuffle of the fact table.
     """
     import pyarrow.parquet as pq
     import ray as _ray
 
     cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
-    n2name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    lookup_ref = _ray.put((c2n, n2name))
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy()
+    order = np.argsort(ck, kind="stable")
+    nk = nation["n_nationkey"].to_numpy()
+    nk_order = np.argsort(nk, kind="stable")
+    _names = nation["n_name"].to_pylist()
+    names_sorted = [_names[i] for i in nk_order]
+    lookup_ref = _ray.put((ck[order], cn[order], nk[nk_order]))
+    names_ref = _ray.put(names_sorted)
 
     class AddNation:
-        def __init__(self, ref):
-            self.c2n, self.n2name = _ray.get(ref)
+        def __init__(self, ref, nref):
+            self.ck, self.cn, self.nk = _ray.get(ref)
+            self.names = pa.array(_ray.get(nref), pa.string())
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            names = [
-                self.n2name.get(self.c2n.get(ck)) for ck in t["o_custkey"].to_pylist()
-            ]
-            return t.append_column("n_name", pa.array(names, pa.string()))
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(self.ck, keys), 0, len(self.ck) - 1)
+            cust_hit = self.ck[pos] == keys
+            nkey = self.cn[pos]
+            npos = np.clip(np.searchsorted(self.nk, nkey), 0, len(self.nk) - 1)
+            hit = cust_hit & (self.nk[npos] == nkey)
+            idx = pa.array(npos.astype(np.int64), pa.int64(), mask=~hit)
+            return t.append_column("n_name", pc.take(self.names, idx))
 
     ds = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
-        AddNation, fn_constructor_kwargs={"ref": lookup_ref},
+        AddNation, fn_constructor_kwargs={"ref": lookup_ref, "nref": names_ref},
         batch_format="pyarrow", concurrency=(1, 4),
     )
     out = twophase_agg(ds.select_columns(["n_name"]), ["n_name"],
@@ -277,6 +290,43 @@ def sessionize_events_users(sf_dir: str, gap_minutes: int = 60):
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
     out = sessionize(ds, "user_id", "ts", gap_us=gap_minutes * 60_000_000).to_pandas()
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+def sliding_2h_hourly_events(sf_dir: str):
+    """Sliding 2-hour windows stepped hourly (row replication + two-phase
+    aggregate — the windows-as-data pattern, SURVEY.md §2.9)."""
+    from webvalid.ops.windows import sliding_aggregate
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    out = sliding_aggregate(
+        ds, "ts", 7_200_000_000, 3_600_000_000, [],
+        {"cnt": ("value", "count"), "min_value": ("value", "min"),
+         "max_value": ("value", "max")},
+    )
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+def salted_join_orders_customer(sf_dir: str):
+    """Bucketed + hot-key-salted inner join (ops/joins.py) of orders
+    against customer, rolled up per market segment.
+
+    The first 100 custkeys are declared hot to force the salt-replica
+    path (replicated right rows + first-occurrence dedupe) through the
+    gate, not just pytest.
+    """
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.joins import salted_inner_join
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    right = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    hot = set(right["o_custkey"].to_pylist()[:100])
+    left = _read(sf_dir, "orders", columns=["o_custkey"])
+    joined = salted_inner_join(left, right, key="o_custkey",
+                               num_buckets=16, hot_keys=hot, n_salts=4)
+    out = twophase_agg(joined.select_columns(["c_mktsegment"]), ["c_mktsegment"],
+                       {"n_orders": ("c_mktsegment", "count")})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
 def distinct_exact_part_brand(sf_dir: str):
@@ -361,16 +411,23 @@ def _events_projection(sf_dir: str, block_size: int = 1000):
 
 
 def _events_drift_states(sf_dir: str, block_size: int = 1000):
-    from webvalid.checks.drift_check import DriftPartial, merge_drift_states
+    """Per-partition drift states via block-local merge + driver finish.
+
+    Same mergeable-state pattern as the flagship suite
+    (pipeline.merge_keyed_states) — drift states are additive, so no
+    sort shuffle is needed; the driver touches O(#partitions) states.
+    """
+    import pickle
+
+    from webvalid.checks.drift_check import DriftPartial, merge_drift_state_dicts
+    from webvalid.pipeline import merge_keyed_states
 
     ds = _events_projection(sf_dir, block_size)
     partials = ds.map_batches(
         DriftPartial(("event_type", "value_bucket")), batch_format="pyarrow"
     )
-    return (
-        partials.groupby("partition_id")
-        .map_groups(merge_drift_states, batch_format="pyarrow")
-        .take_all()
+    return merge_keyed_states(
+        partials, ("partition_id",), pickle.loads, merge_drift_state_dicts
     )
 
 
