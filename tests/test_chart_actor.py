@@ -80,3 +80,60 @@ def test_streaming_rejects_out_of_order(ray_session, stream_blocks, tmp_path):
     ray.get(actor.observe.remote(0, summaries[0], sizes[0], histograms[0]))
     with pytest.raises(Exception, match="in-order"):
         ray.get(actor.observe.remote(5, summaries[5], sizes[5], histograms[5]))
+
+
+def test_streaming_matches_pipeline_on_webpages_fixture(ray_session, tmp_path):
+    """Golden link between the streaming actor and the batch pipeline:
+    feeding the actor the same per-partition states the pipeline merges
+    (lang/host projection of the seeded webpages fixture, in partition
+    order) must reproduce run_validation's segments exactly."""
+    import pickle
+
+    import ray
+    import ray.data
+
+    from webvalid.checks.base import CheckConfig
+    from webvalid.checks.drift_check import DriftPartial, merge_drift_state_dicts
+    from webvalid.drift.dilca import BlockStatistics, summary_of_stats
+    from webvalid.gen import generate_webpages
+    from webvalid.partition import add_host, add_partition_id
+    from webvalid.pipeline import merge_keyed_states, run_validation
+    from webvalid.state.chart_actor import DriftChartActor
+
+    info = generate_webpages(str(tmp_path / "fix"), n_rows=4_000, block_size=400,
+                             seed=17)
+    cfg = CheckConfig(block_size=400, ts_range=info["ts_window"])
+    res = run_validation(
+        info["pages_dir"], str(tmp_path / "out"), cfg=cfg,
+        ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
+    )
+    expected = [
+        {"algorithm": r["algorithm"], "start": int(r["start"]), "end": int(r["end"])}
+        for _, r in res["segments"].iterrows()
+    ]
+
+    def proj(t):
+        t = add_partition_id(t, 400)
+        t = add_host(t)
+        return t.select(["partition_id", "lang", "host"])
+
+    ds = ray.data.read_parquet(info["pages_dir"],
+                               columns=["url", "lang", "row_index"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+    partials = ds.map_batches(DriftPartial(cfg.drift_columns), batch_format="pyarrow")
+    merged = sorted(
+        merge_keyed_states(partials, ("partition_id",), pickle.loads,
+                           merge_drift_state_dicts),
+        key=lambda r: r["partition_id"],
+    )
+    actor = DriftChartActor.remote(checkpoint_path=str(tmp_path / "chart.json"))
+    for row in merged:
+        s = pickle.loads(row["state"])
+        summ = summary_of_stats(
+            BlockStatistics.from_counts(s["value_counts"], s["pairs"])
+        )
+        ray.get(actor.observe.remote(row["partition_id"], summ,
+                                     s["n"], s["value_counts"]))
+    result = ray.get(actor.finish.remote())
+    assert _sorted(result["segments"]) == _sorted(expected)

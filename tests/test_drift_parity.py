@@ -167,3 +167,66 @@ def test_chart_sigma_fallback_after_drift_uses_global_extrema():
     # sees history [5.0, 5.0] → sigma 0 → 0 >= 0 fires again.
     assert not flags[2] and flags[3] and not flags[4] and flags[5]
     assert segments == [(0, 30), (31, 50), (51, 60)]
+
+
+def test_drift_partial_capped_histograms_other_bucket():
+    """DriftPartial(max_keys=K) bounds every column's domain at K+1 with
+    the tail collapsed into OTHER_BUCKET; totals are preserved and the
+    CDDA fold still runs on the capped states (documented deviation from
+    reference parity — tail churn is invisible, tail mass is not)."""
+    import pickle
+
+    import pyarrow as pa
+
+    from webvalid.checks.drift_check import OTHER_BUCKET, DriftPartial
+
+    n = 500
+    rng = random.Random(3)
+    # high-cardinality column: ~200 distinct "hosts", skewed
+    hosts = [f"h{rng.randint(0, 40) if rng.random() < 0.7 else rng.randint(0, 199)}"
+             for _ in range(n)]
+    langs = [f"l{rng.randint(0, 3)}" for _ in range(n)]
+    batch = pa.table(
+        {
+            "partition_id": pa.array([0] * (n // 2) + [1] * (n - n // 2), pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+        }
+    )
+    out = DriftPartial(("lang", "host"), max_keys=16)(batch)
+    states = [pickle.loads(b) for b in out["state"].to_pylist()]
+    assert len(states) == 2
+    for s in states:
+        lang_counts, host_counts = s["value_counts"]
+        assert len(host_counts) <= 17  # 16 kept + OTHER
+        assert OTHER_BUCKET in host_counts and host_counts[OTHER_BUCKET] > 0
+        assert OTHER_BUCKET not in lang_counts  # low-card column untouched
+        assert sum(host_counts.values()) == s["n"]
+        assert sum(lang_counts.values()) == s["n"]
+        # pair co-occurrences are capped consistently with the domains
+        assert sum(s["pairs"][(0, 1)].values()) == s["n"]
+    # the capped states still feed the CDDA fold
+    segments, flags, degrees = cdda_fold(
+        [s["value_counts"] for s in states], [s["n"] for s in states], 0.1
+    )
+    assert len(flags) == 2 and degrees[1] is not None
+
+
+def test_drift_partial_uncapped_by_default():
+    import pickle
+
+    import pyarrow as pa
+
+    from webvalid.checks.drift_check import OTHER_BUCKET, DriftPartial
+
+    vals = [f"v{i}" for i in range(100)]
+    batch = pa.table(
+        {
+            "partition_id": pa.array([0] * 100, pa.int64()),
+            "x": pa.array(vals, pa.string()),
+        }
+    )
+    out = DriftPartial(("x",))(batch)
+    s = pickle.loads(out["state"][0].as_py())
+    assert len(s["value_counts"][0]) == 100
+    assert OTHER_BUCKET not in s["value_counts"][0]

@@ -76,6 +76,9 @@ class CheckConfig:
     lang_column: str = "lang"
     # drift
     drift_columns: tuple[str, ...] = ("lang", "host")
+    # None = uncapped (reference parity); set for high-cardinality
+    # projections — tail values collapse into drift_check.OTHER_BUCKET
+    drift_max_histogram_keys: int | None = None
     drift_coefficient: float = 3.0
     min_change_degree: float = 0.1
     chi2_alpha: float = 1e-3

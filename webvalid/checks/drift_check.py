@@ -32,16 +32,30 @@ from webvalid.partition import partition_slices
 from webvalid.sketches import NumericHistogram, chi2_two_sample, ks_two_sample_from_hist
 
 
+# reserved pseudo-category that absorbs the tail of a capped domain
+OTHER_BUCKET = "\x00__other__"
+
+
 class DriftPartial:
     """map_batches callable over the categorical projection columns.
 
     Emits (partition_id, state) rows where state holds per-column value
     counts and upper-triangular pair co-occurrence counts for the
     partition rows present in this batch.
+
+    `max_keys` (None = uncapped, the reference-parity default) bounds
+    every column's per-batch domain: only the top-`max_keys` values by
+    count keep their identity, the tail collapses into OTHER_BUCKET.
+    Semantic deviation (documented, NOT reference behavior): CDDA and
+    chi² then see the tail as one shared pseudo-value — tail-internal
+    churn is invisible, tail-mass shifts remain visible — and DILCA
+    domains are bounded at max_keys+1, keeping the O(d²..d³) math and
+    state size bounded on high-cardinality projections (e.g. url host).
     """
 
-    def __init__(self, columns: tuple[str, ...]):
+    def __init__(self, columns: tuple[str, ...], max_keys: int | None = None):
         self.columns = columns
+        self.max_keys = max_keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -55,6 +69,15 @@ class DriftPartial:
             for name in self.columns:
                 arr = sub[name].combine_chunks().to_numpy(zero_copy_only=False)
                 c, u = pd.factorize(arr, use_na_sentinel=False)
+                if self.max_keys is not None and len(u) > self.max_keys:
+                    cnt = np.bincount(c, minlength=len(u))
+                    top = np.argsort(-cnt, kind="stable")[: self.max_keys]
+                    remap = np.full(len(u), self.max_keys, dtype=np.int64)
+                    remap[top] = np.arange(self.max_keys)
+                    c = remap[c]
+                    u = np.concatenate(
+                        [np.asarray(u, dtype=object)[top], [OTHER_BUCKET]]
+                    )
                 codes.append(c)
                 uniques.append(u)
             value_counts = []

@@ -172,7 +172,8 @@ class CombinedPartial:
             cfg, stat_cols, categorical_columns=("lang", "host"),
             hist_ranges={"text_len": (0.0, 2048.0)},
         )
-        self.drift = DriftPartial(cfg.drift_columns)
+        self.drift = DriftPartial(cfg.drift_columns,
+                                  max_keys=cfg.drift_max_histogram_keys)
         self.ref = RefCheckBatcher(ref_sets_ref) if ref_sets_ref is not None else None
         self.parity = (
             TextParityBatcher(expected_text_ref, ts_range=cfg.ts_range)
