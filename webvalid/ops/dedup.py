@@ -139,8 +139,15 @@ class MinHasher:
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
-                 text_col: str = "text", id_col: str = "doc_id", seed: int = 1234):
+                 text_col: str = "text", id_col: str = "doc_id", seed: int = 1234,
+                 emit_signatures: bool = False):
         assert num_perm % bands == 0
+        # emit_signatures=True additionally emits ONE signature row per
+        # doc (band_hash null) so the small-corpus driver path gets
+        # est-Jaccard without a second corpus scan; the scale (shuffle)
+        # path keeps this off and fetches signatures in a targeted
+        # second pass instead.
+        self.emit_signatures = emit_signatures
         rng = np.random.default_rng(seed)
         # odd multipliers → (a*h + b) mod 2^64 is a bijection of Z_2^64,
         # so taking the min is a valid minhash permutation.
@@ -189,10 +196,19 @@ class MinHasher:
         keep, sig = self.signatures(batch[self.text_col].to_pylist())
         kept_ids = ids[keep]
         bh = self.band_hashes(sig)
+        band_hash = pa.array(bh.reshape(-1), pa.uint64())
+        doc_id = pa.array(np.repeat(kept_ids, self.bands), pa.int64())
+        if not self.emit_signatures:
+            return pa.table({"band_hash": band_hash, "doc_id": doc_id})
+        n = len(kept_ids)
         return pa.table(
             {
-                "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
-                "doc_id": pa.array(np.repeat(kept_ids, self.bands), pa.int64()),
+                "band_hash": pa.concat_arrays([band_hash, pa.nulls(n, pa.uint64())]),
+                "doc_id": pa.concat_arrays([doc_id, pa.array(kept_ids, pa.int64())]),
+                "signature": pa.concat_arrays(
+                    [pa.nulls(len(band_hash), pa.binary()),
+                     pa.array([s.tobytes() for s in sig], pa.binary())]
+                ),
             }
         )
 
@@ -281,30 +297,18 @@ def _resolve_strategy(strategy: str, ds, driver_max_docs: int) -> str:
     return "driver" if n <= driver_max_docs else "shuffle"
 
 
-def _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs: dict,
-                        min_est_jaccard: float,
-                        text_col: str, id_col: str):
-    """Second pass: signatures for candidate ids only → est_jaccard filter."""
+def _empty_pairs_pdf():
     import pandas as pd
 
-    if len(pairs_pdf) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "est_jaccard": pd.Series([], dtype="float64")})
-    need = np.unique(
-        np.concatenate([pairs_pdf["doc_a"].to_numpy(), pairs_pdf["doc_b"].to_numpy()])
-    ).astype(np.int64)
-    ids_ref = ray.put(need)
-    sig_rows = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={**hasher_kwargs, "ids_ref": ids_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).to_pandas()  # candidates are rare — this table is tiny
-    sig_map = {
-        int(i): np.frombuffer(s, dtype=np.uint64)
-        for i, s in zip(sig_rows["doc_id"], sig_rows["signature"])
-    }
+    return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                         "doc_b": pd.Series([], dtype="int64"),
+                         "est_jaccard": pd.Series([], dtype="float64")})
+
+
+def _est_filter(pairs_pdf, sig_map: dict, min_est_jaccard: float):
+    """est_jaccard per candidate pair from a {doc_id: signature} map."""
+    import pandas as pd
+
     a = pairs_pdf["doc_a"].to_numpy()
     b = pairs_pdf["doc_b"].to_numpy()
     est = np.array([
@@ -317,51 +321,92 @@ def _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs: dict,
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs: dict,
+                        min_est_jaccard: float,
+                        text_col: str, id_col: str):
+    """Second pass: signatures for candidate ids only → est_jaccard filter."""
+    from webvalid.rayutil import task_callable
+
+    if len(pairs_pdf) == 0:
+        return _empty_pairs_pdf()
+    need = np.unique(
+        np.concatenate([pairs_pdf["doc_a"].to_numpy(), pairs_pdf["doc_b"].to_numpy()])
+    ).astype(np.int64)
+    ids_ref = ray.put(need)
+    sig_rows = ds.select_columns([id_col, text_col]).map_batches(
+        task_callable(MinHashSignatures, **hasher_kwargs, ids_ref=ids_ref),
+        batch_format="pyarrow",
+    ).to_pandas()  # candidates are rare — this table is tiny
+    sig_map = {
+        int(i): np.frombuffer(s, dtype=np.uint64)
+        for i, s in zip(sig_rows["doc_id"], sig_rows["signature"])
+    }
+    return _est_filter(pairs_pdf, sig_map, min_est_jaccard)
+
+
 def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
                            text_col: str = "text", id_col: str = "doc_id",
                            min_est_jaccard: float = 0.5, strategy: str = "auto",
-                           driver_max_docs: int = 2_000_000):
+                           driver_max_docs: int = 1_000_000):
     """Dataset of candidate near-dup pairs (doc_a < doc_b, est_jaccard).
 
-    Band rows carry only (band_hash: u64, doc_id) — 16 B/row. Bucket
-    collisions are found by `strategy`:
-    - "driver": collect band rows (16 B × docs × bands) and lexsort —
-      cheapest below `driver_max_docs` (default 2M docs ≈ 256 MB);
-    - "shuffle": distributed `groupby(band_hash)` — the 100-TB path,
-      nothing corpus-sized ever reaches the driver;
+    Bucket collisions are found by `strategy`:
+    - "driver": one job emits band rows (16 B each) plus one signature
+      row (8·num_perm B) per doc; collect + lexsort — cheapest below
+      `driver_max_docs` (default 1M docs ≈ 0.7 GB);
+    - "shuffle": band rows carry ONLY (band_hash: u64, doc_id);
+      distributed `groupby(band_hash)` finds buckets and signatures for
+      the (rare) candidate ids are recomputed in a targeted second
+      scan — the 100-TB path, nothing corpus-sized ever reaches the
+      driver;
     - "auto" (default): pick by `ds.count()` (parquet metadata — cheap).
-    Both paths then recompute signatures for the (rare) candidate ids
-    in a targeted second scan to attach/filter est_jaccard, so results
-    are strategy-independent.
+    Results are strategy-independent (same hashes both ways).
     """
+    from webvalid.rayutil import task_callable
+
     hasher_kwargs = {
         "num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
         "text_col": text_col, "id_col": id_col,
     }
     strategy = _resolve_strategy(strategy, ds, driver_max_docs)
-    band_rows = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
     import pandas as pd
     import ray.data
 
     if strategy == "driver":
-        pdf = band_rows.to_pandas()
-        bh = pdf["band_hash"].to_numpy()
-        ids = pdf["doc_id"].to_numpy()
+        # one job: band rows + per-doc signature rows together, so the
+        # est-Jaccard filter needs no second corpus scan. Driver bytes ≈
+        # (16·bands + 8·num_perm) per doc, bounded by driver_max_docs.
+        rows = ds.select_columns([id_col, text_col]).map_batches(
+            task_callable(MinHasher, **hasher_kwargs, emit_signatures=True),
+            batch_format="pyarrow",
+        ).to_pandas()
+        is_sig = rows["signature"].notna()
+        band = rows[~is_sig]
+        bh = band["band_hash"].to_numpy().astype(np.uint64)
+        ids = band["doc_id"].to_numpy()
         order = np.argsort(bh, kind="stable")
         a, b, _, _ = _pairs_in_sorted_runs(bh[order], ids[order])
+        if not a:
+            return ray.data.from_pandas(_empty_pairs_pdf())
         pairs_pdf = pd.DataFrame({"doc_a": a, "doc_b": b})
-    else:
-        pairs = band_rows.groupby("band_hash").map_groups(
-            _minhash_bucket_pairs, batch_format="pyarrow"
-        )
-        # candidate pairs are rare (bounded by real near-dups + LSH false
-        # positives) — dedupe the pair list driver-side
-        pairs_pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+        sigs = rows[is_sig]
+        sig_map = {
+            int(i): np.frombuffer(s, dtype=np.uint64)
+            for i, s in zip(sigs["doc_id"], sigs["signature"])
+        }
+        out = _est_filter(pairs_pdf, sig_map, min_est_jaccard)
+        return ray.data.from_pandas(out)
+
+    band_rows = ds.select_columns([id_col, text_col]).map_batches(
+        task_callable(MinHasher, **hasher_kwargs),
+        batch_format="pyarrow",
+    )
+    pairs = band_rows.groupby("band_hash").map_groups(
+        _minhash_bucket_pairs, batch_format="pyarrow"
+    )
+    # candidate pairs are rare (bounded by real near-dups + LSH false
+    # positives) — dedupe the pair list driver-side
+    pairs_pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     out = _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs, min_est_jaccard,
                               text_col, id_col)
     return ray.data.from_pandas(out)
@@ -420,9 +465,10 @@ def fetch_texts_for_ids(ds, ids, text_col: str = "text", id_col: str = "doc_id")
             m = self.wanted[pos] == ids_np
             return t.filter(pa.array(m)).select([id_col, text_col])
 
+    from webvalid.rayutil import task_callable
+
     rows = ds.select_columns([id_col, text_col]).map_batches(
-        Fetch, fn_constructor_kwargs={"ref": ids_ref},
-        batch_format="pyarrow", concurrency=(1, 8),
+        task_callable(Fetch, ref=ids_ref), batch_format="pyarrow",
     ).to_pandas()
     return dict(zip(rows[id_col].astype(int), rows[text_col]))
 
@@ -459,11 +505,15 @@ class SimHasher:
         if kept == 0:
             return keep, np.empty(0, dtype=np.uint64)
         h = hash64(np.array(all_tokens, dtype=object))
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(np.int32)
-        contrib = 2 * bits - 1  # (total_tokens, 64)
+        # unpackbits beats a 64-wide shift matrix by ~2×; float32 sums
+        # are exact (< 2^24 tokens per doc) and dodge uint8 overflow
+        bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                             bitorder="little").astype(np.float32)
         offs = np.concatenate([[0], np.cumsum(counts[keep])[:-1]]).astype(np.int64)
-        acc = np.add.reduceat(contrib, offs, axis=0)  # (kept, 64)
-        out = ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        ones = np.add.reduceat(bits, offs, axis=0)  # (kept, 64) popcounts
+        # sign(2*ones - n_tokens) > 0  ⇔  majority bit set
+        majority = (2.0 * ones) > counts[keep][:, None]
+        out = (majority.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
             axis=1, dtype=np.uint64
         )
         return keep, out
@@ -497,19 +547,68 @@ def _hamming64(a, b) -> int:
     return bin(int(a) ^ int(b)).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (no np.bitwise_count on
+    this numpy)."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    bits = np.unpackbits(np.ascontiguousarray(x).view(np.uint8))
+    return bits.reshape(len(x), 64).sum(axis=1).astype(np.int64)
+
+
+def _simhash_pairs_vectorized(keys_sorted: np.ndarray, ids: np.ndarray,
+                              hashes: np.ndarray, max_hamming: int):
+    """All unique near-dup pairs from equal-key runs, fully vectorized.
+
+    SimHash chunk buckets can be LARGE on template-heavy corpora
+    (similar token distributions collapse to near-identical
+    signatures), so pair enumeration must not be a Python double loop:
+    per run we take triu indices, then dedupe / xor-popcount / filter
+    as array ops over the whole candidate set at once.
+    """
+    import pandas as pd
+
+    boundary = np.flatnonzero(np.diff(keys_sorted) != 0) + 1
+    bounds = np.concatenate([[0], boundary, [len(keys_sorted)]])
+    i_parts, j_parts = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        m = e - s
+        if m < 2:
+            continue
+        ti, tj = np.triu_indices(m, k=1)
+        i_parts.append(ti + s)
+        j_parts.append(tj + s)
+    if not i_parts:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    I = np.concatenate(i_parts)
+    J = np.concatenate(j_parts)
+    ia, ib = ids[I].astype(np.int64), ids[J].astype(np.int64)
+    lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+    keep = lo != hi
+    lo, hi, I, J = lo[keep], hi[keep], I[keep], J[keep]
+    # dedupe pairs seen in multiple chunks before the (pricier) popcount
+    _, first = np.unique(np.stack([lo, hi], axis=1), axis=0, return_index=True)
+    lo, hi, I, J = lo[first], hi[first], I[first], J[first]
+    ham = _popcount64(hashes[I] ^ hashes[J])
+    m = ham <= max_hamming
+    out = pd.DataFrame({"doc_a": lo[m], "doc_b": hi[m], "hamming": ham[m]})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def _simhash_bucket_pairs(max_hamming: int):
     def fn(group: pa.Table) -> pa.Table:
         ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
         hashes = np.asarray(group["simhash"].to_pylist(), dtype=np.uint64)
         keys = np.zeros(len(ids), dtype=np.int8)
-        a, b, ha, hb = _pairs_in_sorted_runs(keys, ids, payload=hashes)
-        dist = [_hamming64(x, y) for x, y in zip(ha, hb)]
-        m = [d <= max_hamming for d in dist]
+        out = _simhash_pairs_vectorized(keys, ids, hashes, max_hamming)
         return pa.table(
             {
-                "doc_a": pa.array([x for x, k in zip(a, m) if k], pa.int64()),
-                "doc_b": pa.array([x for x, k in zip(b, m) if k], pa.int64()),
-                "hamming": pa.array([d for d, k in zip(dist, m) if k], pa.int32()),
+                "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
+                "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
+                "hamming": pa.array(out["hamming"].to_numpy().astype(np.int32),
+                                    pa.int32()),
             }
         )
 
@@ -528,27 +627,22 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
     import pandas as pd
     import ray.data
 
+    from webvalid.rayutil import task_callable
+
     strategy = _resolve_strategy(strategy, ds, driver_max_docs)
     chunk_rows = ds.select_columns([id_col, text_col]).map_batches(
-        SimHasher,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        task_callable(SimHasher, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     if strategy == "driver":
         pdf = chunk_rows.to_pandas()
         key = pdf["chunk_key"].to_numpy()
         ids = pdf["doc_id"].to_numpy()
-        hashes = pdf["simhash"].to_numpy()
+        hashes = pdf["simhash"].to_numpy().astype(np.uint64)
         order = np.argsort(key, kind="stable")
-        a, b, ha, hb = _pairs_in_sorted_runs(key[order], ids[order],
-                                             payload=hashes[order])
-        dist = [_hamming64(x, y) for x, y in zip(ha, hb)]
-        out = pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": dist})
-        out = out[out["hamming"] <= max_hamming]
-        return ray.data.from_pandas(
-            out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-        )
+        out = _simhash_pairs_vectorized(key[order], ids[order], hashes[order],
+                                        max_hamming)
+        return ray.data.from_pandas(out)
     pairs = chunk_rows.groupby("chunk_key").map_groups(
         _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
     )
@@ -660,6 +754,14 @@ def embedding_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
 
     sel = ds.select_columns([id_col, vec_col])
     if method == "block":
+        try:
+            n_vecs = sel.count()
+        except Exception:
+            n_vecs = None
+        if n_vecs is not None:
+            # ~5k vectors per block: fewer tiny tile tasks on small
+            # inputs, bounded O((N/B)^2·d) matmul per task on large ones
+            target_blocks = int(np.clip(n_vecs // 5_000, 1, target_blocks))
         refs = sel.repartition(target_blocks).to_arrow_refs()
         futs = [
             _block_pair_sims.remote(refs[i], refs[j], threshold, id_col, vec_col, i == j)

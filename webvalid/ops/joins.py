@@ -112,16 +112,15 @@ def salted_anti_join(left_ds, right: pa.Table, key: str,
                      num_buckets: int = 32, hot_keys: set | None = None,
                      n_salts: int = 4):
     """Left rows whose `key` is absent from `right` (referential violations)."""
+    from webvalid.rayutil import task_callable
+
     refs = build_right_buckets(right, key, num_buckets, hot_keys=hot_keys,
                                n_salts=n_salts if hot_keys else 1)
     return left_ds.map_batches(
-        BucketedAntiJoin,
-        fn_constructor_kwargs={
-            "bucket_refs": refs, "key": key, "num_buckets": num_buckets,
-            "n_salts": n_salts if hot_keys else 1,
-        },
+        task_callable(BucketedAntiJoin, bucket_refs=refs, key=key,
+                      num_buckets=num_buckets,
+                      n_salts=n_salts if hot_keys else 1),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
 
@@ -173,14 +172,13 @@ def salted_inner_join(left_ds, right: pa.Table, key: str,
                       num_buckets: int = 32, hot_keys: set | None = None,
                       n_salts: int = 4):
     """Inner join left_ds ⋈ right on `key`, bucketed + hot-key salted."""
+    from webvalid.rayutil import task_callable
+
     refs = build_right_buckets(right, key, num_buckets, hot_keys=hot_keys,
                                n_salts=n_salts if hot_keys else 1)
     return left_ds.map_batches(
-        BucketedInnerJoin,
-        fn_constructor_kwargs={
-            "bucket_refs": refs, "key": key, "num_buckets": num_buckets,
-            "n_salts": n_salts if hot_keys else 1,
-        },
+        task_callable(BucketedInnerJoin, bucket_refs=refs, key=key,
+                      num_buckets=num_buckets,
+                      n_salts=n_salts if hot_keys else 1),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )

@@ -59,28 +59,36 @@ class BruteForceScorer:
         )
 
 
-def _topk_reducer(k: int):
-    def fn(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        df = df.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+def _reduce_topk(partials_ds, k: int):
+    """Driver-side final top-k per query over the tiny partial table
+    (#blocks × #queries × k rows) — no sort shuffle."""
+    import pandas as pd
+    import ray.data
 
-    return fn
+    pdf = partials_ds.to_pandas()
+    out = (
+        pdf.sort_values(["cosine", "vec_id"], ascending=[False, True])
+        .groupby("query_id", as_index=False, sort=True)
+        .head(k)
+        .sort_values(["query_id", "cosine", "vec_id"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)
 
 
 def brute_force_topk(ds, query_ids, query_matrix, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding"):
     """Top-k cosine neighbors per query vector. Ties broken by vec_id asc."""
+    from webvalid.rayutil import task_callable
+
     queries_ref = ray.put((np.asarray(query_ids), np.asarray(query_matrix)))
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        BruteForceScorer,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref, "k": k, "id_col": id_col, "vec_col": vec_col,
-        },
+        task_callable(BruteForceScorer, queries_ref=queries_ref, k=k,
+                      id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
-    return partials.groupby("query_id").map_groups(_topk_reducer(k), batch_format="pyarrow")
+    return _reduce_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -155,15 +163,14 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, nlist: int = 16,
         min(1.0, sample_size / max(1, ds.count())), seed=seed
     ).to_pandas()
     centroids = fit_centroids(np.array(sample[vec_col].to_list()), nlist, seed=seed)
+    from webvalid.rayutil import task_callable
+
     queries_ref = ray.put((np.asarray(query_ids), np.asarray(query_matrix)))
     centroids_ref = ray.put(centroids)
     partials = ds.select_columns([id_col, vec_col]).map_batches(
-        IVFScorer,
-        fn_constructor_kwargs={
-            "queries_ref": queries_ref, "centroids_ref": centroids_ref,
-            "k": k, "nprobe": nprobe, "id_col": id_col, "vec_col": vec_col,
-        },
+        task_callable(IVFScorer, queries_ref=queries_ref,
+                      centroids_ref=centroids_ref, k=k, nprobe=nprobe,
+                      id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
-    return partials.groupby("query_id").map_groups(_topk_reducer(k), batch_format="pyarrow")
+    return _reduce_topk(partials, k)
