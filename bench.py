@@ -34,11 +34,15 @@ BENCH_QUERIES = [
     "pricing_summary_lineitem",
     "uniqueness_events_user",
     "orders_by_nation",
+    "salted_join_orders_customer",
     "histogram_lang_documents",
     "dedup_exact_documents",
     "dedup_minhash_documents",
+    "dedup_simhash_documents",
+    "embedding_near_dups",
     "similarity_topk_embeddings",
     "text_stats_documents",
+    "sliding_2h_hourly_events",
     "cdcstream_segments_events",
 ]
 
@@ -166,6 +170,14 @@ def run_bench() -> dict:
     return result
 
 
+def _steal_jiffies() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=N vs 4N on identical input.
 
@@ -173,20 +185,41 @@ def run_scaling() -> dict:
     Note the 4N level equals the machine's core count, so that leg also
     hosts the Ray driver/raylet/object-store threads — a structural
     handicap a real 4N-node cluster doesn't have.
+
+    The sandbox VM is shared: hypervisor CPU steal inflates individual
+    legs 2-4x in bursts. Each leg therefore records the steal observed
+    during its window and retries (keeping the fastest attempt) when
+    more than ~half a core-equivalent was stolen on average.
     """
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(lo_n * 4)))
+    attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2"))
 
-    def run_at(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        s0 = _steal_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        res = json.loads(out.strip().splitlines()[-1])
+        res["steal_cores_avg"] = round(
+            (_steal_jiffies() - s0) / 100.0 / max(res["value"], 1e-9), 2
+        )
+        return res
+
+    def run_at(ncpu: int) -> dict:
+        best = None
+        for _ in range(max(1, attempts)):
+            res = run_once(ncpu)
+            if best is None or res["value"] < best["value"]:
+                best = res
+            if res["steal_cores_avg"] < 0.5:
+                break  # quiet window — trust the measurement
+        return best
 
     # warm-up run so the fixture exists and the page cache is hot
-    _ = run_at(lo_n)
+    _ = run_once(lo_n)
     lo = run_at(lo_n)
     hi = run_at(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
@@ -201,6 +234,8 @@ def run_scaling() -> dict:
         f"sec_{hi_n}": t_hi,
         f"rows_per_sec_{lo_n}": lo["rows_per_sec"],
         f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
+        f"steal_cores_{lo_n}": lo["steal_cores_avg"],
+        f"steal_cores_{hi_n}": hi["steal_cores_avg"],
         "sf": lo["sf"],
         "rows": lo["rows"],
     }

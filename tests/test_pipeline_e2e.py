@@ -294,6 +294,28 @@ def test_tree_reduce_merge_matches_flat(ray_session, fixture_info, tmp_path_fact
     assert fd == td
 
 
+def test_chi2_global_reference_flags_planted_drift(
+    ray_session, fixture_info, tmp_path_factory
+):
+    """chi2_reference="global" (each partition vs the pooled rest) must
+    also flag the planted drift partition."""
+    from webvalid.pipeline import run_validation
+
+    out = tmp_path_factory.mktemp("chi2g_out")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"],
+                      chi2_reference="global")
+    res = run_validation(
+        fixture_info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+    )
+    v = res["verdicts"]
+    chi = v[(v["check"] == "drift_chi2") & (v["column"] == "lang")]
+    assert chi["detail"].str.startswith("global").all()
+    failed = set(chi[~chi["pass"]]["partition_id"])
+    assert fixture_info["drift_partition"] in failed
+
+
 def test_output_files_written(run_result):
     out = run_result["out_dir"]
     for name in ("verdicts.parquet", "violations.parquet", "stats.parquet",

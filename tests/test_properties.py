@@ -128,3 +128,109 @@ def test_histogram_merge_equals_concat_block(r1, r2):
     both = [np.concatenate([a, b]) for a, b in zip(c1, c2)]
     merged = merge_histograms(column_histograms(c1), column_histograms(c2))
     assert merged == column_histograms(both)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized dedup kernels vs naive per-doc references
+# ---------------------------------------------------------------------------
+
+texts_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="abcdef ghij", min_size=0, max_size=60),
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts_strategy)
+def test_minhash_batch_kernel_matches_naive(texts):
+    """The batched rolling-hash signature kernel must equal a per-doc
+    naive computation with the same permutations and window hashes."""
+    from webvalid.ops.dedup import MinHasher, _batch_shingle_hashes
+
+    mh = MinHasher(num_perm=16, bands=4, shingle_k=5)
+    keep, sig = mh.signatures(texts)
+    kept = 0
+    for i, t in enumerate(texts):
+        counts, h = _batch_shingle_hashes([t], 5)
+        if counts[0] == 0:
+            assert not keep[i]
+            continue
+        assert keep[i]
+        with np.errstate(over="ignore"):
+            vals = mh.a[:, None] * h[None, :] + mh.b[:, None]
+        naive = vals.min(axis=1)
+        assert (sig[kept] == naive).all()
+        kept += 1
+    assert kept == int(keep.sum())
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts_strategy)
+def test_simhash_batch_kernel_matches_naive(texts):
+    """The batched unpackbits/reduceat simhash must equal a naive
+    per-doc majority-bit computation over the same token hashes."""
+    import re
+
+    from webvalid.ops.dedup import SimHasher
+    from webvalid.sketches import hash64
+
+    token_re = re.compile(r"\w+", re.UNICODE)
+    sh = SimHasher()
+    keep, out = sh.simhashes(texts)
+    kept = 0
+    for i, t in enumerate(texts):
+        toks = token_re.findall(t.lower()) if t else []
+        if not toks:
+            assert not keep[i]
+            continue
+        assert keep[i]
+        h = hash64(np.array(toks, dtype=object))
+        naive = 0
+        for bit in range(64):
+            ones = int(((h >> np.uint64(bit)) & np.uint64(1)).sum())
+            if 2 * ones > len(toks):
+                naive |= 1 << bit
+        assert int(out[kept]) == naive
+        kept += 1
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=0, max_size=50))
+def test_popcount64_matches_python(vals):
+    from webvalid.ops.dedup import _popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    got = _popcount64(arr)
+    assert list(got) == [bin(v).count("1") for v in vals]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_minhash_est_jaccard_tracks_exact(seed):
+    """est_jaccard ≈ exact shingle-set Jaccard (within LSH noise) for a
+    pair of overlapping documents."""
+    from webvalid.ops.dedup import MinHasher, _batch_shingle_hashes
+
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    base = " ".join(rng.choice(words, size=60))
+    mutated = base.split(" ")
+    for i in rng.choice(60, size=6, replace=False):
+        mutated[i] = "OMEGA"
+    other = " ".join(mutated)
+    mh = MinHasher(num_perm=128, bands=8)
+    keep, sig = mh.signatures([base, other])
+    assert keep.all()
+    est = float((sig[0] == sig[1]).mean())
+
+    def shingle_set(t):
+        _, h = _batch_shingle_hashes([t], 5)
+        return set(h.tolist())
+
+    sa, sb = shingle_set(base), shingle_set(other)
+    exact = len(sa & sb) / len(sa | sb)
+    assert abs(est - exact) < 0.2  # 128 permutations → σ ≈ 0.044

@@ -82,6 +82,10 @@ class CheckConfig:
     drift_coefficient: float = 3.0
     min_change_degree: float = 0.1
     chi2_alpha: float = 1e-3
+    # "consecutive": each partition vs its predecessor (fast drifts);
+    # "global": each partition vs the pooled rest of the run (catches
+    # slow drifts a per-step test never sees)
+    chi2_reference: str = "consecutive"
     ks_alpha: float = 1e-3
     # uniqueness pass-1 route: below this row count, per-batch uint64
     # key-hash blobs are sorted in bucketed tasks (8 B/row of transient

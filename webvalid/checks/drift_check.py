@@ -202,8 +202,26 @@ def drift_fold(merged_states: list[dict], cfg: CheckConfig,
             )
         )
 
-    # chi-squared homogeneity between consecutive partitions, per column.
+    # chi-squared homogeneity per column: vs previous partition
+    # (default) or vs the pooled rest of the run (cfg.chi2_reference ==
+    # "global" — catches slow drifts the per-step test never sees).
     for ci, cname in enumerate(cfg.drift_columns):
+        if cfg.chi2_reference == "global":
+            totals: dict = {}
+            for s in states:
+                for v, c in s["value_counts"][ci].items():
+                    totals[v] = totals.get(v, 0) + c
+            for pid, s in zip(pids, states):
+                cur = s["value_counts"][ci]
+                rest = {v: totals.get(v, 0) - cur.get(v, 0) for v in totals}
+                c1, c2 = _aligned_counts(rest, cur)
+                stat, df, p = chi2_two_sample(c1, c2)
+                ok = not (p == p and p < cfg.chi2_alpha)  # NaN p → pass
+                verdicts.append(
+                    verdict_row(pid, "drift_chi2", cname, ok, p,
+                                f"global,stat={stat:.3f},df={df}")
+                )
+            continue
         prev = None
         for pid, s in zip(pids, states):
             cur = s["value_counts"][ci]

@@ -240,7 +240,8 @@ def _filter_kind(ds, kind: str):
     )
 
 
-def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge) -> list[dict]:
+def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge,
+                       tree: bool = False) -> list[dict]:
     """Merge pickled mergeable states by key WITHOUT a shuffle.
 
     States are associative/commutative, so: one distributed map_batches
@@ -248,9 +249,9 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge) -> lis
     fan-out), then the survivors — O(#keys × #blocks-touching-key),
     small because batches cover contiguous partitions — are merged to
     completion on the driver. This outperforms Ray's sort-based
-    groupby by orders of magnitude for sketch-sized state tables; for
-    key spaces too large for a driver finish, chain more local-merge
-    rounds with `repartition` between them (tree reduce).
+    groupby by orders of magnitude for sketch-sized state tables.
+    `tree=True` adds a coalescing repartition + second local round so
+    the driver finish is O(coalesced blocks × keys) for wide fan-ins.
     """
 
     def local(t: pa.Table) -> pa.Table:
@@ -272,9 +273,15 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge) -> lis
         cols["state"] = pa.array([pickle.dumps(acc[k]) for k in keys], pa.binary())
         return pa.table(cols)
 
-    reduced = ds.select_columns(list(key_cols) + ["state"]).map_batches(
+    reduced_ds = ds.select_columns(list(key_cols) + ["state"]).map_batches(
         local, batch_format="pyarrow"
-    ).take_all()
+    )
+    if tree:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        reduced_ds = reduced_ds.repartition(max(2, n_cpus // 2)).map_batches(
+            local, batch_format="pyarrow"
+        )
+    reduced = reduced_ds.take_all()
     final: dict = {}
     for row in reduced:
         k = tuple(row[c] for c in key_cols)
