@@ -88,7 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary_lineitem": q.pricing_summary_lineitem,
         "orders_by_nation": q.orders_by_nation,
         "events_type_by_day": q.events_type_by_day,
+        "events_type_by_day_jsonl": q.events_type_by_day_jsonl,
         "distinct_exact_part_brand": q.distinct_exact_part_brand,
+        "avg_value_by_event_type": q.avg_value_by_event_type,
+        "props_k_by_type_events": q.props_k_by_type_events,
+        # rank/window + as-of join operator families
+        "top_orders_per_customer": q.top_orders_per_customer,
+        "asof_clicks_purchases_events": q.asof_clicks_purchases_events,
         # event-time windows (windows-as-data; Ray has no native windows)
         "tumbling_hourly_events": q.tumbling_hourly_events,
         "sliding_2h_hourly_events": q.sliding_2h_hourly_events,
@@ -228,6 +234,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "events_type_by_day_jsonl": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "avg_value_by_event_type": """
+            SELECT event_type,
+                   ROUND(AVG(value), 4) AS avg_value,
+                   ROUND(STDDEV_POP(value), 4) AS std_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "props_k_by_type_events": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS BIGINT) AS rn
+                FROM orders
+            ) WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "asof_clicks_purchases_events": """
+            SELECT l.event_id AS click_id, epoch_us(l.ts) AS ts_us, l.user_id,
+                   r.event_id AS purchase_id, r.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY click_id
         """,
         "dedup_exact_documents": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper, COUNT(*) AS cnt

@@ -244,3 +244,58 @@ def test_multimodal_decode_and_frames(ray_session):
     fr = sample_frames(ds, concurrency=1).to_pandas()
     assert set(fr["url"]) == {"a", "c"}  # null payload skipped
     assert (fr[fr["url"] == "a"]["frame_idx"] % 4 == 0).all()
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """asof_join_broadcast == a single global pandas merge_asof."""
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast
+
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({
+        "lid": np.arange(200),
+        "ts": rng.integers(0, 10_000, size=200),
+        "uid": rng.integers(0, 8, size=200),
+    })
+    right = pd.DataFrame({
+        "ts": np.sort(rng.integers(0, 10_000, size=50)),
+        "uid": rng.integers(0, 8, size=50),
+        "rid": np.arange(50),
+    })
+    got = asof_join_broadcast(
+        ray.data.from_pandas(left.copy()), right, on="ts", by="uid"
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"), right.sort_values("ts"),
+        on="ts", by="uid", direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert got["rid"].fillna(-1).tolist() == exp["rid"].fillna(-1).tolist()
+    # at least one unmatched (null) and one matched row in the fixture
+    assert got["rid"].isna().any() and got["rid"].notna().any()
+
+
+def test_top_n_per_key_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.rank import top_n_per_key
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, size=500),
+        "v": rng.integers(0, 50, size=500),  # ties guaranteed
+        "id": np.arange(500),
+    })
+    got = top_n_per_key(ray.data.from_pandas(df.copy()), key="k",
+                        order_col="v", n=3, tiebreak="id")
+    exp = (
+        df.sort_values(["v", "id"], ascending=[False, True], kind="mergesort")
+        .groupby("k", sort=False).head(3)
+        .sort_values(["k", "v", "id"], ascending=[True, False, True],
+                     kind="mergesort").reset_index(drop=True)
+    )
+    assert got[["k", "v", "id"]].values.tolist() == exp[["k", "v", "id"]].values.tolist()
+    assert (got.groupby("k")["rn"].max() <= 3).all()
+    assert (got.groupby("k")["rn"].min() == 1).all()

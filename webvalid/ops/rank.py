@@ -1,0 +1,48 @@
+"""Per-key top-N (rank/window family): the deterministic core of
+stratified dataset curation — "keep the N best documents per bucket".
+
+Ray Data has no window functions; this is the standard two-phase
+decomposition: each batch keeps its local top-N per key (pandas
+sort + groupby.head, C-implemented), the driver combines the partials
+and takes the final top-N. Partial and final sizes are O(#keys · N) —
+the size of the RESULT, so nothing larger than the answer ever moves.
+Ties are broken by an explicit `tiebreak` column so results are
+deterministic and SQL-oracle-matchable (ROW_NUMBER ... ORDER BY
+order_col DESC, tiebreak ASC).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _local_topn(key: str, order_col: str, tiebreak: str, n: int):
+    def fn(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values([order_col, tiebreak], ascending=[False, True],
+                            kind="mergesort")
+        out = df.groupby(key, sort=False).head(n)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return fn
+
+
+def top_n_per_key(ds, key: str, order_col: str, n: int,
+                  tiebreak: str, rank_col: str = "rn") -> pd.DataFrame:
+    """Top `n` rows per `key` by `order_col` DESC (ties: `tiebreak`
+    ASC), with a 1-based `rank_col`. Returns a pandas DataFrame sorted
+    by (key, rank)."""
+    partials = ds.map_batches(
+        _local_topn(key, order_col, tiebreak, n), batch_format="pyarrow"
+    ).to_pandas()
+    final = (
+        partials.sort_values([order_col, tiebreak], ascending=[False, True],
+                             kind="mergesort")
+        .groupby(key, sort=False)
+        .head(n)
+    )
+    final = final.sort_values([key, order_col, tiebreak],
+                              ascending=[True, False, True], kind="mergesort")
+    final[rank_col] = final.groupby(key, sort=False).cumcount() + 1
+    return final.reset_index(drop=True)

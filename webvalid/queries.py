@@ -12,6 +12,7 @@ Ray is initialised by the caller; nothing here calls ray.init().
 from __future__ import annotations
 
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -339,6 +340,123 @@ def salted_join_orders_customer(sf_dir: str):
     out = twophase_agg(joined.select_columns(["c_mktsegment"]), ["c_mktsegment"],
                        {"n_orders": ("c_mktsegment", "count")})
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def asof_clicks_purchases_events(sf_dir: str):
+    """As-of join: each click matched to the user's most recent
+    purchase at or before it (ops/asof.py — pandas merge_asof per batch
+    against a broadcast, pre-filtered right side)."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.asof import asof_join_broadcast
+
+    right = pq.read_table(
+        _t(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type", "value"],
+        filters=[("event_type", "=", "purchase")],
+    ).to_pandas()
+    right = right[["ts", "user_id", "event_id", "value"]].rename(
+        columns={"event_id": "purchase_id", "value": "purchase_value"}
+    )
+
+    def clicks_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "click")).drop_columns(["event_type"])
+
+    left = _read(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type"]).map_batches(
+        clicks_only, batch_format="pyarrow"
+    )
+    out = asof_join_broadcast(left, right, on="ts", by="user_id").to_pandas()
+    out = out.rename(columns={"event_id": "click_id", "ts": "ts_us"})
+    return out[["click_id", "ts_us", "user_id", "purchase_id", "purchase_value"]] \
+        .sort_values("click_id").reset_index(drop=True)
+
+
+def top_orders_per_customer(sf_dir: str, n: int = 3):
+    """Per-key top-N (rank/window family, ops/rank.py): each customer's
+    3 priciest orders, rank column included."""
+    from webvalid.ops.rank import top_n_per_key
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return top_n_per_key(ds, key="o_custkey", order_col="o_totalprice",
+                         n=n, tiebreak="o_orderkey")
+
+
+def avg_value_by_event_type(sf_dir: str):
+    """Mean + population stddev via sum/sumsq/count partials (exact
+    two-phase; floats rounded to 4 dp on both sides of the oracle)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["_v2"] = df["value"] * df["value"]
+        out = df.groupby("event_type", as_index=False).agg(
+            s=("value", "sum"), s2=("_v2", "sum"), n=("value", "count")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    agg = parts.groupby("event_type", as_index=False).agg(
+        s=("s", "sum"), s2=("s2", "sum"), n=("n", "sum")
+    )
+    agg["avg_value"] = (agg["s"] / agg["n"]).round(4)
+    agg["std_value"] = np.sqrt(
+        np.maximum(agg["s2"] / agg["n"] - (agg["s"] / agg["n"]) ** 2, 0.0)
+    ).round(4)
+    agg["n_events"] = agg["n"]
+    out = agg[["event_type", "avg_value", "std_value", "n_events"]]
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def props_k_by_type_events(sf_dir: str):
+    """JSON field extraction (scalar-function family): pull the integer
+    `k` from the props JSON column with a vectorized Arrow regex and
+    aggregate per event type."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+    out = twophase_agg(ds, ["event_type"],
+                       {"sum_k": ("k", "sum"), "n_events": ("k", "count")})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_type_by_day_jsonl(sf_dir: str):
+    """S1 source-format coverage: the events table round-tripped
+    through JSONL (`ray.data.read_json`) and aggregated — must equal
+    the Parquet-sourced SQL oracle exactly."""
+    import hashlib
+    import pyarrow.parquet as pq
+
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "webvalid_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    marker = os.path.join(cache, "DONE")
+    if not os.path.exists(marker):
+        os.makedirs(cache, exist_ok=True)
+        t = pq.read_table(_t(sf_dir, "events"), columns=["ts", "event_type"])
+        df = t.to_pandas()
+        df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        df.to_json(os.path.join(cache, "events.jsonl"), orient="records",
+                   lines=True, date_format="iso")
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.utf8_slice_codeunits(t["ts"], 0, 10)
+        return pa.table({"day": day, "event_type": t["event_type"]})
+
+    ds = ray.data.read_json(os.path.join(cache, "events.jsonl")).map_batches(
+        add_day, batch_format="pyarrow"
+    )
+    out = twophase_agg(ds, ["day", "event_type"], {"cnt": ("event_type", "count")})
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
 
 
 def distinct_exact_part_brand(sf_dir: str):
