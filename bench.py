@@ -61,7 +61,9 @@ def _bench_fixture(sf: float) -> dict:
 
     n_rows = max(20_000, int(200_000_000 * sf))
     block = 10_000
-    cache = f"/tmp/webvalid_bench/v3-sf{sf}"
+    # v4: text-parity pair fingerprints changed scheme (hash64(url) XOR
+    # md5-prefix) — older cached fixtures would systemically fail parity
+    cache = f"/tmp/webvalid_bench/v4-sf{sf}"
     marker = os.path.join(cache, "DONE.json")
     if os.path.exists(marker):
         with open(marker) as f:

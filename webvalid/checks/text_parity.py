@@ -6,12 +6,17 @@ reference fixture's extracted text, via md5 fingerprints.
 Broadcast representation matters at scale: a Python dict of
 url → md5 would be re-deserialized by every actor (seconds each, and
 O(fixture) heap per actor). Instead the driver ships two SORTED uint64
-numpy arrays — hash64(url) and hash64(url + ":" + md5) — which
-`ray.get` maps zero-copy from the object store; membership is a
-vectorized binary search (np.searchsorted). A row violates when its
-url is in the fixture but its (url, md5(text)) pair hash is not.
-Collision risk is the usual 64-bit birthday bound (~1e-7 at 10^6
-fixture rows) and only ever *hides* a violation, never invents one.
+numpy arrays — hash64(url) and the pair fingerprint
+`hash64(url) XOR first8bytes(md5(text))` — which `ray.get` maps
+zero-copy from the object store; membership is a vectorized binary
+search (np.searchsorted). A row violates when its url is in the
+fixture but its pair fingerprint is not. The XOR form keeps the
+per-row scan work at exactly one C md5 over the text (no hex
+formatting, no pair-string building, no per-object siphash — together
+those cost more than the md5 itself) while the url side reuses one
+vectorized hash64 call shared with the uniqueness blob. Collision risk
+is the usual 64-bit birthday bound (~1e-7 at 10^6 fixture rows) and
+only ever *hides* a violation, never invents one.
 
 Also emits row-level warc_ts window violations in the same pass (the
 row-scan twin of the per-partition ts_range verdict in column_stats).
@@ -29,11 +34,20 @@ import ray
 from webvalid.sketches import hash64
 
 
+def pair_fingerprints(url_hashes: np.ndarray, md5_hex: list) -> np.ndarray:
+    """hash64(url) XOR first-8-bytes(md5(text)) per row (uint64)."""
+    if len(md5_hex) == 0:
+        return np.empty(0, dtype=np.uint64)
+    text8 = np.frombuffer(
+        b"".join(bytes.fromhex(m)[:8] for m in md5_hex), dtype=np.uint64
+    )
+    return url_hashes ^ text8
+
+
 def build_expected_hashes(urls: list, md5s: list) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted url hashes, sorted url:md5 pair hashes) for broadcasting."""
-    url_arr = np.asarray(urls, dtype=object)
-    pair_arr = np.asarray([f"{u}:{m}" for u, m in zip(urls, md5s)], dtype=object)
-    return np.sort(hash64(url_arr)), np.sort(hash64(pair_arr))
+    """(sorted url hashes, sorted pair fingerprints) for broadcasting."""
+    uh = hash64(np.asarray(urls, dtype=object)) if urls else np.empty(0, np.uint64)
+    return np.sort(uh), np.sort(pair_fingerprints(uh, md5s))
 
 
 def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
@@ -44,6 +58,35 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[idx] == values
 
 
+def _md5_digest8_per_row(col) -> tuple[np.ndarray, np.ndarray]:
+    """(valid_mask, uint64 md5-prefix per row) straight from the Arrow
+    string buffers — md5 runs over each row's UTF-8 bytes via
+    memoryview slices, so no Python string is ever materialized
+    (`to_pylist` alone costs as much as the hashing for ~250 B rows).
+    Identical to md5(row.encode()) since Arrow strings ARE UTF-8.
+    """
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    if n == 0 or not valid.any():
+        return valid, np.zeros(n, dtype=np.uint64)
+    dt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=dt, count=n + 1,
+                         offset=col.offset * dt().itemsize).tolist()
+    mv = memoryview(bufs[2])
+    _md5 = hashlib.md5
+    zero8 = b"\x00" * 8
+    out = b"".join(
+        _md5(mv[offs[i]: offs[i + 1]]).digest()[:8] if valid[i] else zero8
+        for i in range(n)
+    )
+    return valid, np.frombuffer(out, dtype=np.uint64)
+
+
 class TextParityBatcher:
     """Actor-pool callable: text md5 mismatches + ts-window violations."""
 
@@ -51,36 +94,37 @@ class TextParityBatcher:
         self.url_hashes, self.pair_hashes = ray.get(expected_ref)  # zero-copy
         self.ts_range = ts_range
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        texts = batch["text"].to_pylist()
+    def __call__(self, batch: pa.Table, url_hashes: np.ndarray | None = None) -> pa.Table:
         pids = batch["partition_id"].to_numpy()
         out_pid: list[int] = []
         out_check: list[str] = []
         out_url: list[str] = []
         out_reason: list[str] = []
 
-        has_text = np.array([t is not None for t in texts], dtype=bool)
+        def url_at(i: int) -> str:
+            # Python url strings only for the (rare) violation rows
+            return batch["url"][int(i)].as_py()
+
+        # pair check first — it must run for every non-null row anyway;
+        # the url-membership search then runs only on the (rare) pair
+        # misses, halving the binary-search work on the big arrays.
+        # `url_hashes` lets the caller share one vectorized hash64 of
+        # the url column across checks (CombinedPartial does).
+        has_text, text8 = _md5_digest8_per_row(batch["text"])
         if has_text.any():
-            # pair check first — it must run for every non-null row anyway;
-            # the url-membership search then runs only on the (rare) pair
-            # misses, halving the binary-search work on the big arrays
-            pair_strs = np.asarray(
-                [
-                    f"{u}:{hashlib.md5(t.encode()).hexdigest()}" if k else ""
-                    for u, t, k in zip(urls, texts, has_text)
-                ],
-                dtype=object,
+            uh = (
+                url_hashes if url_hashes is not None
+                else hash64(batch["url"].to_numpy(zero_copy_only=False))
             )
-            pair_ok = _in_sorted(hash64(pair_strs), self.pair_hashes)
+            ph = uh ^ text8
+            pair_ok = _in_sorted(ph, self.pair_hashes)
             suspects = np.flatnonzero(has_text & ~pair_ok)
             if len(suspects):
-                url_h = hash64(np.asarray(urls, dtype=object)[suspects])
-                known = _in_sorted(url_h, self.url_hashes)
+                known = _in_sorted(uh[suspects], self.url_hashes)
                 for i in suspects[known]:
                     out_pid.append(int(pids[i]))
                     out_check.append("text_parity")
-                    out_url.append(urls[int(i)])
+                    out_url.append(url_at(i))
                     out_reason.append("text md5 differs from fixture")
 
         if self.ts_range is not None:
@@ -90,7 +134,7 @@ class TextParityBatcher:
             for i in bad:
                 out_pid.append(int(pids[i]))
                 out_check.append("ts_window")
-                out_url.append(urls[int(i)])
+                out_url.append(url_at(i))
                 out_reason.append(f"warc_ts {int(ts[i])} outside [{lo},{hi})")
         return pa.table(
             {

@@ -186,13 +186,11 @@ def _gen_file(file_idx: int, part_lo: int, n_parts_total: int, path: str,
         )
     writer.close()
 
+    from webvalid.checks.text_parity import pair_fingerprints
     from webvalid.sketches import hash64
 
     url_hash = hash64(np.array(exp_urls, dtype=object)) if exp_urls else np.empty(0, np.uint64)
-    pair_hash = (
-        hash64(np.array([f"{u}:{m}" for u, m in zip(exp_urls, exp_md5)], dtype=object))
-        if exp_urls else np.empty(0, np.uint64)
-    )
+    pair_hash = pair_fingerprints(url_hash, exp_md5)
     return {
         "path": path,
         "dup_rows": dup_rows,
@@ -320,6 +318,7 @@ def generate_webpages(
         "pair_hash": pa.array(pair_hash, pa.uint64()),
     }
     if text_hash_strings:
+        from webvalid.checks.text_parity import pair_fingerprints
         from webvalid.sketches import hash64
 
         seen: dict[str, str] = {}
@@ -328,23 +327,15 @@ def generate_webpages(
                 seen[u] = m
         th_urls = sorted(seen)
         th_md5 = [seen[u] for u in th_urls]
+        uh = hash64(np.array(th_urls, dtype=object)) if th_urls else np.empty(0, np.uint64)
         # string columns sorted by url; hash columns sorted by hash value —
         # consumers use one family or the other, never positionally both
         cols = {
             "url": pa.array(th_urls, pa.string()),
             "text_md5": pa.array(th_md5, pa.string()),
-            "url_hash": pa.array(
-                np.sort(hash64(np.array(th_urls, dtype=object))), pa.uint64()
-            ),
+            "url_hash": pa.array(np.sort(uh), pa.uint64()),
             "pair_hash": pa.array(
-                np.sort(
-                    hash64(
-                        np.array(
-                            [f"{u}:{m}" for u, m in zip(th_urls, th_md5)], dtype=object
-                        )
-                    )
-                ),
-                pa.uint64(),
+                np.sort(pair_fingerprints(uh, th_md5)), pa.uint64()
             ),
         }
     pq.write_table(pa.table(cols), os.path.join(out_dir, "text_hashes.parquet"))

@@ -186,12 +186,14 @@ class CombinedPartial:
 
         batch = self.prep(batch)
         # per-batch url-hash blob: feeds the shuffle-free uniqueness
-        # pass 1 straight from the checkpointed partials
+        # pass 1 straight from the checkpointed partials; the same
+        # vectorized hash64 is shared with the text-parity fingerprint
         urls = batch["url"].to_numpy(zero_copy_only=False)
+        url_hashes = hash64(urls)
         hash_tab = pa.table(
             {
                 "partition_id": pa.array([int(batch["partition_id"][0].as_py())], pa.int64()),
-                "state": pa.array([hash64(urls).tobytes()], pa.binary()),
+                "state": pa.array([url_hashes.tobytes()], pa.binary()),
             }
         )
         parts = [
@@ -203,7 +205,7 @@ class CombinedPartial:
         if self.ref is not None:
             vio_parts.append(self.ref(batch))
         if self.parity is not None:
-            vio_parts.append(self.parity(batch))
+            vio_parts.append(self.parity(batch, url_hashes=url_hashes))
         for v in vio_parts:
             viocount, capped = _count_and_cap_violations(v, self.cap)
             parts.append(_to_union("viocount", viocount))
@@ -274,12 +276,12 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge,
         return pa.table(cols)
 
     reduced_ds = ds.select_columns(list(key_cols) + ["state"]).map_batches(
-        local, batch_format="pyarrow"
+        local, batch_format="pyarrow", batch_size=65536
     )
     if tree:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         reduced_ds = reduced_ds.repartition(max(2, n_cpus // 2)).map_batches(
-            local, batch_format="pyarrow"
+            local, batch_format="pyarrow", batch_size=65536
         )
     reduced = reduced_ds.take_all()
     final: dict = {}
@@ -296,34 +298,41 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge,
     ]
 
 
-def collect_merged_partials(partials_ds, cap: int = 10_000,
-                            tree: bool = False) -> dict:
-    """ONE distributed pass over the union-schema partials: merge stats
-    states by (partition, column), drift states by partition, and
-    violation counts by (partition, check) block-locally; cap violation
-    rows per check per block; pass urlhash rows through; then finish
-    the (now tiny) merges on the driver. Collapses what would be four
-    separate Ray jobs — each with ~1s of launch overhead — into one.
-
-    `tree=True` inserts a coalescing repartition + one more block-local
-    merge round before the driver finish, so the driver touches
-    O(coalesced blocks × keys) rows even when the partial pass produced
-    thousands of blocks (the tree-reduce rung for huge runs).
-    """
+def make_block_reducer(cap: int):
+    """Block-local, IDEMPOTENT reducer over union-schema partial rows:
+    merges stats states by (partition, column), drift states by
+    partition, violation counts by (partition, check); caps violation
+    ROWS per check; passes urlhash rows through. Applying it again to
+    its own output is a no-op-shaped further reduction, so it can run
+    both before checkpointing (bounding checkpoint size under systemic
+    failure) and again at merge time."""
 
     def local(t: pa.Table) -> pa.Table:
-        kinds = t["kind"].to_pylist()
-        pids = t["partition_id"].to_pylist()
-        cols = t["column"].to_pylist()
-        states = t["state"].to_pylist()
-        checks = t["check"].to_pylist()
-        urls = t["url"].to_pylist()
-        reasons = t["reason"].to_pylist()
+        # Violation rows can be O(batch rows) under a systemic failure —
+        # they are split off and capped with Arrow kernels, NEVER walked
+        # row-by-row in Python. Only the small state rows (stats/drift/
+        # viocount: a handful per batch) take the Python merge loop.
+        kind_col = t["kind"]
+        vio = t.filter(pc.equal(kind_col, "violation"))
+        passthrough = [t.filter(pc.equal(kind_col, "urlhash"))]
+        if vio.num_rows:
+            for cname in pc.unique(vio["check"]).to_pylist():
+                sub = vio.filter(pc.equal(vio["check"], cname))
+                # counts stay exact via the viocount rows
+                passthrough.append(sub.slice(0, cap))
+        states_t = t.filter(
+            pc.is_in(kind_col, value_set=pa.array(["stats", "drift", "viocount"]))
+        )
+
+        kinds = states_t["kind"].to_pylist()
+        pids = states_t["partition_id"].to_pylist()
+        cols = states_t["column"].to_pylist()
+        states = states_t["state"].to_pylist()
+        checks = states_t["check"].to_pylist()
 
         stats_acc: dict = {}
         drift_acc: dict = {}
         vio_counts: dict = {}
-        vio_kept: dict = {}
         out_rows = {name: [] for name in UNION_SCHEMA.names}
 
         def emit(kind, pid=None, col=None, state=None, check=None, url=None, reason=None):
@@ -349,16 +358,9 @@ def collect_merged_partials(partials_ds, cap: int = 10_000,
                     merge_drift_state_dicts(drift_acc[pids[i]], s)
                 else:
                     drift_acc[pids[i]] = s
-            elif kind == "viocount":
+            else:  # viocount
                 k = (pids[i], checks[i])
                 vio_counts[k] = vio_counts.get(k, 0) + int.from_bytes(states[i], "little")
-            elif kind == "violation":
-                kept = vio_kept.get(checks[i], 0)
-                if kept < cap:  # counts stay exact via viocount rows
-                    vio_kept[checks[i]] = kept + 1
-                    emit(kind, pids[i], cols[i], states[i], checks[i], urls[i], reasons[i])
-            else:  # urlhash passes through
-                emit(kind, pids[i], cols[i], states[i], checks[i], urls[i], reasons[i])
 
         for (pid, col), st in stats_acc.items():
             emit("stats", pid, col, pickle.dumps(st))
@@ -366,19 +368,43 @@ def collect_merged_partials(partials_ds, cap: int = 10_000,
             emit("drift", pid, None, pickle.dumps(s))
         for (pid, check), c in vio_counts.items():
             emit("viocount", pid, None, int(c).to_bytes(8, "little"), check)
-        return pa.table(
+        merged_states = pa.table(
             {
                 name: pa.array(out_rows[name],
                                UNION_SCHEMA.field(name).type)
                 for name in UNION_SCHEMA.names
             }
         )
+        return pa.concat_tables(
+            [merged_states] + [p for p in passthrough if p.num_rows]
+        )
 
-    reduced = partials_ds.map_batches(local, batch_format="pyarrow")
+    return local
+
+
+def collect_merged_partials(partials_ds, cap: int = 10_000,
+                            tree: bool = False) -> dict:
+    """ONE distributed pass over the union-schema partials: block-local
+    reduce (make_block_reducer), then finish the (now tiny) merges on
+    the driver. Collapses what would be four separate Ray jobs — each
+    with ~1s of launch overhead — into one.
+
+    `tree=True` inserts a coalescing repartition + one more block-local
+    merge round before the driver finish, so the driver touches
+    O(coalesced blocks × keys) rows even when the partial pass produced
+    thousands of blocks (the tree-reduce rung for huge runs).
+    """
+    local = make_block_reducer(cap)
+    # a LARGE batch_size makes Ray coalesce the checkpoint's small
+    # parquet row-group batches before each call — with the default
+    # (1024) or None (reader-native, ~650 rows here) a violation-heavy
+    # merge degrades into tens of thousands of per-call fixed costs
+    reduced = partials_ds.map_batches(local, batch_format="pyarrow",
+                                      batch_size=65536)
     if tree:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         reduced = reduced.repartition(max(2, n_cpus // 2)).map_batches(
-            local, batch_format="pyarrow"
+            local, batch_format="pyarrow", batch_size=65536
         )
     rows = reduced.take_all()
 
@@ -530,10 +556,17 @@ def run_validation(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-        # coalesce the tiny per-batch partial blocks so the checkpoint is
-        # a handful of files, not one file per batch; keep the
-        # materialized result so this run's merge skips re-reading it
-        mat = partials.repartition(max(1, n_cpus // 4)).materialize()
+        # block-local reduce BEFORE checkpointing: states merge, and a
+        # systemic failure (every row violating) is capped here, so the
+        # checkpoint stays O(states + cap·checks), never O(rows); then
+        # coalesce so the checkpoint is a handful of files, not one per
+        # batch. The materialized result lets this run's merge skip
+        # re-reading it.
+        reduced = partials.map_batches(
+            make_block_reducer(cfg.max_violations_per_check),
+            batch_format="pyarrow", batch_size=65536,
+        )
+        mat = reduced.repartition(max(1, n_cpus // 4)).materialize()
         mat.write_parquet(ckpt.data_dir(ckpt_dir, gid))
         fresh_partials.append(mat)
         m = ckpt.commit_group(ckpt_dir, gid, group_files, n_rows, time.time() - t0)
