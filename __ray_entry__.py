@@ -32,7 +32,9 @@ def entry() -> Any:
     from webvalid.pipeline import run_validation
     from webvalid.queries import histogram_lang_documents
 
-    base = os.path.join(tempfile.gettempdir(), "webvalid_entry")
+    # v2: parity fingerprint scheme changed — stale caches would flood
+    # text_parity
+    base = os.path.join(tempfile.gettempdir(), "webvalid_entry_v2")
     fix_dir = os.path.join(base, "fixture")
     out_dir = os.path.join(base, "out")
     # text_hashes.parquet is generated LAST — its presence implies a

@@ -56,14 +56,17 @@ def _sf_from_dir(path: str) -> float:
 
 
 def _bench_fixture(sf: float) -> dict:
-    """Seeded webpages fixture sized to sf, cached across runs."""
+    """Seeded webpages fixture sized to sf (or GRAFT_BENCH_ROWS),
+    cached across runs."""
     from webvalid.gen import generate_webpages
 
-    n_rows = max(20_000, int(200_000_000 * sf))
+    n_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "0")) or max(
+        20_000, int(200_000_000 * sf)
+    )
     block = 10_000
     # v4: text-parity pair fingerprints changed scheme (hash64(url) XOR
     # md5-prefix) — older cached fixtures would systemically fail parity
-    cache = f"/tmp/webvalid_bench/v4-sf{sf}"
+    cache = f"/tmp/webvalid_bench/v4-sf{sf}-r{n_rows}"
     marker = os.path.join(cache, "DONE.json")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -140,7 +143,8 @@ def run_bench() -> dict:
         info["pages_dir"], out_dir, cfg=cfg,
         ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
         files_per_group=1_000_000,  # one group: pure throughput, no ckpt overhead
-        batch_size=4096,
+        # batch_size=None → reader-native batches; explicit slicing to
+        # 4096 cost ~16% of the scan in Ray rebatching overhead
     )
     headline = time.time() - t0
     rows = res["report"]["rows"]
@@ -180,6 +184,35 @@ def _steal_jiffies() -> int:
         return 0
 
 
+def _membw_probe(width: int, iters: int = 40) -> float:
+    """Aggregate memory-copy bandwidth (GB/s) at `width` parallel Ray
+    workers, in a fresh process. Calibrates the HOST's scaling ceiling:
+    a purely bandwidth-bound job cannot scale better than this ratio,
+    whatever the engine does."""
+    code = f"""
+import time, json
+import numpy as np
+import ray
+ray.init(address="local", num_cpus={width}, include_dashboard=False,
+         logging_level="ERROR")
+@ray.remote
+def work(n_iter):
+    a = np.random.default_rng(0).integers(0, 255, size=1 << 24, dtype=np.uint8)
+    t0 = time.time(); s = 0
+    for _ in range(n_iter):
+        b = a.copy(); s += int(b[::4096].sum())
+    return time.time() - t0, s
+futs = [work.remote({iters}) for _ in range({width})]
+res = ray.get(futs)
+wall = max(r[0] for r in res)
+print(json.dumps({{"gbps": round({width} * {iters} * 2 * (1 << 24) / 1e9 / wall, 1)}}))
+ray.shutdown()
+"""
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True).stdout
+    return json.loads(out.strip().splitlines()[-1])["gbps"]
+
+
 def run_scaling() -> dict:
     """Same job, fresh processes, num_cpus=N vs 4N on identical input.
 
@@ -195,10 +228,18 @@ def run_scaling() -> dict:
     """
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(lo_n * 4)))
-    attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "2"))
+    attempts = int(os.environ.get("GRAFT_SCALE_ATTEMPTS", "3"))
+    # the scaling input stays at the bench size: big enough that fixed
+    # overheads amortize (SURVEY §7.6) but small enough that the
+    # fixture + intermediates stay page-cached at the wide leg
+    sf = _sf_from_dir(SF_DIR)
+    scale_rows = os.environ.get(
+        "GRAFT_SCALE_ROWS", str(max(20_000, int(200_000_000 * sf)))
+    )
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
+                   GRAFT_BENCH_ROWS=scale_rows)
         s0 = _steal_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -212,11 +253,15 @@ def run_scaling() -> dict:
 
     def run_at(ncpu: int) -> dict:
         best = None
+        # the quiet-window bar is proportional to the leg's width: 0.25
+        # stolen cores barely dents a 32-wide leg but is 3%+ of an
+        # 8-wide one
+        quiet = max(0.25, 0.03 * ncpu)
         for _ in range(max(1, attempts)):
             res = run_once(ncpu)
             if best is None or res["value"] < best["value"]:
                 best = res
-            if res["steal_cores_avg"] < 0.5:
+            if res["steal_cores_avg"] < quiet:
                 break  # quiet window — trust the measurement
         return best
 
@@ -226,6 +271,12 @@ def run_scaling() -> dict:
     hi = run_at(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
+    # host calibration: what a PURELY memory-bound job would score on
+    # this box at the same two widths (shared-VM DRAM bandwidth
+    # saturates well below 32 workers — see BASELINE.md)
+    bw_lo = _membw_probe(lo_n)
+    bw_hi = _membw_probe(hi_n)
+    ceiling = round((bw_hi / bw_lo) / (hi_n / lo_n), 3)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -238,6 +289,10 @@ def run_scaling() -> dict:
         f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
         f"steal_cores_{lo_n}": lo["steal_cores_avg"],
         f"steal_cores_{hi_n}": hi["steal_cores_avg"],
+        f"membw_gbps_{lo_n}": bw_lo,
+        f"membw_gbps_{hi_n}": bw_hi,
+        "membw_ceiling_efficiency": ceiling,
+        "efficiency_vs_membw_ceiling": round(eff / ceiling, 3) if ceiling else None,
         "sf": lo["sf"],
         "rows": lo["rows"],
     }

@@ -512,10 +512,16 @@ def run_validation(
         schema_names = pq.read_schema(text_hashes).names
         if "url_hash" in schema_names and "pair_hash" in schema_names:
             t = pq.read_table(text_hashes, columns=["url_hash", "pair_hash"])
+
+            def _sorted(a: np.ndarray) -> np.ndarray:
+                # gen writes these pre-sorted; the is-sorted check is
+                # ~70x cheaper than re-sorting 10^7 uint64s serially
+                return a if len(a) < 2 or bool((a[1:] >= a[:-1]).all()) else np.sort(a)
+
             expected_text_ref = ray.put(
                 (
-                    np.sort(t["url_hash"].to_numpy()),
-                    np.sort(t["pair_hash"].to_numpy()),
+                    _sorted(t["url_hash"].to_numpy()),
+                    _sorted(t["pair_hash"].to_numpy()),
                 )
             )
         else:

@@ -637,7 +637,9 @@ def webpages_validation_suite(sf_dir: str):
     from webvalid.gen import TS_HI, TS_LO, generate_webpages
     from webvalid.pipeline import run_validation
 
-    base = os.path.join(tempfile.gettempdir(), "webvalid_query_fixture")
+    # v2: parity fingerprint scheme changed — stale caches would flood
+    # text_parity
+    base = os.path.join(tempfile.gettempdir(), "webvalid_query_fixture_v2")
     marker = os.path.join(base, "text_hashes.parquet")
     if not os.path.exists(marker):
         generate_webpages(base, n_rows=8_000, block_size=800, seed=19)
