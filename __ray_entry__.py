@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events_users": q.sessionize_events_users,
         # bucketed + hot-key-salted hash join (ops/joins.py)
         "salted_join_orders_customer": q.salted_join_orders_customer,
+        # true all-to-all hash join (Ray Dataset.join — both sides huge)
+        "rayjoin_orders_customer": q.rayjoin_orders_customer,
         # dedup family
         "dedup_exact_documents": q.dedup_exact_documents,
         "dedup_minhash_documents": q.dedup_minhash_documents,
@@ -240,6 +242,11 @@ def oracle_sql() -> dict[str, str]:
         "events_type_by_day_jsonl": """
             SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY day, event_type
+        """,
+        "rayjoin_orders_customer": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "avg_value_by_event_type": """
             SELECT event_type,

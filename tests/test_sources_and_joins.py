@@ -108,3 +108,30 @@ def test_salted_inner_join_hot_keys(ray_session):
                             hot_keys={"en"}, n_salts=4).to_pandas()
     assert len(out) == 210  # xx dropped, no duplicate matches from salting
     assert (out[out["key"] == "en"]["name"] == "english").all()
+
+
+def test_ray_native_join_matches_salted(ray_session):
+    """Dataset.join (hash shuffle) == salted bucketed join on the same
+    inputs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.joins import ray_native_inner_join, salted_inner_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 50, size=400), "lv": np.arange(400)})
+    right = pd.DataFrame({"k": np.arange(0, 60, 2), "rv": np.arange(30)})
+    native = ray_native_inner_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right.rename(columns={"k": "rk"})),
+        on="k", right_on="rk", num_partitions=4,
+    ).to_pandas()
+    salted = salted_inner_join(
+        ray.data.from_pandas(left), pa.Table.from_pandas(right), key="k",
+        num_buckets=8,
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["k"], df["lv"], df["rv"]))
+    assert key(native) == key(salted)
+    exp = left.merge(right, on="k")
+    assert len(native) == len(exp)

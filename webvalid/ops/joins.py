@@ -168,6 +168,27 @@ class BucketedInnerJoin:
         return pa.concat_tables(out, promote_options="default")
 
 
+def ray_native_inner_join(left_ds, right_ds, on: str, right_on: str,
+                          num_partitions: int | None = None):
+    """True all-to-all hash join (`ray.data.Dataset.join`, hash-shuffle
+    operator) — the regime where BOTH sides are too large to broadcast
+    or to bucket driver-side, so each must be hash-partitioned across
+    the cluster. For a small right side prefer the broadcast path
+    (searchsorted against a `ray.put` key array) or
+    `salted_inner_join`: on this sandbox the native join costs ~3.5 s
+    where the broadcast join costs ~0.3 s at the same scale, but only
+    the shuffle join's memory is independent of either side's size.
+    """
+    import ray as _ray
+
+    if num_partitions is None:
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    return left_ds.join(
+        right_ds, join_type="inner", num_partitions=num_partitions,
+        on=(on,), right_on=(right_on,),
+    )
+
+
 def salted_inner_join(left_ds, right: pa.Table, key: str,
                       num_buckets: int = 32, hot_keys: set | None = None,
                       n_salts: int = 4):

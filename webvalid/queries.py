@@ -459,6 +459,20 @@ def events_type_by_day_jsonl(sf_dir: str):
     return out.sort_values(["day", "event_type"]).reset_index(drop=True)
 
 
+def rayjoin_orders_customer(sf_dir: str):
+    """Same rollup as salted_join_orders_customer but through the true
+    all-to-all hash join (ops/joins.py:ray_native_inner_join) — the
+    both-sides-huge regime."""
+    from webvalid.ops.joins import ray_native_inner_join
+
+    left = _read(sf_dir, "orders", columns=["o_custkey"])
+    right = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = ray_native_inner_join(left, right, on="o_custkey", right_on="c_custkey")
+    out = twophase_agg(joined.select_columns(["c_mktsegment"]), ["c_mktsegment"],
+                       {"n_orders": ("c_mktsegment", "count")})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def distinct_exact_part_brand(sf_dir: str):
     """Exact distinct count via per-batch unique sets → driver union (A1)."""
 
