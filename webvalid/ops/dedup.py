@@ -230,11 +230,14 @@ class MinHashSignatures(MinHasher):
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         texts = batch[self.text_col].to_pylist()
         if self.wanted is not None and len(ids):
-            pos = np.searchsorted(self.wanted, ids)
-            pos = np.clip(pos, 0, len(self.wanted) - 1)
-            m = self.wanted[pos] == ids
-            ids = ids[m]
-            texts = [t for t, keep in zip(texts, m) if keep]
+            if len(self.wanted) == 0:
+                ids, texts = ids[:0], []
+            else:
+                pos = np.clip(np.searchsorted(self.wanted, ids), 0,
+                              len(self.wanted) - 1)
+                m = self.wanted[pos] == ids
+                ids = ids[m]
+                texts = [t for t, keep in zip(texts, m) if keep]
         keep, sig = self.signatures(texts)
         return pa.table(
             {
@@ -451,6 +454,8 @@ def fetch_texts_for_ids(ds, ids, text_col: str = "text", id_col: str = "doc_id")
     only the matching rows ever leave the workers (never the corpus).
     """
     need = np.unique(np.asarray(list(ids), dtype=np.int64))
+    if len(need) == 0:
+        return {}
     ids_ref = ray.put(need)
 
     class Fetch:

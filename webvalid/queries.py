@@ -389,7 +389,9 @@ def avg_value_by_event_type(sf_dir: str):
         df = t.to_pandas()
         df["_v2"] = df["value"] * df["value"]
         out = df.groupby("event_type", as_index=False).agg(
-            s=("value", "sum"), s2=("_v2", "sum"), n=("value", "count")
+            s=("value", "sum"), s2=("_v2", "sum"),
+            n=("value", "count"),  # non-null, like SQL AVG's denominator
+            n_all=("value", "size"),  # all rows, like SQL COUNT(*)
         )
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -397,13 +399,13 @@ def avg_value_by_event_type(sf_dir: str):
         partial, batch_format="pyarrow"
     ).to_pandas()
     agg = parts.groupby("event_type", as_index=False).agg(
-        s=("s", "sum"), s2=("s2", "sum"), n=("n", "sum")
+        s=("s", "sum"), s2=("s2", "sum"), n=("n", "sum"), n_all=("n_all", "sum")
     )
     agg["avg_value"] = (agg["s"] / agg["n"]).round(4)
     agg["std_value"] = np.sqrt(
         np.maximum(agg["s2"] / agg["n"] - (agg["s"] / agg["n"]) ** 2, 0.0)
     ).round(4)
-    agg["n_events"] = agg["n"]
+    agg["n_events"] = agg["n_all"]
     out = agg[["event_type", "avg_value", "std_value", "n_events"]]
     return out.sort_values("event_type").reset_index(drop=True)
 
