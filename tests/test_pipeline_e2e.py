@@ -316,6 +316,28 @@ def test_chi2_global_reference_flags_planted_drift(
     assert fixture_info["drift_partition"] in failed
 
 
+def test_chi2_window_reference_flags_planted_drift(
+    ray_session, fixture_info, tmp_path_factory
+):
+    """chi2_reference="window" (each partition vs the pooled trailing
+    k) must also flag the planted drift partition."""
+    from webvalid.pipeline import run_validation
+
+    out = tmp_path_factory.mktemp("chi2w_out")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"],
+                      chi2_reference="window", chi2_window=3)
+    res = run_validation(
+        fixture_info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+    )
+    v = res["verdicts"]
+    chi = v[(v["check"] == "drift_chi2") & (v["column"] == "lang")]
+    assert chi["detail"].str.startswith(("window", "first")).all()
+    failed = set(chi[~chi["pass"]]["partition_id"])
+    assert fixture_info["drift_partition"] in failed
+
+
 def test_output_files_written(run_result):
     out = run_result["out_dir"]
     for name in ("verdicts.parquet", "violations.parquet", "stats.parquet",

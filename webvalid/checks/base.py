@@ -84,8 +84,12 @@ class CheckConfig:
     chi2_alpha: float = 1e-3
     # "consecutive": each partition vs its predecessor (fast drifts);
     # "global": each partition vs the pooled rest of the run (catches
-    # slow drifts a per-step test never sees)
+    # slow drifts a per-step test never sees);
+    # "window": each partition vs the pooled previous chi2_window
+    # partitions (slow-ish drifts without the global mode's
+    # everything-influences-everything coupling)
     chi2_reference: str = "consecutive"
+    chi2_window: int = 5
     ks_alpha: float = 1e-3
     # uniqueness pass-1 route: below this row count, per-batch uint64
     # key-hash blobs are sorted in bucketed tasks (8 B/row of transient

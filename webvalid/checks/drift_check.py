@@ -206,6 +206,30 @@ def drift_fold(merged_states: list[dict], cfg: CheckConfig,
     # (default) or vs the pooled rest of the run (cfg.chi2_reference ==
     # "global" — catches slow drifts the per-step test never sees).
     for ci, cname in enumerate(cfg.drift_columns):
+        if cfg.chi2_reference == "window":
+            from collections import deque
+
+            hist: deque = deque(maxlen=max(1, cfg.chi2_window))
+            for pid, s in zip(pids, states):
+                cur = s["value_counts"][ci]
+                if not hist:
+                    verdicts.append(
+                        verdict_row(pid, "drift_chi2", cname, True, math.nan, "first")
+                    )
+                else:
+                    pooled: dict = {}
+                    for h in hist:
+                        for v, c in h.items():
+                            pooled[v] = pooled.get(v, 0) + c
+                    c1, c2 = _aligned_counts(pooled, cur)
+                    stat, df, p = chi2_two_sample(c1, c2)
+                    ok = not (p == p and p < cfg.chi2_alpha)
+                    verdicts.append(
+                        verdict_row(pid, "drift_chi2", cname, ok, p,
+                                    f"window{len(hist)},stat={stat:.3f},df={df}")
+                    )
+                hist.append(cur)
+            continue
         if cfg.chi2_reference == "global":
             totals: dict = {}
             for s in states:
