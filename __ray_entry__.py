@@ -127,6 +127,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference drift detectors (CDCStream / CDDA) over events
         "cdcstream_segments_events": q.cdcstream_segments_events,
         "cdda_segments_events": q.cdda_segments_events,
+        # deterministic content-hash splitting / stratified sampling
+        "hash_split_documents": q.hash_split_documents,
+        "stratified_sample_documents": q.stratified_sample_documents,
+        # corpus n-gram frequency (word-count shape)
+        "unigram_topk_documents": q.unigram_topk_documents,
+        "bigram_topk_documents": q.bigram_topk_documents,
+        # distributed connected components (dup-cluster assignment)
+        "components_events_users": q.components_events_users,
+        "dedup_clusters_documents": q.dedup_clusters_documents,
+        # exact grouped quantiles via the full groupby shuffle path
+        "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
+        # partitioned parquet sink round-trip (resumable layout)
+        "partitioned_write_documents": q.partitioned_write_documents,
+        # vectorized substring search
+        "search_tokens_documents": q.search_tokens_documents,
     }
 
 
@@ -320,5 +335,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(sim, 6) AS cosine
             FROM ranked WHERE rn <= 10
             ORDER BY query_id, cosine DESC, vec_id
+        """,
+        # 0.8/0.1/0.1 split: cum thresholds 0.8→0xcccc, 0.9→0xe666 of the
+        # first 16 md5 bits; fixed-width lowercase hex compares numerically
+        "hash_split_documents": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(text), 1, 4) < 'e666' THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        # rates en=0.25 (0x4000), es=0.5 (0x8000), default 1.0 (keep all)
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(text), 1, 4) <
+                  CASE lang WHEN 'en' THEN '4000'
+                            WHEN 'es' THEN '8000'
+                            ELSE 'zzzz' END
+            ORDER BY doc_id
+        """,
+        "unigram_topk_documents": """
+            SELECT ngram, cnt FROM (
+                SELECT token AS ngram, COUNT(*) AS cnt FROM (
+                    SELECT unnest(str_split(text, ' ')) AS token FROM documents
+                ) GROUP BY token
+            ) ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "bigram_topk_documents": """
+            SELECT ngram, cnt FROM (
+                SELECT bigram AS ngram, COUNT(*) AS cnt FROM (
+                    SELECT unnest(list_transform(
+                               generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                    FROM (SELECT str_split(text, ' ') AS toks FROM documents)
+                ) GROUP BY bigram
+            ) ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        # min-reachable-label components of the functional graph
+        # u <-> (2u mod 150), via transitive closure
+        "components_events_users": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT user_id AS a, (user_id * 2) % 150 AS b FROM events
+            ), undirected AS (
+                SELECT a, b FROM base UNION SELECT b, a FROM base
+                UNION SELECT a, a FROM base UNION SELECT b AS a, b FROM base
+            ), reach(a, b) AS (
+                SELECT a, b FROM undirected
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+            )
+            SELECT a AS node, MIN(b) AS component FROM reach
+            GROUP BY a ORDER BY node
+        """,
+        "grouped_quantiles_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "partitioned_write_documents": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents
+            GROUP BY lang ORDER BY lang
+        """,
+        "search_tokens_documents": """
+            SELECT doc_id FROM documents
+            WHERE text LIKE '%spark window%' ORDER BY doc_id
         """,
     }

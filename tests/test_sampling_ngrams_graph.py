@@ -1,0 +1,214 @@
+"""Tests for the sampling / n-gram / connected-components operator
+families (ops/sampling.py, ops/ngrams.py, ops/graph.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+# ---------- sampling ----------
+
+
+def test_md5_bucket16_matches_hashlib():
+    from webvalid.ops.sampling import md5_bucket16
+
+    texts = ["hello", "", "naïve café — ünïcode", "a" * 10_000, None, "x"]
+    col = pa.array(texts, pa.string())
+    valid, bucket = md5_bucket16(col)
+    assert list(valid) == [True, True, True, True, False, True]
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        expect = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+        assert int(bucket[i]) == expect, (t, int(bucket[i]), expect)
+
+
+def test_hash_split_fractions_and_determinism(ray_session):
+    import ray.data
+
+    from webvalid.ops.sampling import hash_split
+
+    texts = [f"document number {i} with content {i * 17}" for i in range(4000)]
+    ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    out = hash_split(ds).to_pandas().sort_values("doc_id")
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["valid"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # content-keyed: identical assignment under a different partitioning
+    out2 = hash_split(ds.repartition(7)).to_pandas().sort_values("doc_id")
+    assert out["split"].tolist() == out2["split"].tolist()
+
+
+def test_hash_split_matches_duckdb(ray_session):
+    import duckdb
+
+    import ray.data
+
+    from webvalid.ops.sampling import hash_split
+
+    pdf = pd.DataFrame({
+        "doc_id": range(300),
+        "text": [f"doc {i} payload {i * i}" for i in range(300)],
+    })
+    got = (
+        hash_split(ray.data.from_pandas(pdf))
+        .to_pandas().sort_values("doc_id")["split"].tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = con.sql("""
+        SELECT CASE WHEN substr(md5(text),1,4) < 'cccc' THEN 'train'
+                    WHEN substr(md5(text),1,4) < 'e666' THEN 'valid'
+                    ELSE 'test' END
+        FROM t ORDER BY doc_id
+    """).df().iloc[:, 0].tolist()
+    assert got == exp
+
+
+def test_stratified_sample_rates_and_subset(ray_session):
+    import ray.data
+
+    from webvalid.ops.sampling import BUCKETS, md5_bucket16, stratified_sample
+
+    rng = random.Random(5)
+    rows = [
+        {"doc_id": i, "lang": rng.choice(["en", "en", "en", "de", "fr"]),
+         "text": f"text {i} body {i * 13}"}
+        for i in range(3000)
+    ]
+    pdf = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(pdf)
+    out = stratified_sample(ds, rates={"en": 0.1, "de": 0.5}).to_pandas()
+    # exact expected set computed directly from the bucket rule
+    _, bucket = md5_bucket16(pa.array(pdf["text"].tolist()))
+    th = pdf["lang"].map({"en": int(0.1 * BUCKETS), "de": int(0.5 * BUCKETS)}) \
+        .fillna(BUCKETS).to_numpy()
+    expect_ids = pdf.loc[bucket < th, "doc_id"].tolist()
+    assert sorted(out["doc_id"].tolist()) == sorted(expect_ids)
+    by_lang = out["lang"].value_counts()
+    n_en = (pdf["lang"] == "en").sum()
+    assert by_lang["en"] < 0.15 * n_en  # hot stratum actually capped
+    assert by_lang["fr"] == (pdf["lang"] == "fr").sum()  # default 1.0 keeps all
+
+
+# ---------- n-grams ----------
+
+
+def _naive_ngrams(texts, n):
+    from collections import Counter
+
+    c = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - n + 1):
+            c[" ".join(toks[i:i + n])] += 1
+    return c
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ngram_counts_match_naive(ray_session, n):
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_counts
+
+    rng = random.Random(n)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+             for _ in range(400)]
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(5)
+    got = ngram_counts(ds, n=n)
+    naive = _naive_ngrams(texts, n)
+    assert dict(zip(got["ngram"], got["cnt"])) == dict(naive)
+
+
+def test_bigrams_never_cross_documents(ray_session):
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_counts
+
+    # if windows crossed doc boundaries we'd see the bigram "end start"
+    ds = ray.data.from_items([{"text": "start middle end"}] * 50)
+    got = ngram_counts(ds, n=2)
+    assert set(got["ngram"]) == {"start middle", "middle end"}
+    assert got["cnt"].tolist() == [50, 50]
+
+
+def test_ngram_shuffle_strategy_matches_driver(ray_session):
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_counts
+
+    texts = [f"tok{i % 7} tok{i % 3} tok{i % 5}" for i in range(500)]
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(4)
+    a = ngram_counts(ds, n=2, strategy="driver")
+    b = ngram_counts(ds, n=2, strategy="shuffle")
+    assert dict(zip(a["ngram"], a["cnt"])) == dict(zip(b["ngram"], b["cnt"]))
+
+
+# ---------- connected components ----------
+
+
+def _naive_components(edges):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_random_graphs(ray_session, seed):
+    import ray.data
+
+    from webvalid.ops.graph import connected_components
+
+    rng = random.Random(seed)
+    n_nodes = 500
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+             for _ in range(n_nodes // 2)]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges]).repartition(6)
+    got = connected_components(ds)
+    exp = _naive_components(edges)
+    assert dict(zip(got["node"], got["component"])) == exp
+
+
+def test_connected_components_chain_across_batches(ray_session):
+    """A single 600-node chain sliced into many batches — every batch
+    boundary must be bridged by the merge rounds."""
+    import ray.data
+
+    from webvalid.ops.graph import connected_components
+
+    edges = [{"src": i, "dst": i + 1} for i in range(600)]
+    ds = ray.data.from_items(edges).repartition(12)
+    got = connected_components(ds)
+    assert got["component"].nunique() == 1
+    assert set(got["component"]) == {0}
+    assert len(got) == 601
+
+
+def test_dedup_components_labels_by_min_doc(ray_session):
+    import ray.data
+
+    from webvalid.ops.graph import dedup_components
+
+    pairs = pd.DataFrame({"doc_a": [10, 20, 30, 50], "doc_b": [20, 30, 10, 60]})
+    got = dedup_components(ray.data.from_pandas(pairs))
+    m = dict(zip(got["node"], got["component"]))
+    assert m == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}

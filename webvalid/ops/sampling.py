@@ -1,0 +1,129 @@
+"""Deterministic content-hash dataset splitting and stratified sampling.
+
+Training-data pipelines need reproducible train/valid/test splits and
+per-stratum downsampling (e.g. cap the dominant language) that
+
+- don't depend on row order, partitioning, or cluster size,
+- never require a shuffle (pure map stage), and
+- can be recomputed by any other system, because the assignment is a
+  pure function of row CONTENT.
+
+We key on ``md5(text)``: the first 16 bits of the digest give 65,536
+deterministic buckets; a row's bucket is stable across runs, engines
+and partitionings. A fraction ``f`` selects buckets ``< int(f * 65536)``.
+DuckDB expresses the identical split as a lexicographic comparison on
+``substr(md5(text), 1, 4)`` (fixed-width lowercase hex compares like the
+number), which is what the gate-query oracles do.
+
+Scale: one C md5 per row streamed straight from the Arrow string
+buffers (no Python string materialization — see
+``checks/text_parity._md5_digest8_per_row``), no state, no shuffle.
+At 100 TB this stage is embarrassingly parallel and its output
+composes with any downstream partitioning.
+
+No reference analogue (`/root/reference` has no sampling); this is a
+north-rule/training-data addition per the build brief.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from webvalid.checks.text_parity import _md5_digest8_per_row
+
+BUCKETS = 65536
+
+
+def md5_bucket16(col) -> tuple[np.ndarray, np.ndarray]:
+    """(valid_mask, uint16 bucket per row) from the first two md5 digest
+    bytes — equals ``int(md5(text).hexdigest()[:4], 16)``.
+
+    ``_md5_digest8_per_row`` returns the first 8 digest bytes as a
+    little-endian uint64, so digest[0] is the low byte.
+    """
+    valid, d8 = _md5_digest8_per_row(col)
+    b0 = (d8 & np.uint64(0xFF)).astype(np.uint32)
+    b1 = ((d8 >> np.uint64(8)) & np.uint64(0xFF)).astype(np.uint32)
+    return valid, ((b0 << 8) | b1).astype(np.uint16)
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative bucket thresholds for named split fractions.
+
+    ``{"train": .8, "valid": .1, "test": .1}`` →
+    ``[("train", 52428), ("valid", 58982), ("test", 65536)]``
+    (floor per cumulative fraction; the last split absorbs rounding and
+    any remainder, matching the SQL CASE's ELSE branch).
+    """
+    items = list(fractions.items())
+    out, cum = [], 0.0
+    for name, frac in items[:-1]:
+        cum += frac
+        out.append((name, int(cum * BUCKETS)))
+    out.append((items[-1][0], BUCKETS))
+    return out
+
+
+def add_split_column(batch: pa.Table, text_col: str = "text",
+                     thresholds: list[tuple[str, int]] | None = None,
+                     out_col: str = "split") -> pa.Table:
+    """Append the deterministic split assignment as a string column.
+
+    Null text falls into the LAST split (the SQL CASE ELSE branch —
+    ``substr(md5(NULL),1,4)`` is NULL so every WHEN is false).
+    """
+    if thresholds is None:
+        thresholds = split_thresholds({"train": 0.8, "valid": 0.1, "test": 0.1})
+    valid, bucket = md5_bucket16(batch[text_col])
+    names = [t[0] for t in thresholds]
+    bounds = np.asarray([t[1] for t in thresholds])
+    idx = np.searchsorted(bounds, bucket, side="right")
+    idx = np.minimum(idx, len(names) - 1)
+    idx[~valid] = len(names) - 1
+    dict_arr = pa.DictionaryArray.from_arrays(
+        pa.array(idx, pa.int32()), pa.array(names, pa.string())
+    )
+    return batch.append_column(out_col, dict_arr.cast(pa.string()))
+
+
+def hash_split(ds, text_col: str = "text",
+               fractions: dict[str, float] | None = None,
+               out_col: str = "split"):
+    """Dataset → Dataset with a deterministic `split` column."""
+    th = split_thresholds(fractions or {"train": 0.8, "valid": 0.1, "test": 0.1})
+    return ds.map_batches(
+        lambda t: add_split_column(t, text_col, th, out_col),
+        batch_format="pyarrow",
+    )
+
+
+def stratified_sample(ds, strat_col: str = "lang", rates: dict[str, float] | None = None,
+                      default_rate: float = 1.0, text_col: str = "text"):
+    """Deterministic per-stratum downsample: keep a row iff its md5
+    bucket is below ``rate(stratum) * 65536``.
+
+    The canonical "cap the dominant language" op: hot strata get a low
+    rate, the tail passes through. Selection is content-keyed, so the
+    sample is stable under repartitioning and resumable reruns — a
+    resumed job keeps exactly the rows the first attempt kept.
+    """
+    rates = rates or {}
+    rate_items = sorted(rates.items())
+    keys = [k for k, _ in rate_items]
+    th = np.asarray([int(v * BUCKETS) for _, v in rate_items], dtype=np.int64)
+    default_th = int(default_rate * BUCKETS)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        valid, bucket = md5_bucket16(batch[text_col])
+        strata = np.asarray(batch[strat_col].to_pylist(), dtype=object)
+        pos = np.searchsorted(np.asarray(keys, dtype=object), strata)
+        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        if len(keys):
+            known = np.asarray(keys, dtype=object)[pos] == strata
+            row_th = np.where(known, th[pos], default_th)
+        else:
+            row_th = np.full(len(batch), default_th)
+        return batch.filter(pa.array(valid & (bucket < row_th)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

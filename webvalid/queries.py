@@ -781,3 +781,137 @@ def quantiles_tdigest_lineitem(sf_dir: str):
         td.merge(TDigest.deserialize(p["state"]))
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
     return pd.DataFrame({"q": qs, "value": [td.quantile(q) for q in qs]})
+
+
+# ---- round-2 session additions: sampling / ngrams / graph / quantiles ----
+
+
+def hash_split_documents(sf_dir: str):
+    """Deterministic md5-bucket train/valid/test split (ops/sampling.py).
+
+    Pure map stage — content-keyed assignment, stable under any
+    repartitioning; the DuckDB oracle recomputes it from md5(text)."""
+    from webvalid.ops.sampling import hash_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = hash_split(ds).select_columns(["doc_id", "split"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Per-language deterministic downsample: en 25%, es 50%, rest 100%."""
+    from webvalid.ops.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = stratified_sample(ds, strat_col="lang",
+                            rates={"en": 0.25, "es": 0.5}, default_rate=1.0)
+    pdf = out.select_columns(["doc_id", "lang"]).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def unigram_topk_documents(sf_dir: str, k: int = 50):
+    """Corpus-wide token frequency, top-k (word-count shape; ops/ngrams.py)."""
+    from webvalid.ops.ngrams import ngram_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ngram_counts(ds, n=1, top_k=k)
+
+
+def bigram_topk_documents(sf_dir: str, k: int = 50):
+    """Corpus-wide bigram frequency, top-k (windows never cross docs)."""
+    from webvalid.ops.ngrams import ngram_counts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ngram_counts(ds, n=2, top_k=k)
+
+
+def components_events_users(sf_dir: str):
+    """Connected components over a derived user graph (ops/graph.py).
+
+    Edges: user u ↔ (2u mod 150) for every user present in events — a
+    functional graph with long chains and cycles, the worst case for
+    naive label propagation and a good exactness probe for the
+    forest-contraction design. Labels are the min node id per
+    component; the oracle is a DuckDB recursive CTE."""
+    from webvalid.ops.graph import connected_components
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(u), "dst": pa.array((u * 2) % 150)})
+
+    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    out = connected_components(ds)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def dedup_clusters_documents(sf_dir: str, min_est_jaccard: float = 0.5):
+    """Near-dup cluster assignment: MinHash-LSH pairs → connected
+    components → (doc_id, cluster) for every implicated doc.
+
+    The end-to-end dedup shape a training pipeline runs: candidate
+    pairs (no SQL twin — MinHash) clustered by min-doc-id label."""
+    from webvalid.ops.dedup import minhash_lsh_candidates
+    from webvalid.ops.graph import dedup_components
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_candidates(ds, min_est_jaccard=min_est_jaccard).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    pairs_ds = ray.data.from_pandas(pairs[["doc_a", "doc_b"]])
+    return dedup_components(pairs_ds).sort_values("node").reset_index(drop=True)
+
+
+def grouped_quantiles_lineitem(sf_dir: str):
+    """Exact per-group quantiles via the real all-to-all groupby path.
+
+    Exact grouped quantiles NEED all of a group's values co-located, so
+    this intentionally exercises `Dataset.groupby().map_groups` (the
+    engine's only full-shuffle aggregate); the mergeable-sketch
+    alternative is quantiles_tdigest_lineitem. Rounded to 4 dp to
+    absorb float-accumulation ulps vs DuckDB's quantile_cont."""
+    def q(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["l_extendedprice"].to_numpy()
+        return pd.DataFrame({
+            "l_returnflag": [group["l_returnflag"].iloc[0]],
+            "p50": [round(float(np.quantile(v, 0.5)), 4)],
+            "p90": [round(float(np.quantile(v, 0.9)), 4)],
+        })
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = ds.groupby("l_returnflag").map_groups(q, batch_format="pandas").to_pandas()
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def partitioned_write_documents(sf_dir: str):
+    """Partitioned Parquet sink round-trip (resumable-output layout).
+
+    Writes documents hive-partitioned by lang (one directory per key —
+    the north_rule's resumable layout), reads the tree back, and
+    returns per-lang counts; the oracle checks them against the source
+    table, proving the sink moved every row into the right partition."""
+    import shutil
+    import tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), "webvalid_partwrite")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    ds.write_parquet(out_dir, partition_cols=["lang"])
+    back = ray.data.read_parquet(out_dir)
+    pdf = twophase_agg(back, ["lang"], {"n_docs": ("doc_id", "count")})
+    pdf["lang"] = pdf["lang"].astype(str)
+    return pdf.sort_values("lang").reset_index(drop=True)
+
+
+def search_tokens_documents(sf_dir: str, needle: str = "spark window"):
+    """Substring search (vectorized pc.match_substring filter)."""
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.match_substring(t["text"], needle))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+    pdf = ds.select_columns(["doc_id"]).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
