@@ -142,6 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_documents": q.partitioned_write_documents,
         # vectorized substring search
         "search_tokens_documents": q.search_tokens_documents,
+        # corpus-DF boilerplate strip (two-pass rewrite)
+        "remove_boilerplate_documents": q.remove_boilerplate_documents,
+        # distributed total-order sort + limit
+        "global_topk_orders": q.global_topk_orders,
     }
 
 
@@ -400,5 +404,30 @@ def oracle_sql() -> dict[str, str]:
         "search_tokens_documents": """
             SELECT doc_id FROM documents
             WHERE text LIKE '%spark window%' ORDER BY doc_id
+        """,
+        # strip tokens with document frequency > 0.78 * n_docs and
+        # reassemble each doc in token order; all-hot docs drop out
+        "remove_boilerplate_documents": """
+            WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM (
+                    SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                    FROM documents
+                ) GROUP BY token
+            ),
+            hot AS (SELECT token FROM df, n WHERE df > 0.78 * n_docs),
+            tok AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token,
+                       unnest(generate_series(1, len(str_split(text, ' ')))) AS ord
+                FROM documents
+            )
+            SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.ord) AS clean_text
+            FROM tok t LEFT JOIN hot h ON t.token = h.token
+            WHERE h.token IS NULL
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "global_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
         """,
     }

@@ -915,3 +915,25 @@ def search_tokens_documents(sf_dir: str, needle: str = "spark window"):
     )
     pdf = ds.select_columns(["doc_id"]).to_pandas()
     return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def remove_boilerplate_documents(sf_dir: str, max_df_frac: float = 0.78):
+    """Corpus-DF boilerplate strip: rewrite every doc without tokens
+    whose document frequency exceeds 78% of the corpus (ops/boilerplate.py)."""
+    from webvalid.ops.boilerplate import remove_boilerplate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_boilerplate(ds, max_df_frac=max_df_frac).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def global_topk_orders(sf_dir: str, k: int = 100):
+    """Global top-k via the distributed sort operator (`Dataset.sort`).
+
+    The engine's other rankings deliberately avoid the sort shuffle
+    (per-key top-N, driver reduces); this gate exercises Ray's real
+    range-partitioned sort + limit for the cases that need a total
+    order. Deterministic tiebreak on o_orderkey."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return out.to_pandas()
