@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "text_stats_documents",
     "sliding_2h_hourly_events",
     "cdcstream_segments_events",
+    "hash_split_documents",
+    "unigram_topk_documents",
+    "components_events_users",
+    "remove_boilerplate_documents",
+    "global_topk_orders",
 ]
 
 

@@ -275,13 +275,17 @@ def merge_keyed_states(ds, key_cols: tuple[str, ...], deserialize, merge,
         cols["state"] = pa.array([pickle.dumps(acc[k]) for k in keys], pa.binary())
         return pa.table(cols)
 
+    # batch_size=None = one call per input block: keeps the round as
+    # wide as the upstream fan-out (an explicit 65536 coalesced fat-row
+    # state tables into a single serial task); the tree round coalesces
+    # via repartition when the fan-in is wide.
     reduced_ds = ds.select_columns(list(key_cols) + ["state"]).map_batches(
-        local, batch_format="pyarrow", batch_size=65536
+        local, batch_format="pyarrow", batch_size=None
     )
     if tree:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         reduced_ds = reduced_ds.repartition(max(2, n_cpus // 2)).map_batches(
-            local, batch_format="pyarrow", batch_size=65536
+            local, batch_format="pyarrow", batch_size=None
         )
     reduced = reduced_ds.take_all()
     final: dict = {}
@@ -395,16 +399,20 @@ def collect_merged_partials(partials_ds, cap: int = 10_000,
     thousands of blocks (the tree-reduce rung for huge runs).
     """
     local = make_block_reducer(cap)
-    # a LARGE batch_size makes Ray coalesce the checkpoint's small
-    # parquet row-group batches before each call — with the default
-    # (1024) or None (reader-native, ~650 rows here) a violation-heavy
-    # merge degrades into tens of thousands of per-call fixed costs
+    # batch_size=None → one call per INPUT BLOCK, so the reduce runs as
+    # wide as the partial pass produced blocks. An explicit 65536 here
+    # coalesced the whole fat-row state table (~90 rows × ~2 MB/row per
+    # block) into ONE task — the "distributed" round ran serial
+    # (measured 11 s of single-core UDF at 20M rows). The old
+    # motivation for coalescing — floods of ~650-row violation batches —
+    # is gone now that the block reducer runs before checkpointing and
+    # caps them at the source.
     reduced = partials_ds.map_batches(local, batch_format="pyarrow",
-                                      batch_size=65536)
+                                      batch_size=None)
     if tree:
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         reduced = reduced.repartition(max(2, n_cpus // 2)).map_batches(
-            local, batch_format="pyarrow", batch_size=65536
+            local, batch_format="pyarrow", batch_size=None
         )
     rows = reduced.take_all()
 
@@ -568,9 +576,13 @@ def run_validation(
         # coalesce so the checkpoint is a handful of files, not one per
         # batch. The materialized result lets this run's merge skip
         # re-reading it.
+        # batch_size 2048 (not 65536): still coalesces the scan's thin
+        # per-batch partial blocks for cross-batch state reduction, but
+        # splits the work across ~#rows/2048 parallel tasks instead of
+        # collapsing a fat-row state table into one serial call.
         reduced = partials.map_batches(
             make_block_reducer(cfg.max_violations_per_check),
-            batch_format="pyarrow", batch_size=65536,
+            batch_format="pyarrow", batch_size=2048,
         )
         mat = reduced.repartition(max(1, n_cpus // 4)).materialize()
         mat.write_parquet(ckpt.data_dir(ckpt_dir, gid))
