@@ -104,9 +104,46 @@ def test_stats_sane(run_result, fixture_info):
     text_stats = stats[stats["column"] == "text"]
     assert (text_stats["null_frac"] < 0.06).all()
     html_stats = stats[stats["column"] == "html"]
-    assert (html_stats["n_bytes"] > 0).all()
+    # default binary_stats="metadata": n/nulls exact, byte stats not read
+    assert (html_stats["n"] > 0).all()
     tl = stats[stats["column"] == "text_len"]
     assert (tl["q50"] > 0).all()
+
+
+def test_binary_stats_modes_agree(ray_session, fixture_info, run_result,
+                                  tmp_path_factory):
+    """binary_stats="scan" (reads html bytes) and the default
+    "metadata" (parquet-footer null counts, html pruned from the scan)
+    must produce identical verdicts and identical html n/null stats;
+    only the byte-size stats differ (0 in metadata mode)."""
+    import pandas as pd
+
+    from webvalid.pipeline import run_validation
+
+    out = tmp_path_factory.mktemp("out_scanmode")
+    cfg = CheckConfig(block_size=BLOCK, ts_range=fixture_info["ts_window"],
+                      binary_stats="scan")
+    scan_res = run_validation(
+        fixture_info["pages_dir"], str(out), cfg=cfg,
+        ref_langs=fixture_info["ref_langs"],
+        text_hashes=fixture_info["text_hashes"],
+        files_per_group=2,
+    )
+
+    def vsort(df):
+        return df.sort_values(["check", "partition_id", "column"],
+                              kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        vsort(scan_res["verdicts"]), vsort(run_result["verdicts"])
+    )
+    a = scan_res["stats"]; b = run_result["stats"]
+    ah = a[a["column"] == "html"].sort_values("partition_id").reset_index(drop=True)
+    bh = b[b["column"] == "html"].sort_values("partition_id").reset_index(drop=True)
+    assert ah["n"].tolist() == bh["n"].tolist()
+    assert ah["null_frac"].tolist() == bh["null_frac"].tolist()
+    assert (ah["n_bytes"] > 0).all()      # scan mode measures bytes
+    assert (bh["n_bytes"] == 0).all()     # metadata mode doesn't read them
 
 
 def _projection_rows(pages_dir):

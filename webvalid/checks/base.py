@@ -96,5 +96,13 @@ class CheckConfig:
     # memory); above it, the groupby(key).count() shuffle path is used
     # so nothing O(rows) converges on one place
     uniqueness_driver_max_rows: int = 2_000_000_000
+    # binary payload columns (html): "metadata" derives the null-frac
+    # stats from Parquet row-group statistics and DROPS the column from
+    # the scan read (zero data IO for ~the largest column; n/nulls
+    # exact, byte-size stats 0) with automatic fallback to "scan" when
+    # row groups lack statistics, aren't row_index-contiguous, or
+    # straddle a partition boundary; "scan" always reads the bytes and
+    # additionally yields exact n_bytes/max_bytes
+    binary_stats: str = "metadata"
     # violations
     max_violations_per_check: int = 10_000

@@ -182,6 +182,8 @@ class StatsPartial:
         states: list[bytes] = []
         for pid, sub in partition_slices(batch):
             for name in self.columns:
+                if name not in sub.column_names:
+                    continue  # e.g. html pruned in binary_stats="metadata" mode
                 col = sub[name]
                 kind = column_kind(name, col.type, self.categorical)
                 st = ColumnState(self.cfg, kind=kind,
@@ -287,3 +289,63 @@ def stats_verdicts(stats: list[dict], cfg: CheckConfig) -> list[dict]:
                 )
             )
     return verdicts
+
+
+def metadata_binary_states(files: list[str], block_size: int, column: str,
+                           cfg: CheckConfig) -> list[tuple[int, bytes]] | None:
+    """Per-partition ColumnStates for a binary payload column computed
+    from Parquet ROW-GROUP METADATA only — zero data IO.
+
+    The null-fraction check on a 100-TB `html` column does not need the
+    bytes: Parquet row-group statistics carry exact `null_count` per
+    column chunk, and the `row_index` column's min/max statistics place
+    each row group inside a logical partition. Skipping the column in
+    the scan read cuts the dominant share of the input bytes (measured:
+    ~60% of read wall on the bench fixture).
+
+    Exactness contract: returns None — caller falls back to the full
+    scan — unless EVERY row group (a) has row_index and `column`
+    statistics, (b) is row_index-contiguous (max-min+1 == num_rows),
+    and (c) lies entirely inside one partition (no block-boundary
+    straddle). When it returns states, n and nulls are exact; byte-size
+    stats (n_bytes / max_bytes) are not derivable from metadata and
+    stay 0 — run with binary_stats="scan" when those are needed.
+
+    Driver-side loop over file footers: O(#files) metadata reads. At
+    cluster scale this pre-pass would itself map over a Dataset of file
+    paths; the per-file logic is identical.
+    """
+    import pyarrow.parquet as pq
+
+    agg: dict[int, list[int]] = {}
+    for f in files:
+        md = pq.read_metadata(f)
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            ri = names.index("row_index")
+            ci = names.index(column)
+        except ValueError:
+            return None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            rstat = rg.column(ri).statistics
+            cstat = rg.column(ci).statistics
+            if rstat is None or cstat is None or not rstat.has_min_max:
+                return None
+            if cstat.null_count is None:
+                return None
+            lo, hi = int(rstat.min), int(rstat.max)
+            if hi - lo + 1 != rg.num_rows:
+                return None  # row_index not contiguous in this group
+            if lo // block_size != hi // block_size:
+                return None  # straddles a partition boundary
+            a = agg.setdefault(lo // block_size, [0, 0])
+            a[0] += rg.num_rows
+            a[1] += int(cstat.null_count)
+    out = []
+    for pid, (n, nulls) in sorted(agg.items()):
+        st = ColumnState(cfg, kind="str", use_hll=False)
+        st.n = n
+        st.nulls = nulls
+        out.append((pid, st.serialize()))
+    return out

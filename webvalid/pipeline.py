@@ -42,7 +42,13 @@ import ray.data
 
 from webvalid import checkpoint as ckpt
 from webvalid.checks.base import CheckConfig, VERDICT_SCHEMA, VIOLATION_SCHEMA, verdict_row
-from webvalid.checks.column_stats import ColumnState, StatsPartial, stats_rows, stats_verdicts
+from webvalid.checks.column_stats import (
+    ColumnState,
+    StatsPartial,
+    metadata_binary_states,
+    stats_rows,
+    stats_verdicts,
+)
 from webvalid.checks.drift_check import DriftPartial, drift_fold, merge_drift_state_dicts
 from webvalid.checks.referential import RefCheckBatcher, load_ref_sets
 from webvalid.checks.text_parity import TextParityBatcher
@@ -558,9 +564,23 @@ def run_validation(
         ckpt.reset_group(ckpt_dir, gid)
         t0 = time.time()
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        # binary payload pruning: html's null-frac states come from
+        # parquet row-group metadata (exact; zero data IO) whenever the
+        # footers allow, and the scan then skips the biggest column
+        scan_cols = list(READ_COLUMNS)
+        meta_union: pa.Table | None = None
+        if cfg.binary_stats == "metadata" and "html" in scan_cols:
+            synth = metadata_binary_states(group_files, cfg.block_size, "html", cfg)
+            if synth is not None:
+                scan_cols.remove("html")
+                meta_union = _to_union("stats", pa.table({
+                    "partition_id": pa.array([p for p, _ in synth], pa.int64()),
+                    "column": pa.array(["html"] * len(synth), pa.string()),
+                    "state": pa.array([s for _, s in synth], pa.binary()),
+                }))
         ds = ray.data.read_parquet(
             group_files,
-            columns=READ_COLUMNS,
+            columns=scan_cols,
             # read parallelism must not be capped by file count
             override_num_blocks=max(len(group_files), 2 * n_cpus),
         )
@@ -585,6 +605,11 @@ def run_validation(
             batch_format="pyarrow", batch_size=2048,
         )
         mat = reduced.repartition(max(1, n_cpus // 4)).materialize()
+        if meta_union is not None and meta_union.num_rows:
+            # metadata-derived html states join the group's partials
+            # here, so checkpointing, resume and the merge are oblivious
+            # to how the states were produced
+            mat = mat.union(ray.data.from_arrow(meta_union)).materialize()
         mat.write_parquet(ckpt.data_dir(ckpt_dir, gid))
         fresh_partials.append(mat)
         m = ckpt.commit_group(ckpt_dir, gid, group_files, n_rows, time.time() - t0)
