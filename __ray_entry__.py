@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate_documents": q.remove_boilerplate_documents,
         # distributed total-order sort + limit
         "global_topk_orders": q.global_topk_orders,
+        # eval-decontamination scan (benchmark n-gram overlap)
+        "contamination_documents": q.contamination_documents,
     }
 
 
@@ -429,5 +431,30 @@ def oracle_sql() -> dict[str, str]:
         "global_topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        # docs (id >= 5) sharing any bigram with the "benchmark" docs 0-4;
+        # n_hits = count of DISTINCT shared bigrams
+        "contamination_documents": """
+            WITH bench AS (
+                SELECT DISTINCT bigram FROM (
+                    SELECT unnest(list_transform(
+                               generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                    FROM (SELECT str_split(text, ' ') AS toks
+                          FROM documents WHERE doc_id < 5)
+                )
+            ),
+            doc_bigrams AS (
+                SELECT DISTINCT doc_id, bigram FROM (
+                    SELECT doc_id, unnest(list_transform(
+                               generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                    FROM (SELECT doc_id, str_split(text, ' ') AS toks
+                          FROM documents WHERE doc_id >= 5)
+                )
+            )
+            SELECT d.doc_id, COUNT(*) AS n_hits
+            FROM doc_bigrams d JOIN bench b USING (bigram)
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
     }

@@ -212,3 +212,46 @@ def test_dedup_components_labels_by_min_doc(ray_session):
     got = dedup_components(ray.data.from_pandas(pairs))
     m = dict(zip(got["node"], got["component"]))
     assert m == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+# ---------- contamination ----------
+
+
+def test_ngram_contamination_matches_naive(ray_session):
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_contamination
+
+    rng = random.Random(7)
+    vocab = ["q", "w", "e", "r", "t", "y"]
+    bench = [" ".join(rng.choice(vocab) for _ in range(10)) for _ in range(3)]
+    corpus = [" ".join(rng.choice(vocab) for _ in range(15)) for _ in range(200)]
+
+    def bigrams(t):
+        toks = t.split(" ")
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    bench_set = set().union(*(bigrams(t) for t in bench))
+    expect = {}
+    for i, t in enumerate(corpus):
+        hits = len(bigrams(t) & bench_set)
+        if hits:
+            expect[i] = hits
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(corpus)]
+    ).repartition(5)
+    got = ngram_contamination(ds, bench, n=2)
+    assert dict(zip(got["doc_id"], got["n_hits"])) == expect
+
+
+def test_ngram_contamination_clean_corpus(ray_session):
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_contamination
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": "safe tokens only here"} for i in range(50)]
+    )
+    got = ngram_contamination(ds, ["totally different benchmark text"], n=2)
+    assert len(got) == 0

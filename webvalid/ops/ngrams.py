@@ -89,3 +89,95 @@ def ngram_counts(ds, text_col: str = "text", n: int = 1, top_k: int | None = Non
     if top_k is not None:
         pdf = pdf.head(top_k).reset_index(drop=True)
     return pdf
+
+
+def _batch_doc_ngrams(batch: pa.Table, text_col: str, id_col: str, n: int):
+    """(doc_ids_per_window, window hash64) for every n-token window,
+    windows never crossing documents. Vectorized: one split, one
+    flatten, n-1 shifted joins, one hash pass."""
+    import numpy as np
+
+    from webvalid.sketches import hash64
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col.cast(pa.string()), " ")
+    flat = pc.list_flatten(toks)
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    total = len(flat)
+    n_starts = max(total - (n - 1), 0)
+    if n_starts == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    starts_valid = np.ones(n_starts, dtype=bool)
+    inner = offs[(offs > 0) & (offs < total)]
+    if len(inner):
+        bad = np.concatenate([inner - k for k in range(1, n)])
+        bad = bad[(bad >= 0) & (bad < n_starts)]
+        starts_valid[bad] = False
+    if n == 1:
+        grams = flat
+    else:
+        parts = [flat.slice(k, n_starts) for k in range(n)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+    doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))[:n_starts]
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_idx[starts_valid]]
+    hashes = hash64(grams.filter(pa.array(starts_valid)).to_numpy(zero_copy_only=False))
+    return ids.astype(np.int64), hashes
+
+
+def ngram_contamination(ds, benchmark_texts: list, n: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
+    """Benchmark-contamination scan: per doc, the number of DISTINCT
+    n-grams it shares with a benchmark corpus.
+
+    The standard eval-decontamination op for training pipelines: the
+    benchmark's n-gram set is tiny (evals are small), so it broadcasts
+    as a SORTED uint64 hash array and every corpus doc gets a
+    vectorized searchsorted membership pass — no shuffle, no state,
+    O(corpus tokens) total work. Returns only contaminated docs
+    (n_hits >= 1).
+    """
+    import numpy as np
+
+    import ray
+
+    from webvalid.sketches import hash64
+
+    bench_t = pa.table({id_col: pa.array(range(len(benchmark_texts)), pa.int64()),
+                        text_col: pa.array(benchmark_texts, pa.string())})
+    _, bench_hashes = _batch_doc_ngrams(bench_t, text_col, id_col, n)
+    bench_ref = ray.put(np.unique(bench_hashes))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy from plasma
+        ids, hashes = _batch_doc_ngrams(batch, text_col, id_col, n)
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        pos = np.searchsorted(bench, hashes)
+        pos[pos >= len(bench)] = max(len(bench) - 1, 0)
+        hit = bench[pos] == hashes if len(bench) else np.zeros(len(hashes), bool)
+        ids, hashes = ids[hit], hashes[hit]
+        if len(ids) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        # distinct (doc, ngram) pairs via one lexsort
+        order = np.lexsort((hashes, ids))
+        ids, hashes = ids[order], hashes[order]
+        dup = np.zeros(len(ids), dtype=bool)
+        dup[1:] = (ids[1:] == ids[:-1]) & (hashes[1:] == hashes[:-1])
+        ids = ids[~dup]
+        uniq, counts = np.unique(ids, return_counts=True)
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "n_hits": pa.array(counts, pa.int64())})
+
+    parts = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:  # all-empty blocks lose their columns in to_pandas
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_hits": pd.Series([], dtype="int64")})
+    # batches are disjoint doc sets, but a doc split across batches
+    # would double-count distinct n-grams; Ray blocks never split rows,
+    # so a plain per-doc sum is exact
+    out = parts.groupby("doc_id", as_index=False)["n_hits"].sum()
+    return out.sort_values("doc_id").reset_index(drop=True)

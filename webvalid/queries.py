@@ -937,3 +937,24 @@ def global_topk_orders(sf_dir: str, k: int = 100):
     ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
     out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
     return out.to_pandas()
+
+
+def contamination_documents(sf_dir: str):
+    """Eval-decontamination scan: docs sharing any bigram with a
+    "benchmark" (docs 0-4 stand in for the eval set); n_hits = distinct
+    shared bigrams (ops/ngrams.py:ngram_contamination)."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.ngrams import ngram_contamination
+
+    bench = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", 5)])
+    bench_texts = bench.sort_by("doc_id")["text"].to_pylist()
+
+    def not_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["doc_id"], 5))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        not_bench, batch_format="pyarrow"
+    )
+    return ngram_contamination(ds, bench_texts, n=2)
