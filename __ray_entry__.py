@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_topk_orders": q.global_topk_orders,
         # eval-decontamination scan (benchmark n-gram overlap)
         "contamination_documents": q.contamination_documents,
+        # composed corpus-prep pipeline (dedup -> boilerplate -> split)
+        "prep_corpus_documents": q.prep_corpus_documents,
     }
 
 
@@ -456,5 +458,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COUNT(*) AS n_hits
             FROM doc_bigrams d JOIN bench b USING (bigram)
             GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        # composed pipeline oracle: exact dedup (min doc per text) ->
+        # df>0.78-of-kept boilerplate strip (all-hot docs drop) ->
+        # md5 split on the ORIGINAL text
+        "prep_corpus_documents": """
+            WITH kept_ids AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            kd AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN kept_ids k USING (doc_id)
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM kd),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM (
+                    SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM kd
+                ) GROUP BY token
+            ),
+            hot AS (SELECT token FROM df, n WHERE df > 0.78 * n_docs),
+            tok AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token,
+                       unnest(generate_series(1, len(str_split(text, ' ')))) AS ord
+                FROM kd
+            ),
+            clean AS (
+                SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.ord) AS clean_text
+                FROM tok t LEFT JOIN hot h ON t.token = h.token
+                WHERE h.token IS NULL GROUP BY t.doc_id
+            )
+            SELECT c.doc_id,
+                   CASE WHEN substr(md5(d.text), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(d.text), 1, 4) < 'e666' THEN 'valid'
+                        ELSE 'test' END AS split,
+                   c.clean_text
+            FROM clean c JOIN documents d USING (doc_id)
+            ORDER BY c.doc_id
         """,
     }

@@ -1,0 +1,118 @@
+"""Composed corpus-preparation pipeline: dedup → boilerplate → split.
+
+The end-to-end shape a training-data pipeline actually runs, built by
+COMPOSING the engine's operators (each independently oracle-checked):
+
+1. **Exact dedup** (`ops/dedup.exact_dedup_groups`): keep the minimum
+   doc_id per distinct text. The keep-filter broadcast is scale-safe:
+   only DUPLICATED groups ship — a sorted uint64 md5-prefix array plus
+   the aligned keeper ids — because the overwhelmingly-common unique
+   rows pass by default. O(dup groups) broadcast, not O(corpus).
+2. **Boilerplate strip** (`ops/boilerplate.remove_boilerplate`
+   semantics, recomputed over the deduped corpus): tokens with
+   document frequency > max_df_frac · kept_docs are removed; all-hot
+   docs drop.
+3. **Deterministic split** (`ops/sampling.hash_split` semantics on the
+   ORIGINAL text): content-keyed, so a doc's split never changes when
+   upstream cleaning changes.
+
+Three streaming passes over the corpus, no row shuffles beyond the
+dedup-group aggregate (which moves (md5, id) pairs, never text).
+The whole composition is SQL-expressible, so the gate query
+`prep_corpus_documents` is value-exact against one composed DuckDB
+oracle — the strongest end-to-end correctness check in the repo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from webvalid.checks.text_parity import _in_sorted, _md5_digest8_per_row
+from webvalid.ops.boilerplate import document_frequencies
+from webvalid.ops.dedup import exact_dedup_groups
+from webvalid.ops.sampling import add_split_column, split_thresholds
+
+
+def _dup_keeper_arrays(ds, text_col: str, id_col: str):
+    """(sorted md5-prefix uint64 of DUPLICATED texts, keeper id per
+    prefix) — the scale-safe dedup broadcast (unique rows never ship)."""
+    groups = exact_dedup_groups(ds, text_col=text_col, id_col=id_col).to_pandas()
+    dups = groups[(groups["cnt"] > 1) & groups["text_md5"].notna()]
+    if len(dups) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    prefixes = np.frombuffer(
+        b"".join(bytes.fromhex(m)[:8] for m in dups["text_md5"]), dtype=np.uint64
+    )
+    order = np.argsort(prefixes)
+    return prefixes[order], dups["keeper"].to_numpy(dtype=np.int64)[order]
+
+
+def _keep_filter(dup_ref, text_col: str, id_col: str):
+    def keep(batch: pa.Table) -> pa.Table:
+        prefixes, keepers = ray.get(dup_ref)
+        valid, d8 = _md5_digest8_per_row(batch[text_col])
+        if len(prefixes) == 0:
+            return batch
+        pos = np.searchsorted(prefixes, d8)
+        pos[pos >= len(prefixes)] = len(prefixes) - 1
+        in_dup = (prefixes[pos] == d8) & valid
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        drop = in_dup & (ids != keepers[pos])
+        return batch.filter(pa.array(~drop))
+
+    return keep
+
+
+def prep_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
+                max_df_frac: float = 0.78,
+                fractions: dict[str, float] | None = None):
+    """Dataset of (id, split, clean_text) for the deduped, de-boiler-
+    plated corpus; all-hot documents are dropped."""
+    dup_ref = ray.put(_dup_keeper_arrays(ds, text_col, id_col))
+    kept = ds.map_batches(_keep_filter(dup_ref, text_col, id_col),
+                          batch_format="pyarrow")
+    # split BEFORE the rewrite so assignment keys on the original text,
+    # then strip boilerplate computed over the KEPT corpus only
+    th = split_thresholds(fractions or {"train": 0.8, "valid": 0.1, "test": 0.1})
+    with_split = kept.map_batches(
+        lambda t: add_split_column(t, text_col, th), batch_format="pyarrow"
+    )
+    n_docs = kept.count()
+    dfs = document_frequencies(kept, text_col)
+    hot = dfs.loc[dfs["df"] > max_df_frac * n_docs, "token"].to_numpy(dtype=object)
+
+    from webvalid.sketches import hash64
+
+    hot_ref = ray.put(np.sort(hash64(hot)) if len(hot) else
+                      np.empty(0, dtype=np.uint64))
+
+    import pyarrow.compute as pc
+
+    from webvalid.ops.boilerplate import _split_flat
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        hot_sorted = ray.get(hot_ref)
+        flat, offs = _split_flat(batch[text_col])
+        if len(flat) == 0:
+            return pa.table({id_col: batch[id_col].slice(0, 0),
+                             "split": pa.array([], pa.string()),
+                             "clean_text": pa.array([], pa.string())})
+        keep_tok = ~_in_sorted(hash64(flat.to_numpy(zero_copy_only=False)), hot_sorted)
+        kept_per_doc = np.add.reduceat(keep_tok.astype(np.int64), offs[:-1])
+        kept_per_doc[np.diff(offs) == 0] = 0
+        new_offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep_tok))
+        )
+        clean = pc.binary_join(kept_list, " ")
+        non_empty = pa.array(kept_per_doc > 0)
+        return pa.table({
+            id_col: batch[id_col].filter(non_empty),
+            "split": batch["split"].filter(non_empty),
+            "clean_text": clean.filter(non_empty),
+        })
+
+    return with_split.map_batches(rewrite, batch_format="pyarrow")

@@ -958,3 +958,15 @@ def contamination_documents(sf_dir: str):
         not_bench, batch_format="pyarrow"
     )
     return ngram_contamination(ds, bench_texts, n=2)
+
+
+def prep_corpus_documents(sf_dir: str):
+    """Composed corpus-prep pipeline (ops/prep.py): exact dedup (keep
+    min doc per text) → boilerplate strip (df > 0.78 of kept docs) →
+    deterministic md5 split. One composed DuckDB oracle checks the
+    whole chain value-exactly."""
+    from webvalid.ops.prep import prep_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = prep_corpus(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
