@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank/window + as-of join operator families
         "top_orders_per_customer": q.top_orders_per_customer,
         "asof_clicks_purchases_events": q.asof_clicks_purchases_events,
+        "asof_partitioned_clicks_purchases": q.asof_partitioned_clicks_purchases,
         # event-time windows (windows-as-data; Ray has no native windows)
         "tumbling_hourly_events": q.tumbling_hourly_events,
         "sliding_2h_hourly_events": q.sliding_2h_hourly_events,
@@ -296,6 +297,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3 ORDER BY o_custkey, rn
         """,
         "asof_clicks_purchases_events": """
+            SELECT l.event_id AS click_id, epoch_us(l.ts) AS ts_us, l.user_id,
+                   r.event_id AS purchase_id, r.value AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY click_id
+        """,
+        "asof_partitioned_clicks_purchases": """
             SELECT l.event_id AS click_id, epoch_us(l.ts) AS ts_us, l.user_id,
                    r.event_id AS purchase_id, r.value AS purchase_value
             FROM (SELECT * FROM events WHERE event_type = 'click') l

@@ -135,3 +135,30 @@ def test_ray_native_join_matches_salted(ray_session):
     assert key(native) == key(salted)
     exp = left.merge(right, on="k")
     assert len(native) == len(exp)
+
+
+def test_asof_partitioned_matches_broadcast(ray_session):
+    """The co-partitioned as-of path must equal the broadcast path."""
+    import random
+
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    rng = random.Random(13)
+    left_rows = [{"id": i, "ts": rng.randrange(0, 10_000), "k": rng.randrange(40)}
+                 for i in range(2000)]
+    right_rows = [{"ts": rng.randrange(0, 10_000), "k": rng.randrange(40),
+                   "val": float(i)} for i in range(600)]
+    left = ray.data.from_items(left_rows).repartition(5)
+    right = ray.data.from_items(right_rows).repartition(3)
+
+    bcast = asof_join_broadcast(
+        left, pd.DataFrame(right_rows), on="ts", by="k"
+    ).to_pandas().sort_values(["id"]).reset_index(drop=True)
+    part = asof_join_partitioned(
+        left, right, on="ts", by="k", num_buckets=7
+    ).to_pandas().sort_values(["id"]).reset_index(drop=True)
+    cols = ["id", "ts", "k", "val"]
+    pd.testing.assert_frame_equal(bcast[cols], part[cols], check_dtype=False)

@@ -80,3 +80,80 @@ def asof_join_broadcast(left_ds, right: pd.DataFrame, on: str, by: str,
                       suffix=suffix),
         batch_format="pyarrow",
     )
+
+
+def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
+                          num_buckets: int = 32):
+    """Co-partitioned as-of join — the 100-TB path when BOTH sides are
+    too large to broadcast.
+
+    Both sides are tagged, normalized onto one union schema (the other
+    side's value columns null-filled), bucketed by ``hash(by) %
+    num_buckets``, and co-grouped with ONE `groupby(bucket).map_groups`
+    shuffle; each bucket runs the same C-implemented `merge_asof` as
+    the broadcast path. Because the bucket key is the join key's hash,
+    every row of a key lands in exactly one group — results are
+    identical to the broadcast path (tested).
+
+    Partitioning assumption: one bucket's rows fit a worker. Size
+    `num_buckets` to ~cluster cores; salt-split hot keys upstream if a
+    single key exceeds a worker (a single KEY cannot be split for an
+    as-of join — its right side must be seen whole).
+
+    Contract: right columns other than (on, by) must not collide with
+    left columns (pre-rename them — the gate queries do).
+    """
+    import pyarrow.compute as pc
+
+    from webvalid.sketches import hash64
+
+    lsch = left_ds.schema()
+    rsch = right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    rvals = [c for c in rsch.names if c not in (on, by)]
+    overlap = set(rvals) & set(lsch.names)
+    if overlap:
+        raise ValueError(f"rename right columns before joining: {sorted(overlap)}")
+    lcols = list(lsch.names)
+    field_types = {c: (pa.int64() if c == on else ltypes[c]) for c in lcols}
+    field_types.update({c: rtypes[c] for c in rvals})
+    all_cols = lcols + rvals
+
+    def make_tag(side: int, present: list[str]):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in all_cols:
+                if c in present:
+                    arr = t[c]
+                    if c == on:
+                        arr = arr.cast(pa.int64())
+                    cols[c] = arr
+                else:
+                    cols[c] = pa.nulls(n, field_types[c])
+            keys = t[by].to_numpy(zero_copy_only=False)
+            cols["_bucket"] = pa.array(
+                (hash64(keys) % np.uint64(num_buckets)).astype(np.int64))
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left_ds.map_batches(make_tag(0, lcols), batch_format="pyarrow").union(
+        right_ds.map_batches(make_tag(1, [on, by] + rvals), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0].drop(columns=rvals + ["_bucket", "_side"])
+        right = g[g["_side"] == 1][[on, by] + rvals]
+        left = left.sort_values(on, kind="stable").reset_index(drop=True)
+        right = right.sort_values(on, kind="stable").reset_index(drop=True)
+        if len(left) == 0:
+            return left.assign(**{c: pd.Series([], dtype=right[c].dtype)
+                                  for c in rvals})
+        out = pd.merge_asof(left, right, on=on, by=by,
+                            direction="backward", allow_exact_matches=True)
+        return out
+
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

@@ -970,3 +970,31 @@ def prep_corpus_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = prep_corpus(ds).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def asof_partitioned_clicks_purchases(sf_dir: str):
+    """Same as-of join through the co-partitioned path (both sides as
+    Datasets, one hash-bucket co-group shuffle — ops/asof.py)."""
+    from webvalid.ops.asof import asof_join_partitioned
+
+    def clicks_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "click")).drop_columns(["event_type"])
+
+    def purchases_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"ts": t["ts"], "user_id": t["user_id"],
+                         "purchase_id": t["event_id"],
+                         "purchase_value": t["value"]})
+
+    left = _read(sf_dir, "events",
+                 columns=["event_id", "ts", "user_id", "event_type"]).map_batches(
+        clicks_only, batch_format="pyarrow"
+    )
+    right = _read(sf_dir, "events",
+                  columns=["event_id", "ts", "user_id", "event_type", "value"]).map_batches(
+        purchases_only, batch_format="pyarrow"
+    )
+    out = asof_join_partitioned(left, right, on="ts", by="user_id").to_pandas()
+    out = out.rename(columns={"event_id": "click_id", "ts": "ts_us"})
+    return out[["click_id", "ts_us", "user_id", "purchase_id", "purchase_value"]] \
+        .sort_values("click_id").reset_index(drop=True)
