@@ -234,3 +234,82 @@ def test_minhash_est_jaccard_tracks_exact(seed):
     sa, sb = shingle_set(base), shingle_set(other)
     exact = len(sa & sb) / len(sa | sb)
     assert abs(est - exact) < 0.2  # 128 permutations → σ ≈ 0.044
+
+
+# ---- sampling / ngrams / graph kernel properties (no Ray needed) ----
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=60),
+              st.integers(min_value=0, max_value=60)),
+    min_size=0, max_size=80,
+)
+
+
+@given(edges_strategy, st.integers(min_value=1, max_value=5))
+@settings(max_examples=60, deadline=None)
+def test_dsu_forest_contraction_associative(edges, n_chunks):
+    """components(forest(E₁) ∪ … ∪ forest(Eₖ)) == components(E) for any
+    chunking — the invariant the distributed merge rounds rely on."""
+    from webvalid.ops.graph import _DSU
+
+    whole = _DSU()
+    for a, b in edges:
+        whole.union(a, b)
+    expect = {n: whole.find(n) for n in sorted(whole.parent)}
+
+    merged = _DSU()
+    k = max(1, len(edges) // n_chunks) if edges else 1
+    for i in range(0, max(len(edges), 1), k):
+        part = _DSU()
+        for a, b in edges[i:i + k]:
+            part.union(a, b)
+        ft = part.forest_table()
+        for a, b in zip(ft["src"].to_pylist(), ft["dst"].to_pylist()):
+            merged.union(a, b)
+    got = {n: merged.find(n) for n in sorted(merged.parent)}
+    assert got == expect
+
+
+texts_lists = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=20), min_size=1, max_size=30
+)
+
+
+@given(texts_lists, st.integers(min_value=1, max_value=3))
+@settings(max_examples=60, deadline=None)
+def test_batch_ngram_counts_match_naive_property(texts, n):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from webvalid.ops.ngrams import _batch_ngram_counts
+
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    got = _batch_ngram_counts(batch, "text", n)
+    gotd = dict(zip(got["ngram"].to_pylist(), got["cnt"].to_pylist()))
+    naive = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        for i in range(len(toks) - n + 1):
+            naive[" ".join(toks[i:i + n])] += 1
+    assert gotd == dict(naive)
+
+
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=50))
+@settings(max_examples=60, deadline=None)
+def test_split_column_partitions_every_row(texts):
+    """Every row gets exactly one split; assignment matches the pure
+    md5-bucket rule; fractions are honored at the bucket level."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from webvalid.ops.sampling import add_split_column, split_thresholds
+
+    th = split_thresholds({"train": 0.8, "valid": 0.1, "test": 0.1})
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = add_split_column(batch, "text", th)
+    for t, s in zip(texts, out["split"].to_pylist()):
+        b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+        expect = "train" if b < th[0][1] else ("valid" if b < th[1][1] else "test")
+        assert s == expect
