@@ -380,3 +380,40 @@ def test_output_files_written(run_result):
     for name in ("verdicts.parquet", "violations.parquet", "stats.parquet",
                  "segments.parquet", "report.json"):
         assert os.path.exists(os.path.join(out, name)), name
+
+
+def test_metadata_binary_states_fallback_conditions(tmp_path):
+    """metadata_binary_states must return exact states when row groups
+    align, and None (forcing the scan fallback) when a row group
+    straddles a partition boundary or row_index isn't contiguous."""
+    import pyarrow as pa
+
+    from webvalid.checks.column_stats import ColumnState, metadata_binary_states
+
+    def write(path, row_index, html, row_group_size):
+        t = pa.table({
+            "row_index": pa.array(row_index, pa.int64()),
+            "html": pa.array(html, pa.binary()),
+        })
+        pq.write_table(t, path, row_group_size=row_group_size)
+
+    cfg = CheckConfig()
+
+    # aligned: 40 rows, block_size 10, row groups of 10 → 4 partitions
+    f1 = str(tmp_path / "aligned.parquet")
+    write(f1, list(range(40)), [b"x" if i % 5 else None for i in range(40)], 10)
+    states = metadata_binary_states([f1], 10, "html", cfg)
+    assert states is not None and len(states) == 4
+    got = {pid: ColumnState.deserialize(s) for pid, s in states}
+    assert all(got[p].n == 10 for p in range(4))
+    assert all(got[p].nulls == 2 for p in range(4))  # i%5==0 twice per 10
+
+    # straddle: row groups of 8 cross the block_size=10 boundary → None
+    f2 = str(tmp_path / "straddle.parquet")
+    write(f2, list(range(40)), [b"x"] * 40, 8)
+    assert metadata_binary_states([f2], 10, "html", cfg) is None
+
+    # non-contiguous row_index → None
+    f3 = str(tmp_path / "gaps.parquet")
+    write(f3, [i * 2 for i in range(10)], [b"x"] * 10, 10)
+    assert metadata_binary_states([f3], 100, "html", cfg) is None
