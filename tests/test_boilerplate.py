@@ -71,3 +71,34 @@ def test_remove_boilerplate_stable_under_repartition(ray_session):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_remove_boilerplate_null_and_empty_text(ray_session):
+    """Null-text docs must be dropped (not crash the offset math —
+    trailing nulls previously made reduceat index past the buffer);
+    empty strings keep DuckDB semantics ('' is a token)."""
+    import ray.data
+
+    from webvalid.ops.boilerplate import remove_boilerplate
+
+    rows = [{"doc_id": 0, "text": "keep these tokens"},
+            {"doc_id": 1, "text": None},
+            {"doc_id": 2, "text": ""},
+            {"doc_id": 3, "text": "keep more tokens"},
+            {"doc_id": 4, "text": None}]  # trailing null in final batch
+    ds = ray.data.from_items(rows).repartition(2)
+    out = remove_boilerplate(ds, max_df_frac=0.99).to_pandas()
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    assert got == {0: "keep these tokens", 2: "", 3: "keep more tokens"}
+
+
+def test_document_frequencies_doc_count_includes_nulls(ray_session):
+    import ray.data
+
+    from webvalid.ops.boilerplate import document_frequencies
+
+    rows = [{"text": "a b"}, {"text": None}, {"text": "a"}]
+    dfs, n = document_frequencies(ray.data.from_items(rows),
+                                  return_doc_count=True)
+    assert n == 3  # COUNT(*) semantics — null docs count in the denominator
+    assert dict(zip(dfs["token"], dfs["df"])) == {"a": 2, "b": 1}

@@ -69,3 +69,18 @@ def test_prep_corpus_matches_composed_duckdb(ray_session):
         FROM clean c JOIN documents d USING (doc_id) ORDER BY c.doc_id
     """).df()
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_prep_corpus_tolerates_null_text(ray_session):
+    import ray.data
+
+    from webvalid.ops.prep import prep_corpus
+
+    rows = [{"doc_id": 0, "text": "alpha beta"},
+            {"doc_id": 1, "text": None},
+            {"doc_id": 2, "text": "alpha beta"},   # dup of 0
+            {"doc_id": 3, "text": "gamma delta"},
+            {"doc_id": 4, "text": None}]
+    out = prep_corpus(ray.data.from_items(rows).repartition(2),
+                      max_df_frac=0.99).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 3]  # dup and null docs dropped

@@ -255,3 +255,19 @@ def test_ngram_contamination_clean_corpus(ray_session):
     )
     got = ngram_contamination(ds, ["totally different benchmark text"], n=2)
     assert len(got) == 0
+
+
+def test_stratified_sample_null_stratum_uses_default_rate(ray_session):
+    import ray.data
+
+    from webvalid.ops.sampling import stratified_sample
+
+    rows = [{"doc_id": i, "lang": None if i % 3 == 0 else "en",
+             "text": f"payload {i}"} for i in range(300)]
+    ds = ray.data.from_items(rows)
+    # en fully sampled away, null strata keep the default rate 1.0
+    out = stratified_sample(ds, rates={"en": 0.0}, default_rate=1.0).to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(300) if i % 3 == 0]
+    # and with default 0.0, nothing survives
+    out2 = stratified_sample(ds, rates={"en": 1.0}, default_rate=0.0).to_pandas()
+    assert sorted(out2["doc_id"]) == [i for i in range(300) if i % 3 != 0]

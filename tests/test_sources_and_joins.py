@@ -162,3 +162,30 @@ def test_asof_partitioned_matches_broadcast(ray_session):
     ).to_pandas().sort_values(["id"]).reset_index(drop=True)
     cols = ["id", "ts", "k", "val"]
     pd.testing.assert_frame_equal(bcast[cols], part[cols], check_dtype=False)
+
+
+def test_asof_partitioned_normalizes_ns_timestamps(ray_session):
+    """timestamp[ns] inputs must come out in epoch MICROseconds from
+    both as-of paths (a raw int64 cast would be 1000x off)."""
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    left_pdf = pd.DataFrame({
+        "id": [1, 2], "k": [7, 7],
+        "ts": pd.to_datetime(["2024-01-01 00:00:10", "2024-01-01 00:00:20"]),
+    })  # pandas default: timestamp[ns]
+    right_pdf = pd.DataFrame({
+        "k": [7], "ts": pd.to_datetime(["2024-01-01 00:00:05"]), "val": [1.5],
+    })
+    left = ray.data.from_pandas(left_pdf)
+    right = ray.data.from_pandas(right_pdf)
+    part = asof_join_partitioned(left, right, on="ts", by="k").to_pandas()
+    bcast = asof_join_broadcast(left, right_pdf, on="ts", by="k").to_pandas()
+    part = part.sort_values("id").reset_index(drop=True)
+    bcast = bcast.sort_values("id").reset_index(drop=True)
+    assert part["ts"].tolist() == bcast["ts"].tolist()
+    epoch_us = pd.Timestamp("2024-01-01 00:00:10").value // 1000
+    assert part["ts"].iloc[0] == epoch_us
+    assert part["val"].tolist() == [1.5, 1.5]

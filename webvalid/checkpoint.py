@@ -17,6 +17,14 @@ import os
 import shutil
 import time
 
+# Partial-data layout version. Bump whenever the union-schema partial
+# format changes semantically (v2 added the mergeable "viocount" rows
+# that referential/parity/ts verdicts are computed FROM — resuming
+# from v1 partials would silently report all-pass for those checks).
+# Groups committed under another version are treated as NOT done and
+# reprocessed.
+FORMAT_VERSION = 2
+
 
 def group_dir(ckpt_dir: str, gid: int) -> str:
     return os.path.join(ckpt_dir, f"group-{gid:05d}")
@@ -27,7 +35,15 @@ def manifest_path(ckpt_dir: str, gid: int) -> str:
 
 
 def is_done(ckpt_dir: str, gid: int) -> bool:
-    return os.path.exists(manifest_path(ckpt_dir, gid))
+    p = manifest_path(ckpt_dir, gid)
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    return m.get("format_version") == FORMAT_VERSION
 
 
 def read_manifest(ckpt_dir: str, gid: int) -> dict:
@@ -45,6 +61,7 @@ def reset_group(ckpt_dir: str, gid: int) -> None:
 def commit_group(ckpt_dir: str, gid: int, files: list[str], rows: int,
                  wall_sec: float) -> dict:
     m = {
+        "format_version": FORMAT_VERSION,
         "group": gid,
         "files": files,
         "rows": rows,

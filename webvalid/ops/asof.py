@@ -128,6 +128,11 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
                 if c in present:
                     arr = t[c]
                     if c == on:
+                        # normalize to epoch MICROSECONDS like the
+                        # broadcast path (_ts_us_series) — a raw int64
+                        # cast of timestamp[ns] would be 1000x off
+                        if pa.types.is_timestamp(arr.type):
+                            arr = arr.cast(pa.timestamp("us"))
                         arr = arr.cast(pa.int64())
                     cols[c] = arr
                 else:

@@ -38,6 +38,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -65,12 +66,21 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
 
 
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Dataset of (text_md5, keeper id, count) — one row per distinct content."""
+    """Dataset of (text_md5, keeper id, count) — one row per distinct content.
+
+    Null-text rows form NO group (unknown content is not equal
+    content — and Ray's sort-based groupby cannot order a null key);
+    every null doc is implicitly its own keeper. Deviation from SQL
+    ``GROUP BY md5(text)``, which pools all NULLs into one group.
+    """
     from ray.data.aggregate import Count, Min
 
-    with_fp = ds.map_batches(
-        lambda t: add_fingerprint(t, text_col), batch_format="pyarrow"
-    ).select_columns(["text_md5", id_col])
+    def fp(t: pa.Table) -> pa.Table:
+        out = add_fingerprint(t, text_col)
+        return out.filter(pc.is_valid(out["text_md5"]))
+
+    with_fp = ds.map_batches(fp, batch_format="pyarrow") \
+        .select_columns(["text_md5", id_col])
     return with_fp.groupby("text_md5").aggregate(
         Min(id_col, alias_name="keeper"), Count(alias_name="cnt")
     )
@@ -379,24 +389,33 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 8, shingle_k: in
         # one job: band rows + per-doc signature rows together, so the
         # est-Jaccard filter needs no second corpus scan. Driver bytes ≈
         # (16·bands + 8·num_perm) per doc, bounded by driver_max_docs.
-        rows = ds.select_columns([id_col, text_col]).map_batches(
+        # collect in ARROW, not pandas: the nullable uint64 band_hash
+        # column becomes float64 in pandas and the uint64 round-trip
+        # truncates hashes to 53-bit precision — two distinct band
+        # hashes could then collide into one spurious LSH bucket
+        bh_parts, bid_parts, sig_map = [], [], {}
+        job = ds.select_columns([id_col, text_col]).map_batches(
             task_callable(MinHasher, **hasher_kwargs, emit_signatures=True),
             batch_format="pyarrow",
-        ).to_pandas()
-        is_sig = rows["signature"].notna()
-        band = rows[~is_sig]
-        bh = band["band_hash"].to_numpy().astype(np.uint64)
-        ids = band["doc_id"].to_numpy()
+        )
+        for t in job.iter_batches(batch_format="pyarrow", batch_size=65536):
+            sig_mask = pc.is_valid(t["signature"])
+            band_t = t.filter(pc.invert(sig_mask))
+            bh_parts.append(band_t["band_hash"].to_numpy(zero_copy_only=False))
+            bid_parts.append(band_t["doc_id"].to_numpy(zero_copy_only=False))
+            sig_t = t.filter(sig_mask)
+            for i, s in zip(sig_t["doc_id"].to_pylist(),
+                            sig_t["signature"].to_pylist()):
+                sig_map[int(i)] = np.frombuffer(s, dtype=np.uint64)
+        bh = (np.concatenate(bh_parts).astype(np.uint64, copy=False)
+              if bh_parts else np.empty(0, np.uint64))
+        ids = (np.concatenate(bid_parts)
+               if bid_parts else np.empty(0, np.int64))
         order = np.argsort(bh, kind="stable")
         a, b, _, _ = _pairs_in_sorted_runs(bh[order], ids[order])
         if not a:
             return ray.data.from_pandas(_empty_pairs_pdf())
         pairs_pdf = pd.DataFrame({"doc_a": a, "doc_b": b})
-        sigs = rows[is_sig]
-        sig_map = {
-            int(i): np.frombuffer(s, dtype=np.uint64)
-            for i, s in zip(sigs["doc_id"], sigs["signature"])
-        }
         out = _est_filter(pairs_pdf, sig_map, min_est_jaccard)
         return ray.data.from_pandas(out)
 

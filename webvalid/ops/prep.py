@@ -30,8 +30,12 @@ import pyarrow as pa
 
 import ray
 
-from webvalid.checks.text_parity import _in_sorted, _md5_digest8_per_row
-from webvalid.ops.boilerplate import document_frequencies
+from webvalid.checks.text_parity import _md5_digest8_per_row
+from webvalid.ops.boilerplate import (
+    document_frequencies,
+    hot_tokens_ref,
+    rewrite_without_hot,
+)
 from webvalid.ops.dedup import exact_dedup_groups
 from webvalid.ops.sampling import add_split_column, split_thresholds
 
@@ -75,44 +79,17 @@ def prep_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
     kept = ds.map_batches(_keep_filter(dup_ref, text_col, id_col),
                           batch_format="pyarrow")
     # split BEFORE the rewrite so assignment keys on the original text,
-    # then strip boilerplate computed over the KEPT corpus only
+    # then strip boilerplate computed over the KEPT corpus only; the DF
+    # pass also carries the kept-doc count (no separate count job)
     th = split_thresholds(fractions or {"train": 0.8, "valid": 0.1, "test": 0.1})
     with_split = kept.map_batches(
         lambda t: add_split_column(t, text_col, th), batch_format="pyarrow"
     )
-    n_docs = kept.count()
-    dfs = document_frequencies(kept, text_col)
-    hot = dfs.loc[dfs["df"] > max_df_frac * n_docs, "token"].to_numpy(dtype=object)
-
-    from webvalid.sketches import hash64
-
-    hot_ref = ray.put(np.sort(hash64(hot)) if len(hot) else
-                      np.empty(0, dtype=np.uint64))
-
-    import pyarrow.compute as pc
-
-    from webvalid.ops.boilerplate import _split_flat
+    dfs, n_docs = document_frequencies(kept, text_col, return_doc_count=True)
+    hot_ref = hot_tokens_ref(dfs, n_docs, max_df_frac)
 
     def rewrite(batch: pa.Table) -> pa.Table:
-        hot_sorted = ray.get(hot_ref)
-        flat, offs = _split_flat(batch[text_col])
-        if len(flat) == 0:
-            return pa.table({id_col: batch[id_col].slice(0, 0),
-                             "split": pa.array([], pa.string()),
-                             "clean_text": pa.array([], pa.string())})
-        keep_tok = ~_in_sorted(hash64(flat.to_numpy(zero_copy_only=False)), hot_sorted)
-        kept_per_doc = np.add.reduceat(keep_tok.astype(np.int64), offs[:-1])
-        kept_per_doc[np.diff(offs) == 0] = 0
-        new_offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep_tok))
-        )
-        clean = pc.binary_join(kept_list, " ")
-        non_empty = pa.array(kept_per_doc > 0)
-        return pa.table({
-            id_col: batch[id_col].filter(non_empty),
-            "split": batch["split"].filter(non_empty),
-            "clean_text": clean.filter(non_empty),
-        })
+        return rewrite_without_hot(batch, text_col, ray.get(hot_ref),
+                                   [id_col, "split"])
 
     return with_split.map_batches(rewrite, batch_format="pyarrow")

@@ -117,10 +117,14 @@ def stratified_sample(ds, strat_col: str = "lang", rates: dict[str, float] | Non
     def keep(batch: pa.Table) -> pa.Table:
         valid, bucket = md5_bucket16(batch[text_col])
         strata = np.asarray(batch[strat_col].to_pylist(), dtype=object)
-        pos = np.searchsorted(np.asarray(keys, dtype=object), strata)
-        pos = np.minimum(pos, max(len(keys) - 1, 0))
+        # null strata take the default rate (the SQL CASE's ELSE branch);
+        # they must not reach searchsorted (None is not orderable)
+        null_stratum = np.asarray([s is None for s in strata], dtype=bool)
         if len(keys):
-            known = np.asarray(keys, dtype=object)[pos] == strata
+            safe = np.where(null_stratum, keys[0], strata)
+            pos = np.searchsorted(np.asarray(keys, dtype=object), safe)
+            pos = np.minimum(pos, len(keys) - 1)
+            known = (np.asarray(keys, dtype=object)[pos] == safe) & ~null_stratum
             row_th = np.where(known, th[pos], default_th)
         else:
             row_th = np.full(len(batch), default_th)

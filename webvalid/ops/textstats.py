@@ -77,7 +77,10 @@ class QualityScorer:
             if toks:
                 punct_ratio[i] = 1.0 - len(words) / len(toks)
             nc = len(t)
-            # C-level regex count, not an O(chars) interpreted loop
+            # C-level regex count, not an O(chars) interpreted loop.
+            # \d matches Unicode Nd (decimal digits) only — unlike
+            # str.isdigit(), superscripts/circled digits ('²') do NOT
+            # count; a deliberate semantic choice for this heuristic.
             digit_ratio[i] = len(self.digit_re.findall(t)) / nc
             if words:
                 mean_tok_len[i] = sum(map(len, words)) / len(words)

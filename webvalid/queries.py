@@ -435,9 +435,13 @@ def events_type_by_day_jsonl(sf_dir: str):
     import hashlib
     import pyarrow.parquet as pq
 
+    # cache key includes the source file's (mtime, size) so an
+    # in-place fixture regeneration can never serve a stale JSONL
+    src_stat = os.stat(_t(sf_dir, "events"))
+    key = f"{sf_dir}|{src_stat.st_mtime_ns}|{src_stat.st_size}"
     cache = os.path.join(
         tempfile.gettempdir(),
-        "webvalid_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+        "webvalid_jsonl_" + hashlib.md5(key.encode()).hexdigest()[:10],
     )
     marker = os.path.join(cache, "DONE")
     if not os.path.exists(marker):

@@ -80,9 +80,15 @@ class DriftChartActor:
             state = json.load(f)
         self.chart = ChartState.from_dict(state["chart"])
         ph = state["prev_histograms"]
-        self.prev_histograms = (
-            pickle.loads(base64.b64decode(ph)) if ph is not None else None
-        )
+        if ph is None:
+            self.prev_histograms = None
+        elif isinstance(ph, str):
+            self.prev_histograms = pickle.loads(base64.b64decode(ph))
+        else:
+            # legacy layout: a JSON list of {str(key): count} dicts
+            # (pre-pickle format) — keys were stringified on save, so
+            # restore them as-is; only str-keyed histograms round-trip
+            self.prev_histograms = ph
         self.cdda_last_count = state["cdda_last_count"]
         self.cdda_rows_before = state["cdda_rows_before"]
         self.next_pid = state["next_pid"]
