@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_by_type_events": q.props_k_by_type_events,
         # rank/window + as-of join operator families
         "top_orders_per_customer": q.top_orders_per_customer,
+        "rolling_avg_value_events": q.rolling_avg_value_events,
         "asof_clicks_purchases_events": q.asof_clicks_purchases_events,
         "asof_partitioned_clicks_purchases": q.asof_partitioned_clicks_purchases,
         # event-time windows (windows-as-data; Ray has no native windows)
@@ -295,6 +296,15 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS rn
                 FROM orders
             ) WHERE rn <= 3 ORDER BY o_custkey, rn
+        """,
+        "rolling_avg_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ), 6) AS rolling_avg
+            FROM events ORDER BY event_id
         """,
         "asof_clicks_purchases_events": """
             SELECT l.event_id AS click_id, epoch_us(l.ts) AS ts_us, l.user_id,

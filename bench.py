@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "components_events_users",
     "remove_boilerplate_documents",
     "global_topk_orders",
+    "contamination_documents",
+    "prep_corpus_documents",
+    "rolling_avg_value_events",
 ]
 
 

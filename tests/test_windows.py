@@ -86,3 +86,29 @@ def test_sessionize(ray_session):
     u2 = out[out["user_id"] == 2].sort_values("session_id")
     assert list(u1["n_events"]) == [3, 1]  # 0/10/20 then 200 after >60m gap
     assert list(u2["n_events"]) == [1, 1]
+
+
+def test_rolling_mean_per_key_matches_pandas(ray_session):
+    import random
+
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.rank import rolling_mean_per_key
+
+    rng = random.Random(6)
+    rows = [{"event_id": i, "user_id": rng.randrange(20),
+             "ts_us": rng.randrange(10_000), "value": rng.random() * 100}
+            for i in range(1500)]
+    ds = ray.data.from_items(rows).repartition(5)
+    got = rolling_mean_per_key(ds, key="user_id", order_col="ts_us",
+                               value_col="value", window=3, tiebreak="event_id")
+    got = got.sort_values("event_id").reset_index(drop=True)
+
+    pdf = pd.DataFrame(rows).sort_values(["user_id", "ts_us", "event_id"])
+    pdf["expect"] = (
+        pdf.groupby("user_id")["value"].transform(
+            lambda s: s.rolling(3, min_periods=1).mean())
+    )
+    expect = pdf.sort_values("event_id").reset_index(drop=True)["expect"]
+    assert (got["rolling_avg"] - expect).abs().max() < 1e-9

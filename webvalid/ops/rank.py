@@ -46,3 +46,26 @@ def top_n_per_key(ds, key: str, order_col: str, n: int,
                               ascending=[True, False, True], kind="mergesort")
     final[rank_col] = final.groupby(key, sort=False).cumcount() + 1
     return final.reset_index(drop=True)
+
+
+def rolling_mean_per_key(ds, key: str, order_col: str, value_col: str,
+                         window: int, tiebreak: str,
+                         out_col: str = "rolling_avg") -> pd.DataFrame:
+    """Per-key rolling mean over the trailing `window` rows (ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW), ordered by
+    (order_col, tiebreak).
+
+    A rolling frame needs each key's rows co-located and ordered, so
+    this uses the real `groupby(key).map_groups` shuffle — the same
+    partitioning assumption as sessionization (one key fits one
+    group). Inside a group the computation is C-level pandas
+    `rolling(...).mean()`. SQL twin: AVG(v) OVER (PARTITION BY key
+    ORDER BY order_col, tiebreak ROWS BETWEEN n-1 PRECEDING AND
+    CURRENT ROW).
+    """
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        g[out_col] = g[value_col].rolling(window, min_periods=1).mean()
+        return g
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()

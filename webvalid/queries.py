@@ -1002,3 +1002,25 @@ def asof_partitioned_clicks_purchases(sf_dir: str):
     out = out.rename(columns={"event_id": "click_id", "ts": "ts_us"})
     return out[["click_id", "ts_us", "user_id", "purchase_id", "purchase_value"]] \
         .sort_values("click_id").reset_index(drop=True)
+
+
+def rolling_avg_value_events(sf_dir: str, window: int = 3):
+    """Per-user trailing-3-row rolling mean of event value (window
+    frame family, ops/rank.py:rolling_mean_per_key)."""
+    from webvalid.ops.rank import rolling_mean_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "user_id": t["user_id"], "value": t["value"]})
+
+    out = rolling_mean_per_key(
+        ds.map_batches(ts_us, batch_format="pyarrow"),
+        key="user_id", order_col="ts_us", value_col="value",
+        window=window, tiebreak="event_id",
+    )
+    out["rolling_avg"] = out["rolling_avg"].round(6)
+    return out[["event_id", "user_id", "rolling_avg"]] \
+        .sort_values("event_id").reset_index(drop=True)
