@@ -160,13 +160,22 @@ def dup_candidates_from_hash_arrays(hash_blobs: list[bytes],
         return _dups_in(arrays)
 
     shift = np.uint64(64 - int(np.log2(n_buckets)))
+    boundaries = (np.arange(1, n_buckets, dtype=np.uint64) << shift)
     buckets: list[list[np.ndarray]] = [[] for _ in range(n_buckets)]
     for a in arrays:
-        b = (a >> shift).astype(np.int64)
-        order = np.argsort(b, kind="stable")
-        sorted_a, sorted_b = a[order], b[order]
-        bounds = np.searchsorted(sorted_b, np.arange(1, n_buckets))
-        for i, chunk in enumerate(np.split(sorted_a, bounds)):
+        # the partial pass emits blobs PRE-SORTED (sorted in the
+        # parallel scan tasks), so bucketing is n_buckets-1 binary
+        # searches; the argsort fallback keeps unsorted blobs (older
+        # checkpoints, other callers) correct — the is-sorted check is
+        # ~70x cheaper than sorting
+        if len(a) < 2 or bool((a[1:] >= a[:-1]).all()):
+            bounds = np.searchsorted(a, boundaries)
+        else:
+            b = (a >> shift).astype(np.int64)
+            order = np.argsort(b, kind="stable")
+            a, sorted_b = a[order], b[order]
+            bounds = np.searchsorted(sorted_b, np.arange(1, n_buckets))
+        for i, chunk in enumerate(np.split(a, bounds)):
             if len(chunk):
                 buckets[i].append(chunk)
 

@@ -196,10 +196,14 @@ class CombinedPartial:
         # vectorized hash64 is shared with the text-parity fingerprint
         urls = batch["url"].to_numpy(zero_copy_only=False)
         url_hashes = hash64(urls)
+        # blob is SORTED here (parallel, ~5 ms/batch) so uniqueness
+        # pass 1 buckets with binary searches instead of a driver-side
+        # argsort per blob; candidates are a multiset property, so
+        # sorted and unsorted blobs are interchangeable downstream
         hash_tab = pa.table(
             {
                 "partition_id": pa.array([int(batch["partition_id"][0].as_py())], pa.int64()),
-                "state": pa.array([url_hashes.tobytes()], pa.binary()),
+                "state": pa.array([np.sort(url_hashes).tobytes()], pa.binary()),
             }
         )
         parts = [
