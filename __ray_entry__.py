@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus n-gram frequency (word-count shape)
         "unigram_topk_documents": q.unigram_topk_documents,
         "bigram_topk_documents": q.bigram_topk_documents,
+        "unigram_topk_sketch_documents": q.unigram_topk_sketch_documents,
         # distributed connected components (dup-cluster assignment)
         "components_events_users": q.components_events_users,
         "dedup_clusters_documents": q.dedup_clusters_documents,
@@ -382,6 +383,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "unigram_topk_documents": """
+            SELECT ngram, cnt FROM (
+                SELECT token AS ngram, COUNT(*) AS cnt FROM (
+                    SELECT unnest(str_split(text, ' ')) AS token FROM documents
+                ) GROUP BY token
+            ) ORDER BY cnt DESC, ngram LIMIT 50
+        """,
+        "unigram_topk_sketch_documents": """
             SELECT ngram, cnt FROM (
                 SELECT token AS ngram, COUNT(*) AS cnt FROM (
                     SELECT unnest(str_split(text, ' ')) AS token FROM documents

@@ -271,3 +271,36 @@ def test_stratified_sample_null_stratum_uses_default_rate(ray_session):
     # and with default 0.0, nothing survives
     out2 = stratified_sample(ds, rates={"en": 1.0}, default_rate=0.0).to_pandas()
     assert sorted(out2["doc_id"]) == [i for i in range(300) if i % 3 != 0]
+
+
+def test_ngram_topk_sketch_equals_exact(ray_session):
+    import numpy as np
+
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_counts, ngram_topk_sketch
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(vocab[int(v) % 400] for v in rng.zipf(1.4, 12))
+             for _ in range(800)]
+    ds = ray.data.from_items([{"text": t} for t in texts]).repartition(6)
+    exact = ngram_counts(ds, n=1, top_k=20)
+    sk = ngram_topk_sketch(ds, n=1, top_k=20, k_counters=512)
+    assert sk["ngram"].tolist() == exact["ngram"].tolist()
+    assert sk["cnt"].tolist() == exact["cnt"].tolist()
+
+
+def test_ngram_topk_sketch_refuses_uncertifiable(ray_session):
+    import pytest as _pytest
+
+    import ray.data
+
+    from webvalid.ops.ngrams import ngram_topk_sketch
+
+    # 3000 distinct singleton tokens, only 4 counters: the k-th count
+    # (1) cannot beat the error bound -> must raise, never silently
+    # return an approximate answer
+    ds = ray.data.from_items([{"text": f"unique{i}"} for i in range(3000)])
+    with _pytest.raises(ValueError, match="not certifiable"):
+        ngram_topk_sketch(ds, n=1, top_k=10, k_counters=4)

@@ -119,3 +119,55 @@ def test_hll_serialize_roundtrip():
     h = HyperLogLog().add(np.arange(1000))
     r = HyperLogLog.deserialize(h.serialize())
     assert r.estimate() == h.estimate() and (r.registers == h.registers).all()
+
+
+# ---------- Misra–Gries heavy hitters ----------
+
+
+def test_misra_gries_guarantee_and_merge():
+    import numpy as np
+
+    from webvalid.sketches import MisraGries
+
+    rng = np.random.default_rng(3)
+    # zipf-ish stream over 5000 distinct items
+    items = [f"item{int(v)}" for v in rng.zipf(1.3, 40_000) % 5000]
+    from collections import Counter
+
+    truth = Counter(items)
+    n = len(items)
+    k = 256
+
+    # split into chunks, sketch each, merge — the mergeable-summaries path
+    mg = MisraGries(k=k)
+    chunk = len(items) // 7
+    parts = [items[i:i + chunk] for i in range(0, len(items), chunk)]
+    sketches = []
+    for p in parts:
+        s = MisraGries(k=k)
+        s.add(np.asarray(p, dtype=object))
+        sketches.append(s)
+    for s in sketches:
+        mg.merge(s)
+
+    assert mg.n == n
+    assert len(mg.counts) <= k
+    bound = mg.error_bound()
+    for item, c in mg.counts.items():
+        assert c <= truth[item]            # never overcount
+        assert truth[item] - c <= bound + 1e-9  # bounded undercount
+    # every item with true frequency above the bound must survive
+    for item, f in truth.items():
+        if f > bound:
+            assert item in mg.counts, (item, f, bound)
+
+
+def test_misra_gries_serialize_roundtrip():
+    import numpy as np
+
+    from webvalid.sketches import MisraGries
+
+    mg = MisraGries(k=8)
+    mg.add(np.asarray(list("aabbbbcccccxyz"), dtype=object))
+    back = MisraGries.deserialize(mg.serialize())
+    assert back.counts == mg.counts and back.n == mg.n and back.k == mg.k

@@ -181,3 +181,101 @@ def ngram_contamination(ds, benchmark_texts: list, n: int = 2,
     # so a plain per-doc sum is exact
     out = parts.groupby("doc_id", as_index=False)["n_hits"].sum()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _mg_partial(batch: pa.Table, text_col: str, n: int, k: int) -> pa.Table:
+    from webvalid.sketches import MisraGries
+
+    counts = _batch_ngram_counts(batch, text_col, n)
+    mg = MisraGries(k=k)
+    if counts.num_rows:
+        mg.add(counts["ngram"].to_numpy(zero_copy_only=False),
+               counts["cnt"].to_numpy(zero_copy_only=False))
+    else:
+        mg.n = 0
+    return pa.table({"state": pa.array([mg.serialize()], pa.binary())})
+
+
+def ngram_topk_sketch(ds, text_col: str = "text", n: int = 1, top_k: int = 50,
+                      k_counters: int = 4096) -> pd.DataFrame:
+    """EXACT corpus top-k n-grams in O(k_counters) memory — the
+    unbounded-vocabulary scale path for `ngram_counts`.
+
+    Two passes:
+    1. Per-batch Misra–Gries partials merge to a candidate set that
+       provably contains every n-gram with frequency > N/(k+1)
+       (mergeable-summaries guarantee — the full vocabulary never
+       materializes anywhere).
+    2. Candidates broadcast as a sorted hash array; one vectorized
+       membership+count pass yields their EXACT frequencies.
+
+    The result equals the exact top-k whenever the k-th item's true
+    frequency exceeds the sketch's error bound N/(k_counters+1); the
+    bound is CHECKED at runtime and a ValueError asks for more
+    counters if it fails (never a silently-approximate answer).
+    """
+    import numpy as np
+
+    import ray
+
+    from webvalid.sketches import MisraGries, hash64
+
+    parts = ds.map_batches(
+        lambda t: _mg_partial(t, text_col, n, k_counters), batch_format="pyarrow"
+    ).to_pandas()
+    mg = MisraGries(k=k_counters)
+    for blob in parts["state"]:
+        mg.merge(MisraGries.deserialize(blob))
+    cand = np.asarray(list(mg.counts.keys()), dtype=object)
+    if len(cand) == 0:
+        if mg.error_bound() > 0:
+            # all counters cancelled (near-uniform data): nothing is
+            # certifiable — never return an empty "top-k" silently
+            raise ValueError(
+                f"top-{top_k} not certifiable: no candidate survived the "
+                f"sketch (error bound {mg.error_bound():.1f}); "
+                f"raise k_counters (= {k_counters})"
+            )
+        return pd.DataFrame({"ngram": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype="int64")})
+    cand_hashes = hash64(cand)
+    order = np.argsort(cand_hashes)
+    cand_ref = ray.put((cand_hashes[order], cand[order]))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        hashes_sorted, _ = ray.get(cand_ref)
+        counts = _batch_ngram_counts(batch, text_col, n)
+        if counts.num_rows == 0:
+            return pa.table({"hash": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64())})
+        h = hash64(counts["ngram"].to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(hashes_sorted, h)
+        pos[pos >= len(hashes_sorted)] = len(hashes_sorted) - 1
+        hit = hashes_sorted[pos] == h
+        return pa.table({"hash": pa.array(h[hit], pa.uint64()),
+                         "cnt": counts["cnt"].filter(pa.array(hit))})
+
+    exact = ds.map_batches(exact_counts, batch_format="pyarrow").to_pandas()
+    agg = exact.groupby("hash", as_index=False)["cnt"].sum()
+    hashes_sorted, cand_sorted = cand_hashes[order], cand[order]
+    pos = np.searchsorted(hashes_sorted, agg["hash"].to_numpy().astype(np.uint64))
+    agg["ngram"] = cand_sorted[pos]
+    agg = agg.sort_values(["cnt", "ngram"], ascending=[False, True],
+                          ignore_index=True)
+    bound = mg.error_bound()
+    if bound > 0:
+        # non-candidates can have true frequency up to `bound`; only
+        # exact counts strictly above it are certifiably in the top-k
+        certified = agg[agg["cnt"] > bound]
+        if len(certified) < top_k:
+            raise ValueError(
+                f"top-{top_k} not certifiable: only {len(certified)} "
+                f"candidates exceed the sketch error bound {bound:.1f}; "
+                f"raise k_counters (= {k_counters})"
+            )
+        agg = certified
+    # bound == 0 → the vocab never exceeded the counters: counts are
+    # plain exact for the WHOLE vocabulary, no certification needed
+    out = agg.head(top_k)[["ngram", "cnt"]].reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out

@@ -1024,3 +1024,13 @@ def rolling_avg_value_events(sf_dir: str, window: int = 3):
     out["rolling_avg"] = out["rolling_avg"].round(6)
     return out[["event_id", "user_id", "rolling_avg"]] \
         .sort_values("event_id").reset_index(drop=True)
+
+
+def unigram_topk_sketch_documents(sf_dir: str, k: int = 50):
+    """Same exact top-50 tokens, computed through the O(counters)-memory
+    Misra–Gries two-pass path (ops/ngrams.py:ngram_topk_sketch) — the
+    unbounded-vocabulary scale route; shares unigram_topk's oracle."""
+    from webvalid.ops.ngrams import ngram_topk_sketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ngram_topk_sketch(ds, n=1, top_k=k, k_counters=4096)

@@ -424,3 +424,93 @@ def ks_two_sample_from_hist(h1: NumericHistogram, h2: NumericHistogram) -> tuple
     lam = (en + 0.12 + 0.11 / en) * d
     p = 2.0 * sum((-1) ** (k - 1) * math.exp(-2 * (k * lam) ** 2) for k in range(1, 101))
     return d, float(min(1.0, max(0.0, p)))
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Heavy-hitter summary with k counters (Misra–Gries).
+
+    Deterministic guarantee: after summarizing a stream of N items,
+    every stored count c(x) satisfies f(x) - N/(k+1) <= c(x) <= f(x),
+    so any item with true frequency above N/(k+1) is guaranteed
+    present. Mergeable (Agarwal et al., "Mergeable Summaries",
+    PODS'12): merge = add counts, then subtract the (k+1)-th largest
+    count from everything and drop non-positives — the union keeps the
+    same error bound. This is the bounded-memory path for corpus
+    n-gram/top-k statistics when the vocabulary exceeds memory
+    (`ops/ngrams.ngram_counts(strategy="driver")` assumes it fits).
+    """
+
+    __slots__ = ("k", "counts", "n", "err")
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.counts: dict = {}
+        self.n = 0
+        # actual max undercount: the sum of thresholds subtracted by
+        # shrinks along this sketch's merge history. Always <= n/(k+1);
+        # EXACTLY 0 when the vocabulary never exceeded k (sketch is
+        # then a plain exact count table).
+        self.err = 0
+
+    def add(self, values, counts=None) -> "MisraGries":
+        """Add values (optionally pre-aggregated with counts) —
+        pre-aggregate per batch so the Python dict work is
+        O(batch vocab), not O(batch items)."""
+        import pandas as pd
+
+        arr = np.asarray(values, dtype=object)
+        if counts is None:
+            codes, uniques = pd.factorize(arr, use_na_sentinel=False)
+            cs = np.bincount(codes, minlength=len(uniques))
+            items = zip(uniques, cs)
+        else:
+            items = zip(arr, np.asarray(counts))
+        for v, c in items:
+            c = int(c)
+            self.n += c
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64,
+                           count=len(self.counts))
+        # subtract the (k+1)-th largest count; at most k survive
+        thresh = int(np.partition(vals, -self.k - 1)[-self.k - 1])
+        self.err += thresh
+        self.counts = {key: c - thresh for key, c in self.counts.items()
+                       if c > thresh}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.n += other.n
+        self.err += other.err
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._shrink()
+        return self
+
+    def top(self, m: int) -> list[tuple]:
+        """Top-m surviving items by retained count (a LOWER bound on
+        true frequency; upper bound adds n/(k+1))."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+
+    def error_bound(self) -> float:
+        """Max undercount of any stored counter (sum of subtracted
+        shrink thresholds; 0 when the vocab never exceeded k, and
+        always <= n/(k+1))."""
+        return float(min(self.err, self.n / (self.k + 1)))
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.k, self.counts, self.n, self.err))
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "MisraGries":
+        mg = cls()
+        mg.k, mg.counts, mg.n, mg.err = pickle.loads(blob)
+        return mg
