@@ -299,3 +299,37 @@ def test_top_n_per_key_matches_pandas(ray_session):
     assert got[["k", "v", "id"]].values.tolist() == exp[["k", "v", "id"]].values.tolist()
     assert (got.groupby("k")["rn"].max() <= 3).all()
     assert (got.groupby("k")["rn"].min() == 1).all()
+
+
+def test_decode_pnm_real_formats(ray_session):
+    """PGM/PPM payloads decode for REAL (pure-numpy PNM parser);
+    non-PNM payloads keep the deterministic stub path."""
+    import numpy as np
+    import ray.data
+
+    from webvalid.ops.multimodal import decode_images, decode_pnm
+
+    # 4x2 grayscale PGM, all pixels 100 (with a header comment)
+    pgm = b"P5\n# comment\n4 2\n255\n" + bytes([100] * 8)
+    # 2x2 RGB PPM, pixels (255, 0, 0)
+    ppm = b"P6\n2 2\n255\n" + bytes([255, 0, 0] * 4)
+    assert decode_pnm(pgm) == (4, 2, 100 / 255)
+    w, h, m = decode_pnm(ppm)
+    assert (w, h) == (2, 2) and abs(m - (255 + 0 + 0) / 3 / 255) < 1e-12
+    assert decode_pnm(b"\x89PNG????????????") is None
+    assert decode_pnm(b"P6\n2 2\n255\n" + b"\x00") is None  # truncated raster
+
+    ds = ray.data.from_items([
+        {"url": "a", "html": pgm},
+        {"url": "b", "html": ppm},
+        {"url": "c", "html": b"not an image at all, hits the stub"},
+        {"url": "d", "html": None},
+    ])
+    out = decode_images(ds, concurrency=1, batch_size=4).to_pandas()
+    m = out.set_index("url")
+    assert (m.loc["a", "width"], m.loc["a", "height"]) == (4, 2)
+    assert abs(m.loc["a", "mean_intensity"] - 100 / 255) < 1e-12
+    assert (m.loc["b", "width"], m.loc["b", "height"]) == (2, 2)
+    assert m.loc["c", "width"] > 0          # stub still produces metadata
+    assert m.loc["d", "width"] == 0         # null payload marked undecoded
+    assert all(len(f) == 32 for f in out["features"])

@@ -35,6 +35,46 @@ def _try_pil():
         return None
 
 
+def decode_pnm(payload: bytes) -> tuple[int, int, float] | None:
+    """REAL decoder for binary PNM images (PGM 'P5' grayscale / PPM
+    'P6' RGB) — pure numpy, no codec library needed. Returns
+    (width, height, mean_intensity in [0,1]) or None if the payload is
+    not a well-formed 8-bit binary PNM.
+
+    The one genuinely-decodable format in this container; PIL formats
+    go through `_try_pil`, everything else hits the documented stub.
+    """
+    if len(payload) < 10 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        return None
+    channels = 1 if payload[1:2] == b"5" else 3
+    # header: magic, width, height, maxval as whitespace-separated
+    # tokens; '#' comments run to end-of-line
+    pos = 2
+    fields: list[int] = []
+    try:
+        while len(fields) < 3:
+            while payload[pos:pos + 1].isspace():
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval, then raster
+    except (ValueError, IndexError):
+        return None
+    width, height, maxval = fields
+    if not (0 < width and 0 < height and 0 < maxval < 256):
+        return None
+    need = width * height * channels
+    if len(payload) - pos < need:
+        return None
+    pix = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return width, height, float(pix.mean() / maxval)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     """Deterministic fake decode: (width, height, mean_intensity)."""
     h = hashlib.blake2b(payload, digest_size=8).digest()
@@ -58,6 +98,9 @@ class DecodeImageStub:
         self.pil = _try_pil()
 
     def _decode_impl(self, payload: bytes) -> tuple[int, int, float]:
+        pnm = decode_pnm(payload)
+        if pnm is not None:
+            return pnm
         if self.pil is not None:
             import io
 
