@@ -333,3 +333,40 @@ def test_decode_pnm_real_formats(ray_session):
     assert m.loc["c", "width"] > 0          # stub still produces metadata
     assert m.loc["d", "width"] == 0         # null payload marked undecoded
     assert all(len(f) == 32 for f in out["features"])
+
+
+def test_decode_pnm_never_hangs_on_truncated_headers():
+    """Truncated/hostile P5/P6 headers must return None, not spin
+    (the unbounded token scan previously looped forever: slicing past
+    the buffer yields b'' and b''.isspace() is False)."""
+    from webvalid.ops.multimodal import decode_pnm
+
+    hostiles = [
+        b"P5\n44 22\n2",             # header token runs to end-of-buffer
+        b"P6" + b"x" * 10,           # no whitespace at all
+        b"P5\n# comment only",       # comment, then nothing
+        b"P5\n12 ",                  # trailing whitespace, missing fields
+        b"P5\n1 1\n999\n" + b"\x00", # maxval out of range
+    ]
+    for p in hostiles:
+        assert decode_pnm(p) is None, p
+
+
+def test_decode_pnm_crlf_header():
+    from webvalid.ops.multimodal import decode_pnm
+
+    crlf = b"P5\r\n4 2\r\n255\r\n" + bytes([10] * 8)
+    assert decode_pnm(crlf) == (4, 2, 10 / 255)
+
+
+def test_force_stub_bypasses_pnm(monkeypatch):
+    import importlib
+
+    from webvalid.ops import multimodal
+
+    monkeypatch.setenv("WEBVALID_FORCE_STUB", "1")
+    stub = multimodal.DecodeImageStub()
+    pgm = b"P5\n4 2\n255\n" + bytes([100] * 8)
+    w, h, m = stub._decode_impl(pgm)
+    assert (w, h, m) != (4, 2, 100 / 255)  # fake, not the real decode
+    assert (w, h, m) == multimodal._fake_decode(pgm)

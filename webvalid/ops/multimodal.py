@@ -48,21 +48,34 @@ def decode_pnm(payload: bytes) -> tuple[int, int, float] | None:
         return None
     channels = 1 if payload[1:2] == b"5" else 3
     # header: magic, width, height, maxval as whitespace-separated
-    # tokens; '#' comments run to end-of-line
+    # tokens; '#' comments run to end-of-line. Every scan is bounded by
+    # `end` — slicing past the buffer returns b'' (never IndexError),
+    # so an unbounded loop would SPIN forever on a truncated header.
     pos = 2
+    end = len(payload)
     fields: list[int] = []
     try:
         while len(fields) < 3:
-            while payload[pos:pos + 1].isspace():
+            while pos < end and payload[pos:pos + 1].isspace():
                 pos += 1
+            if pos >= end:
+                return None
             if payload[pos:pos + 1] == b"#":
                 pos = payload.index(b"\n", pos) + 1
                 continue
             start = pos
-            while not payload[pos:pos + 1].isspace():
+            while pos < end and not payload[pos:pos + 1].isspace():
                 pos += 1
+            if pos >= end:
+                return None
             fields.append(int(payload[start:pos]))
-        pos += 1  # single whitespace after maxval, then raster
+        # single whitespace after maxval, then the raster; tolerate the
+        # common out-of-spec CRLF separator (else the raster would be
+        # read one byte off, silently)
+        sep = payload[pos:pos + 1]
+        pos += 1
+        if sep == b"\r" and payload[pos:pos + 1] == b"\n":
+            pos += 1
     except (ValueError, IndexError):
         return None
     width, height, maxval = fields
@@ -96,8 +109,13 @@ class DecodeImageStub:
         self.payload_col = payload_col
         self.id_col = id_col
         self.pil = _try_pil()
+        # honor the documented contract: FORCE_STUB bypasses ALL real
+        # decoders (PNM included), keeping stub runs hermetic
+        self.force_stub = bool(os.environ.get("WEBVALID_FORCE_STUB"))
 
     def _decode_impl(self, payload: bytes) -> tuple[int, int, float]:
+        if self.force_stub:
+            return _fake_decode(payload)
         pnm = decode_pnm(payload)
         if pnm is not None:
             return pnm

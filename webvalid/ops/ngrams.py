@@ -191,8 +191,6 @@ def _mg_partial(batch: pa.Table, text_col: str, n: int, k: int) -> pa.Table:
     if counts.num_rows:
         mg.add(counts["ngram"].to_numpy(zero_copy_only=False),
                counts["cnt"].to_numpy(zero_copy_only=False))
-    else:
-        mg.n = 0
     return pa.table({"state": pa.array([mg.serialize()], pa.binary())})
 
 
@@ -240,26 +238,38 @@ def ngram_topk_sketch(ds, text_col: str = "text", n: int = 1, top_k: int = 50,
                              "cnt": pd.Series([], dtype="int64")})
     cand_hashes = hash64(cand)
     order = np.argsort(cand_hashes)
-    cand_ref = ray.put((cand_hashes[order], cand[order]))
+    hashes_sorted, cand_sorted = cand_hashes[order], cand[order]
+    if len(np.unique(hashes_sorted)) != len(hashes_sorted):
+        # two candidate strings share a hash64 (~k²/2⁶⁴ odds): the
+        # broadcast membership can't distinguish them — refuse rather
+        # than certify corrupted counts
+        raise ValueError("candidate hash collision; rerun with a "
+                         "different seed or use ngram_counts")
+    cand_ref = ray.put((hashes_sorted, cand_sorted))
 
     def exact_counts(batch: pa.Table) -> pa.Table:
-        hashes_sorted, _ = ray.get(cand_ref)
+        h_sorted, c_sorted = ray.get(cand_ref)
         counts = _batch_ngram_counts(batch, text_col, n)
         if counts.num_rows == 0:
-            return pa.table({"hash": pa.array([], pa.uint64()),
+            return pa.table({"cand_idx": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
-        h = hash64(counts["ngram"].to_numpy(zero_copy_only=False))
-        pos = np.searchsorted(hashes_sorted, h)
-        pos[pos >= len(hashes_sorted)] = len(hashes_sorted) - 1
-        hit = hashes_sorted[pos] == h
-        return pa.table({"hash": pa.array(h[hit], pa.uint64()),
-                         "cnt": counts["cnt"].filter(pa.array(hit))})
+        grams = counts["ngram"].to_numpy(zero_copy_only=False)
+        h = hash64(grams)
+        pos = np.searchsorted(h_sorted, h)
+        pos[pos >= len(h_sorted)] = len(h_sorted) - 1
+        hit = h_sorted[pos] == h
+        # exact-key confirmation: a non-candidate colliding with a
+        # candidate's hash must not pollute its "exact" count
+        idx = np.flatnonzero(hit)
+        if len(idx):
+            really = c_sorted[pos[idx]] == grams[idx]
+            idx = idx[really]
+        return pa.table({"cand_idx": pa.array(pos[idx], pa.int64()),
+                         "cnt": counts["cnt"].take(pa.array(idx, pa.int64()))})
 
     exact = ds.map_batches(exact_counts, batch_format="pyarrow").to_pandas()
-    agg = exact.groupby("hash", as_index=False)["cnt"].sum()
-    hashes_sorted, cand_sorted = cand_hashes[order], cand[order]
-    pos = np.searchsorted(hashes_sorted, agg["hash"].to_numpy().astype(np.uint64))
-    agg["ngram"] = cand_sorted[pos]
+    agg = exact.groupby("cand_idx", as_index=False)["cnt"].sum()
+    agg["ngram"] = cand_sorted[agg["cand_idx"].to_numpy()]
     agg = agg.sort_values(["cnt", "ngram"], ascending=[False, True],
                           ignore_index=True)
     bound = mg.error_bound()

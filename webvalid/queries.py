@@ -1012,8 +1012,11 @@ def rolling_avg_value_events(sf_dir: str, window: int = 3):
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     def ts_us(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))  # unit-normalize before int64
         return pa.table({"event_id": t["event_id"],
-                         "ts_us": t["ts"].cast(pa.int64()),
+                         "ts_us": ts.cast(pa.int64()),
                          "user_id": t["user_id"], "value": t["value"]})
 
     out = rolling_mean_per_key(
