@@ -56,3 +56,31 @@ def test_uncommitted_group_debris_is_recomputed(ray_session, fix, tmp_path_facto
         a = canon(clean[key].drop(columns=["detail"], errors="ignore"))
         b = canon(res[key].drop(columns=["detail"], errors="ignore"))
         assert a.equals(b), key
+
+
+def test_map_stage_survives_worker_death(ray_session, tmp_path):
+    """Ray's lineage-based retry must transparently recover a map task
+    whose worker process DIES mid-stage (the cluster reality the
+    resumable design assumes underneath the checkpoint layer)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    marker = str(tmp_path / "died_once")
+
+    def poison(t: pa.Table) -> pa.Table:
+        # first execution anywhere kills its worker; the retry (and
+        # every other task) proceeds
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(1)
+        return t
+
+    ds = ray.data.range(10_000, override_num_blocks=8).map_batches(
+        poison, batch_format="pyarrow"
+    )
+    total = ds.sum("id")
+    assert total == sum(range(10_000))
+    assert os.path.exists(marker)
