@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_topk_sketch_documents": q.unigram_topk_sketch_documents,
         # distributed connected components (dup-cluster assignment)
         "components_events_users": q.components_events_users,
+        "components_star_events_users": q.components_star_events_users,
         "dedup_clusters_documents": q.dedup_clusters_documents,
         # exact grouped quantiles via the full groupby shuffle path
         "grouped_quantiles_lineitem": q.grouped_quantiles_lineitem,
@@ -409,6 +410,20 @@ def oracle_sql() -> dict[str, str]:
         # min-reachable-label components of the functional graph
         # u <-> (2u mod 150), via transitive closure
         "components_events_users": """
+            WITH RECURSIVE base AS (
+                SELECT DISTINCT user_id AS a, (user_id * 2) % 150 AS b FROM events
+            ), undirected AS (
+                SELECT a, b FROM base UNION SELECT b, a FROM base
+                UNION SELECT a, a FROM base UNION SELECT b AS a, b FROM base
+            ), reach(a, b) AS (
+                SELECT a, b FROM undirected
+                UNION
+                SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+            )
+            SELECT a AS node, MIN(b) AS component FROM reach
+            GROUP BY a ORDER BY node
+        """,
+        "components_star_events_users": """
             WITH RECURSIVE base AS (
                 SELECT DISTINCT user_id AS a, (user_id * 2) % 150 AS b FROM events
             ), undirected AS (

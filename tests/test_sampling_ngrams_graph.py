@@ -304,3 +304,34 @@ def test_ngram_topk_sketch_refuses_uncertifiable(ray_session):
     ds = ray.data.from_items([{"text": f"unique{i}"} for i in range(3000)])
     with _pytest.raises(ValueError, match="not certifiable"):
         ngram_topk_sketch(ds, n=1, top_k=10, k_counters=4)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_starlike_components_match_dsu(ray_session, seed):
+    """The fully-distributed alternating-star path must agree with the
+    forest-contraction path on random graphs."""
+    import ray.data
+
+    from webvalid.ops.graph import connected_components, connected_components_starlike
+
+    rng = random.Random(seed)
+    n_nodes = 200
+    edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+             for _ in range(150)]
+    ds = ray.data.from_items([{"src": a, "dst": b} for a, b in edges]).repartition(4)
+    dsu = connected_components(ds)
+    star = connected_components_starlike(ds)
+    assert dict(zip(star["node"], star["component"])) == \
+           dict(zip(dsu["node"], dsu["component"]))
+
+
+def test_starlike_components_chain(ray_session):
+    import ray.data
+
+    from webvalid.ops.graph import connected_components_starlike
+
+    edges = [{"src": i, "dst": i + 1} for i in range(60)]
+    ds = ray.data.from_items(edges).repartition(6)
+    got = connected_components_starlike(ds)
+    assert set(got["component"]) == {0}
+    assert len(got) == 61

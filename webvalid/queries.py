@@ -1037,3 +1037,19 @@ def unigram_topk_sketch_documents(sf_dir: str, k: int = 50):
 
     ds = _read(sf_dir, "documents", columns=["text"])
     return ngram_topk_sketch(ds, n=1, top_k=k, k_counters=4096)
+
+
+def components_star_events_users(sf_dir: str):
+    """Same user graph, computed by the fully-distributed alternating
+    large-star/small-star rounds (no O(#nodes) driver state)."""
+    from webvalid.ops.graph import connected_components_starlike
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(u), "dst": pa.array((u * 2) % 150)})
+
+    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+        edges, batch_format="pyarrow"
+    )
+    out = connected_components_starlike(ds)
+    return out.sort_values("node").reset_index(drop=True)
