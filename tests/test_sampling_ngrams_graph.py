@@ -335,3 +335,15 @@ def test_starlike_components_chain(ray_session):
     got = connected_components_starlike(ds)
     assert set(got["component"]) == {0}
     assert len(got) == 61
+
+
+def test_starlike_components_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.graph import connected_components_starlike
+
+    empty = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                          "dst": pa.array([], pa.int64())}))
+    out = connected_components_starlike(empty)
+    assert len(out) == 0 and list(out.columns) == ["node", "component"]

@@ -130,18 +130,16 @@ def _star_round(edges_ds, phase: str):
     assumed on input; output edges point child → candidate-center).
     Each node's neighborhood is co-located by one groupby; inside a
     group everything is numpy."""
-    import pyarrow.compute as pc
 
     def both_dirs(t: pa.Table) -> pa.Table:
-        a, b = t["src"], t["dst"]
-        return pa.table({
-            "u": pa.concat_arrays(
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
-                 b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
-            "v": pa.concat_arrays(
-                [b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
-                 a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
-        })
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        # per-batch dedup BEFORE the shuffle: raw pair tables (e.g. one
+        # edge per event row) shrink by orders of magnitude here
+        pairs = np.unique(np.stack([np.concatenate([a, b]),
+                                    np.concatenate([b, a])], axis=1), axis=0)
+        return pa.table({"u": pa.array(pairs[:, 0]),
+                         "v": pa.array(pairs[:, 1])})
 
     def star(g: pd.DataFrame) -> pd.DataFrame:
         u = int(g["u"].iloc[0])
@@ -150,11 +148,11 @@ def _star_round(edges_ds, phase: str):
         if phase == "large":
             targets = np.unique(nbrs[nbrs > u])
         else:
+            # small-star: smaller-or-equal neighbors AND u itself (when
+            # u is not already the center) all point at m
             targets = np.unique(nbrs[nbrs <= u])
-            targets = targets[targets != m]
             if m != u:
-                targets = np.append(targets, u) if u != m else targets
-                targets = np.unique(targets)
+                targets = np.unique(np.append(targets, u))
         targets = targets[targets != m]
         if len(targets) == 0:
             # keep the node reachable: self-loop at its current min
@@ -179,8 +177,6 @@ def connected_components_starlike(edges_ds, src: str = "src", dst: str = "dst",
     component's minimum id; returns (node, component) like the DSU
     path (equivalence-tested).
     """
-    import ray.data
-
     from webvalid.sketches import hash64
 
     def rename(t: pa.Table) -> pa.Table:
@@ -189,17 +185,31 @@ def connected_components_starlike(edges_ds, src: str = "src", dst: str = "dst",
 
     cur = edges_ds.map_batches(rename, batch_format="pyarrow")
 
-    def fingerprint(ds) -> int:
-        # order-insensitive edge-set hash, computed distributed
+    def fingerprint(ds) -> tuple[int, int]:
+        # order-insensitive edge-MULTISET hash: per-batch sums stay raw
+        # uint64 (mod-2^64 wrap is linear, so the value is independent
+        # of how Ray happened to partition the blocks); the driver sums
+        # with the same wrap. A per-batch mod 2^63 here would make the
+        # fingerprint partition-layout-dependent and converged graphs
+        # could "never" converge.
         def fp(t: pa.Table) -> pa.Table:
             a = t["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
             b = t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            mix = hash64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
-            return pa.table({"h": pa.array([int(mix.sum() % (1 << 63))], pa.int64()),
+            with np.errstate(over="ignore"):
+                mix = hash64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+                h = np.uint64(0) if len(mix) == 0 else mix.sum()  # sum only: linear
+            return pa.table({"h": pa.array([int(h)], pa.uint64()),
                              "n": pa.array([len(a)], pa.int64())})
 
         parts = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
-        return (int(parts["h"].sum()), int(parts["n"].sum()))
+        if len(parts) == 0:
+            return (0, 0)
+        h = int(parts["h"].astype(np.uint64).sum()) % (1 << 64)
+        return (h, int(parts["n"].sum()))
+
+    if fingerprint(cur)[1] == 0:  # empty edge set → no components
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
 
     prev_fp = None
     for _ in range(max_rounds):

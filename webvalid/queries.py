@@ -829,24 +829,26 @@ def bigram_topk_documents(sf_dir: str, k: int = 50):
     return ngram_counts(ds, n=2, top_k=k)
 
 
-def components_events_users(sf_dir: str):
-    """Connected components over a derived user graph (ops/graph.py).
-
-    Edges: user u ↔ (2u mod 150) for every user present in events — a
+def _user_graph_edges(sf_dir: str):
+    """Shared probe graph: user u ↔ (2u mod 150) per event row — a
     functional graph with long chains and cycles, the worst case for
-    naive label propagation and a good exactness probe for the
-    forest-contraction design. Labels are the min node id per
-    component; the oracle is a DuckDB recursive CTE."""
-    from webvalid.ops.graph import connected_components
-
+    naive label propagation. Must match the recursive-CTE oracles."""
     def edges(t: pa.Table) -> pa.Table:
         u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"src": pa.array(u), "dst": pa.array((u * 2) % 150)})
 
-    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
+    return _read(sf_dir, "events", columns=["user_id"]).map_batches(
         edges, batch_format="pyarrow"
     )
-    out = connected_components(ds)
+
+
+def components_events_users(sf_dir: str):
+    """Connected components over the probe user graph (ops/graph.py,
+    forest-contraction path); labels are the min node id per
+    component; the oracle is a DuckDB recursive CTE."""
+    from webvalid.ops.graph import connected_components
+
+    out = connected_components(_user_graph_edges(sf_dir))
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -1040,16 +1042,8 @@ def unigram_topk_sketch_documents(sf_dir: str, k: int = 50):
 
 
 def components_star_events_users(sf_dir: str):
-    """Same user graph, computed by the fully-distributed alternating
+    """Same probe graph, computed by the fully-distributed alternating
     large-star/small-star rounds (no O(#nodes) driver state)."""
     from webvalid.ops.graph import connected_components_starlike
 
-    def edges(t: pa.Table) -> pa.Table:
-        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"src": pa.array(u), "dst": pa.array((u * 2) % 150)})
-
-    ds = _read(sf_dir, "events", columns=["user_id"]).map_batches(
-        edges, batch_format="pyarrow"
-    )
-    out = connected_components_starlike(ds)
-    return out.sort_values("node").reset_index(drop=True)
+    return connected_components_starlike(_user_graph_edges(sf_dir))
