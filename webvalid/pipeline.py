@@ -482,7 +482,7 @@ def run_validation(
     ref_langs: str | None = None,
     ref_hosts: str | None = None,
     text_hashes: str | None = None,
-    files_per_group: int = 8,
+    files_per_group: int | None = None,
     max_groups: int | None = None,
     batch_size: int | None = None,
 ) -> dict:
@@ -553,6 +553,15 @@ def run_validation(
     _mark("setup_broadcast", t0)
 
     # --- per-group partial pass (resumable) ------------------------------
+    if files_per_group is None:
+        # auto-size: ~2 s of fixed cost per group (job launch,
+        # repartition, checkpoint write) must amortize, so cap the
+        # group COUNT, not the group size — a fixed files_per_group
+        # would create ~10^5 groups on a 10^6-file input. 64 groups
+        # bounds fixed cost at ~2 min regardless of corpus size while
+        # keeping crash-loss ≤ 1/64 of the run; small inputs keep
+        # 8-file groups for resume-test granularity.
+        files_per_group = max(8, -(-len(files) // 64))
     groups = [files[i: i + files_per_group] for i in range(0, len(files), files_per_group)]
     lineage: list[dict] = []
     new_groups = 0
