@@ -313,3 +313,38 @@ def test_split_column_partitions_every_row(texts):
         b = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
         expect = "train" if b < th[0][1] else ("valid" if b < th[1][1] else "test")
         assert s == expect
+
+
+@given(
+    st.lists(st.one_of(st.none(), st.text(alphabet="ab x", max_size=16)),
+             min_size=1, max_size=25),
+    st.lists(st.text(alphabet="ab x", min_size=1, max_size=3).map(str.strip)
+             .filter(lambda t: t and " " not in t), max_size=3),
+)
+@settings(max_examples=60, deadline=None)
+def test_rewrite_without_hot_matches_naive(texts, hot_tokens):
+    """The Arrow-offset rewrite kernel == the obvious Python rewrite,
+    over adversarial inputs: nulls anywhere, empty strings, runs of
+    spaces (empty tokens), hot sets that may match '' or nothing."""
+    import pyarrow as pa
+
+    from webvalid.ops.boilerplate import rewrite_without_hot
+    from webvalid.sketches import hash64
+
+    hot = sorted(set(hot_tokens))
+    hot_sorted = (np.sort(hash64(np.asarray(hot, dtype=object)))
+                  if hot else np.empty(0, dtype=np.uint64))
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = rewrite_without_hot(batch, "text", hot_sorted, ["doc_id"])
+    got = dict(zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()))
+
+    expect = {}
+    hotset = set(hot)
+    for i, t in enumerate(texts):
+        if t is None:
+            continue  # null docs drop
+        kept = [tok for tok in t.split(" ") if tok not in hotset]
+        if kept:
+            expect[i] = " ".join(kept)
+    assert got == expect
