@@ -370,3 +370,28 @@ def test_force_stub_bypasses_pnm(monkeypatch):
     w, h, m = stub._decode_impl(pgm)
     assert (w, h, m) != (4, 2, 100 / 255)  # fake, not the real decode
     assert (w, h, m) == multimodal._fake_decode(pgm)
+
+
+def test_minhash_duplicate_heavy_corpus_stars_not_quadratic(ray_session):
+    """A bucket of ~1500 identical docs must emit O(n) star pairs, not
+    O(n^2) all-pairs — and the pairs must still connect every copy
+    into ONE dedup component."""
+    import time
+
+    import ray.data
+
+    from webvalid.ops.dedup import minhash_lsh_candidates
+    from webvalid.ops.graph import dedup_components
+
+    n = 1500
+    docs = [{"doc_id": i, "text": "exactly the same contents everywhere " * 3}
+            for i in range(n)]
+    ds = ray.data.from_items(docs).repartition(4)
+    t0 = time.time()
+    pairs = minhash_lsh_candidates(ds, min_est_jaccard=0.5).to_pandas()
+    dt = time.time() - t0
+    assert len(pairs) < 5 * n          # star, not ~1.1M all-pairs
+    assert dt < 60
+    comp = dedup_components(ray.data.from_pandas(pairs[["doc_a", "doc_b"]]))
+    assert comp["component"].nunique() == 1
+    assert len(comp) == n

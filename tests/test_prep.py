@@ -84,3 +84,36 @@ def test_prep_corpus_tolerates_null_text(ray_session):
     out = prep_corpus(ray.data.from_items(rows).repartition(2),
                       max_df_frac=0.99).to_pandas()
     assert sorted(out["doc_id"]) == [0, 3]  # dup and null docs dropped
+
+
+def test_keep_filter_prefix_collision_never_drops_unique_doc(ray_session):
+    """An 8-byte md5-prefix collision with a dup group must NOT drop a
+    unique document: the exact-digest confirmation retains it."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from webvalid.ops.prep import _keep_filter
+
+    victim = "a unique document that merely shares a hash prefix"
+    v_prefix = np.frombuffer(
+        hashlib.md5(victim.encode()).digest()[:8], dtype=np.uint64
+    )
+    dup_text = "the actually duplicated text"
+    dup_digest = hashlib.md5(dup_text.encode()).digest()
+    # hostile broadcast: the victim's prefix listed as a dup group with
+    # keeper 999, full-digest map only knows the REAL dup text
+    prefixes = np.sort(np.concatenate(
+        [v_prefix, np.frombuffer(dup_digest[:8], dtype=np.uint64)]))
+    keepers = np.asarray([999, 7], dtype=np.int64)[np.argsort(np.concatenate(
+        [v_prefix, np.frombuffer(dup_digest[:8], dtype=np.uint64)]))]
+    ref = ray.put((prefixes, keepers, {dup_digest: 7}))
+    batch = pa.table({
+        "doc_id": pa.array([1, 7, 8], pa.int64()),
+        "text": pa.array([victim, dup_text, dup_text], pa.string()),
+    })
+    out = _keep_filter(ref, "text", "doc_id")(batch)
+    # victim kept (prefix hit, digest mismatch), keeper kept, dup dropped
+    assert out["doc_id"].to_pylist() == [1, 7]

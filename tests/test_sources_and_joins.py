@@ -189,3 +189,20 @@ def test_asof_partitioned_normalizes_ns_timestamps(ray_session):
     epoch_us = pd.Timestamp("2024-01-01 00:00:10").value // 1000
     assert part["ts"].iloc[0] == epoch_us
     assert part["val"].tolist() == [1.5, 1.5]
+
+
+def test_salted_anti_join_tolerates_null_keys(ray_session):
+    """Null keys on either side must not crash the vectorized bucket
+    membership; a null left key is always a miss (matches nothing)."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.joins import salted_anti_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None, "b", "zz", None], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    right = pa.table({"k": pa.array(["a", "b", None], pa.string())})
+    out = salted_anti_join(left, right, key="k").to_pandas()
+    assert sorted(out["v"]) == [2, 4, 5]  # nulls + unmatched key miss

@@ -51,6 +51,15 @@ class DriftPartial:
     churn is invisible, tail-mass shifts remain visible — and DILCA
     domains are bounded at max_keys+1, keeping the O(d²..d³) math and
     state size bounded on high-cardinality projections (e.g. url host).
+
+    CAVEAT (capped mode only): the top-`max_keys` cutoff is chosen PER
+    BATCH, so a value on the cap boundary can keep its identity in one
+    batch and fall into OTHER_BUCKET in another — capped drift counts
+    therefore depend (slightly) on Ray's batch layout, unlike every
+    other state in the engine. The exact default (max_keys=None) is
+    fully partition-independent; if a deterministic capped mode is ever
+    needed, derive a global keep-set first (e.g. via
+    sketches.MisraGries) and pass it down.
     """
 
     def __init__(self, columns: tuple[str, ...], max_keys: int | None = None):

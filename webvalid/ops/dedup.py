@@ -258,12 +258,21 @@ class MinHashSignatures(MinHasher):
 
 
 def _pairs_in_sorted_runs(keys: np.ndarray, ids: np.ndarray,
-                          payload: np.ndarray | None = None):
+                          payload: np.ndarray | None = None,
+                          star_cap: int = 256):
     """Emit unordered id pairs within equal-key runs of a SORTED key array.
 
     Runs of length 1 (the overwhelming majority) cost nothing; Python
     touches only collision buckets. Returns (a, b[, payload_a,
     payload_b]) lists with a < b, deduplicated.
+
+    Runs longer than `star_cap` emit a STAR (run-min id paired with
+    every other member) instead of all-pairs: a duplicate-heavy corpus
+    — the very thing dedup targets — can put 20k copies in one bucket,
+    and O(run²) enumeration would mean ~2·10⁸ pairs from a single
+    bucket. The star preserves component connectivity for clustering
+    and gives every member a verify partner; only the redundant
+    transitive pairs are dropped.
     """
     if len(keys) == 0:
         return [], [], [], []
@@ -273,6 +282,24 @@ def _pairs_in_sorted_runs(keys: np.ndarray, ids: np.ndarray,
     a_out, b_out, pa_out, pb_out = [], [], [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         if e - s < 2:
+            continue
+        if e - s > star_cap:
+            mi = s + int(np.argmin(ids[s:e]))
+            m = ids[mi]
+            for j in range(s, e):
+                if ids[j] == m:
+                    continue
+                lo, hi = (m, ids[j]) if m < ids[j] else (ids[j], m)
+                if (lo, hi) in seen:
+                    continue
+                seen.add((lo, hi))
+                a_out.append(lo)
+                b_out.append(hi)
+                if payload is not None:
+                    pl, ph = ((payload[mi], payload[j]) if m < ids[j]
+                              else (payload[j], payload[mi]))
+                    pa_out.append(pl)
+                    pb_out.append(ph)
             continue
         for i in range(s, e):
             for j in range(i + 1, e):
@@ -631,8 +658,10 @@ def _simhash_bucket_pairs(max_hamming: int):
             {
                 "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
                 "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
-                "hamming": pa.array(out["hamming"].to_numpy().astype(np.int32),
-                                    pa.int32()),
+                # int64 like the driver path — auto strategy selection
+                # must not flip the result schema
+                "hamming": pa.array(out["hamming"].to_numpy().astype(np.int64),
+                                    pa.int64()),
             }
         )
 

@@ -93,18 +93,31 @@ class BucketedAntiJoin:
                 .to_numpy(zero_copy_only=False)
                 for salt in range(self.n_salts)
             ]
-            ks = np.unique(np.concatenate(parts)) if parts else np.empty(0)
+            cat = np.concatenate(parts) if parts else np.empty(0)
+            if cat.dtype == object:
+                # np.unique cannot order None next to strings; null
+                # right-side keys can't match anything anyway
+                cat = cat[np.asarray([k is not None for k in cat], bool)]
+            ks = np.unique(cat)
             self._key_arrays[bucket] = ks
         return ks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key].to_numpy(zero_copy_only=False)
+        # a null left key matches nothing → always a miss (same as the
+        # original `k not in ks` set semantics); it must not reach the
+        # numpy sort-based membership, which cannot compare None
+        if keys.dtype == object:
+            null_left = np.asarray([k is None for k in keys], bool)
+        else:
+            null_left = np.zeros(len(keys), dtype=bool)
         b = bucket_of(keys, self.num_buckets)
         miss = np.zeros(len(keys), dtype=bool)
-        for bucket in np.unique(b):
+        for bucket in np.unique(b[~null_left]) if null_left.any() else np.unique(b):
             ks = self._keys_sorted(int(bucket))
-            sel = b == bucket
+            sel = (b == bucket) & ~null_left
             miss[sel] = ~_in_sorted_keys(ks, keys[sel])
+        miss |= null_left
         return batch.filter(pa.array(miss))
 
 

@@ -84,6 +84,9 @@ def ngram_counts(ds, text_col: str = "text", n: int = 1, top_k: int | None = Non
         pdf = combined.to_pandas()
     else:
         pdf = partials.to_pandas()
+        if len(pdf) == 0:  # all-empty blocks lose their columns in to_pandas
+            return pd.DataFrame({"ngram": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
         pdf = pdf.groupby("ngram", as_index=False, sort=False)["cnt"].sum()
     pdf = pdf.sort_values(["cnt", "ngram"], ascending=[False, True], ignore_index=True)
     if top_k is not None:

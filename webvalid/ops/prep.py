@@ -42,21 +42,27 @@ from webvalid.ops.sampling import add_split_column, split_thresholds
 
 def _dup_keeper_arrays(ds, text_col: str, id_col: str):
     """(sorted md5-prefix uint64 of DUPLICATED texts, keeper id per
-    prefix) — the scale-safe dedup broadcast (unique rows never ship)."""
+    prefix, {full 16-byte md5: keeper}) — the scale-safe dedup
+    broadcast (unique rows never ship). The full-digest dict exists so
+    prefix HITS are confirmed exactly: a unique document whose 8-byte
+    md5 prefix collides with a dup group's must never be dropped."""
     groups = exact_dedup_groups(ds, text_col=text_col, id_col=id_col).to_pandas()
     dups = groups[(groups["cnt"] > 1) & groups["text_md5"].notna()]
     if len(dups) == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    prefixes = np.frombuffer(
-        b"".join(bytes.fromhex(m)[:8] for m in dups["text_md5"]), dtype=np.uint64
-    )
+        return np.empty(0, np.uint64), np.empty(0, np.int64), {}
+    digests = [bytes.fromhex(m) for m in dups["text_md5"]]
+    prefixes = np.frombuffer(b"".join(d[:8] for d in digests), dtype=np.uint64)
+    keepers = dups["keeper"].to_numpy(dtype=np.int64)
     order = np.argsort(prefixes)
-    return prefixes[order], dups["keeper"].to_numpy(dtype=np.int64)[order]
+    full = {d: int(k) for d, k in zip(digests, keepers)}
+    return prefixes[order], keepers[order], full
 
 
 def _keep_filter(dup_ref, text_col: str, id_col: str):
     def keep(batch: pa.Table) -> pa.Table:
-        prefixes, keepers = ray.get(dup_ref)
+        import hashlib
+
+        prefixes, keepers, full = ray.get(dup_ref)
         valid, d8 = _md5_digest8_per_row(batch[text_col])
         if len(prefixes) == 0:
             return batch
@@ -65,6 +71,17 @@ def _keep_filter(dup_ref, text_col: str, id_col: str):
         in_dup = (prefixes[pos] == d8) & valid
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         drop = in_dup & (ids != keepers[pos])
+        # exact confirmation for the (rare) flagged rows: recompute the
+        # FULL digest and require membership with a matching keeper —
+        # an 8-byte prefix collision must not drop a unique document
+        flagged = np.flatnonzero(drop)
+        if len(flagged):
+            col = batch[text_col]
+            for i in flagged:
+                t = col[int(i)].as_py()
+                k = full.get(hashlib.md5(t.encode()).digest())
+                if k is None or k == int(ids[i]):
+                    drop[i] = False
         return batch.filter(pa.array(~drop))
 
     return keep

@@ -397,7 +397,8 @@ def make_block_reducer(cap: int):
 
 
 def collect_merged_partials(partials_ds, cap: int = 10_000,
-                            tree: bool = False) -> dict:
+                            tree: bool = False,
+                            collect_urlhash: bool = True) -> dict:
     """ONE distributed pass over the union-schema partials: block-local
     reduce (make_block_reducer), then finish the (now tiny) merges on
     the driver. Collapses what would be four separate Ray jobs — each
@@ -451,7 +452,12 @@ def collect_merged_partials(partials_ds, cap: int = 10_000,
             k = (r["partition_id"], r["check"])
             viocounts[k] = viocounts.get(k, 0) + int.from_bytes(r["state"], "little")
         elif kind == "urlhash":
-            hash_blobs.append(r["state"])
+            # above the uniqueness shuffle cutover the blobs are NOT
+            # used (dup_candidates_via_shuffle runs instead) — keeping
+            # them would accumulate 8 B/row on the driver in exactly
+            # the regime the cutover exists for
+            if collect_urlhash:
+                hash_blobs.append(r["state"])
         else:
             kept = vio_kept_final.get(r["check"], 0)
             if kept < cap:
@@ -662,9 +668,11 @@ def run_validation(
     # repartitioned to ~n_cpus/4 blocks each, disk groups to one block
     # per file — add a tree-reduce round when that fan-in is wide
     n_partial_blocks = len(fresh_partials) * max(1, n_cpus // 4) + len(partial_files)
+    rows_so_far = sum(m["rows"] for m in lineage)
     merged = collect_merged_partials(
         partials_ds, cap=cfg.max_violations_per_check,
         tree=n_partial_blocks > 64,
+        collect_urlhash=rows_so_far <= cfg.uniqueness_driver_max_rows,
     )
     merged_stats = merged["stats"]
     viocounts: dict = merged["viocounts"]

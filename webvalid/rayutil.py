@@ -33,7 +33,12 @@ def task_callable(cls, *, cache_key=None, **ctor_kwargs):
     def fn(batch):
         inst = _CACHE.get(cache_key)
         if inst is None:
-            _CACHE.clear()  # one live instance per worker
+            # bounded cache, NOT single-slot: two task_callable stages
+            # of one pipeline interleaving in a worker would otherwise
+            # evict each other every batch and re-run construction
+            # (broadcast ray.get, regex compiles) per call
+            if len(_CACHE) >= 8:
+                _CACHE.clear()
             inst = cls(**ctor_kwargs)
             _CACHE[cache_key] = inst
         return inst(batch)
