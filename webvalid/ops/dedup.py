@@ -619,12 +619,23 @@ def _simhash_pairs_vectorized(keys_sorted: np.ndarray, ids: np.ndarray,
     """
     import pandas as pd
 
+    STAR_CAP = 2048  # vectorized, so a higher cap than the minhash path
     boundary = np.flatnonzero(np.diff(keys_sorted) != 0) + 1
     bounds = np.concatenate([[0], boundary, [len(keys_sorted)]])
     i_parts, j_parts = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         m = e - s
         if m < 2:
+            continue
+        if m > STAR_CAP:
+            # duplicate-heavy bucket: O(m²) triu would allocate ~m²/2
+            # index pairs from ONE bucket; a star against the run-min
+            # id keeps connectivity and one verify partner per member
+            mi = s + int(np.argmin(ids[s:e]))
+            others = np.arange(s, e)
+            others = others[others != mi]
+            i_parts.append(np.full(len(others), mi, dtype=np.int64))
+            j_parts.append(others)
             continue
         ti, tj = np.triu_indices(m, k=1)
         i_parts.append(ti + s)
