@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # uniqueness / referential (north_rule §2.4/§2.7)
         "uniqueness_events_user": q.uniqueness_events_user,
         "referential_orders_customer": q.referential_orders_customer,
+        "referential_bloom_documents": q.referential_bloom_documents,
         # per-partition histograms / co-occurrence (A9 / A2)
         "histogram_lang_documents": q.histogram_lang_documents,
         "cooccurrence_lang_source_documents": q.cooccurrence_lang_source_documents,
@@ -184,6 +185,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, COUNT(*) AS cnt FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
             GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "referential_bloom_documents": """
+            SELECT doc_id, source FROM documents
+            WHERE source NOT IN (
+                SELECT DISTINCT source FROM documents WHERE source <> 'src0'
+            ) ORDER BY doc_id
         """,
         "histogram_lang_documents": """
             SELECT doc_id // 100 AS partition_id, lang, COUNT(*) AS cnt

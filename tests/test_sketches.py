@@ -171,3 +171,37 @@ def test_misra_gries_serialize_roundtrip():
     mg.add(np.asarray(list("aabbbbcccccxyz"), dtype=object))
     back = MisraGries.deserialize(mg.serialize())
     assert back.counts == mg.counts and back.n == mg.n and back.k == mg.k
+
+
+# ---------- Bloom filter ----------
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    import numpy as np
+
+    from webvalid.sketches import BloomFilter
+
+    rng = np.random.default_rng(1)
+    members = np.asarray([f"key{i}" for i in range(20_000)], dtype=object)
+    others = np.asarray([f"other{i}" for i in range(20_000)], dtype=object)
+    bf = BloomFilter.for_capacity(len(members), fpr=0.01)
+    bf.add(members)
+    assert bf.contains(members).all()          # NEVER a false negative
+    fpr = bf.contains(others).mean()
+    assert fpr < 0.03                          # near the 1% design point
+
+
+def test_bloom_merge_equals_union_and_roundtrip():
+    import numpy as np
+
+    from webvalid.sketches import BloomFilter
+
+    a_keys = np.asarray([f"a{i}" for i in range(5000)], dtype=object)
+    b_keys = np.asarray([f"b{i}" for i in range(5000)], dtype=object)
+    whole = BloomFilter(n_bits=1 << 17, k=5).add(np.concatenate([a_keys, b_keys]))
+    pa_ = BloomFilter(n_bits=1 << 17, k=5).add(a_keys)
+    pb_ = BloomFilter(n_bits=1 << 17, k=5).add(b_keys)
+    merged = pa_.merge(pb_)
+    assert (merged.bits == whole.bits).all()
+    back = BloomFilter.deserialize(merged.serialize())
+    assert (back.bits == merged.bits).all() and back.k == merged.k

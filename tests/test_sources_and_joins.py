@@ -206,3 +206,29 @@ def test_salted_anti_join_tolerates_null_keys(ray_session):
     right = pa.table({"k": pa.array(["a", "b", None], pa.string())})
     out = salted_anti_join(left, right, key="k").to_pandas()
     assert sorted(out["v"]) == [2, 4, 5]  # nulls + unmatched key miss
+
+
+def test_bloom_anti_join_one_sided_guarantee(ray_session):
+    """bloom_anti_join finds ONLY real misses (never invents a
+    violation) and recovers planted orphans unless a deterministic
+    false positive hides them."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.joins import bloom_anti_join, salted_anti_join
+
+    ref_keys = np.asarray([f"user{i}" for i in range(5000)], dtype=object)
+    rows = [{"k": f"user{i % 5000}", "v": i} for i in range(20_000)]
+    rows += [{"k": f"orphan{i}", "v": 100_000 + i} for i in range(50)]
+    left = ray.data.from_items(rows).repartition(5)
+
+    bloom = bloom_anti_join(left, ref_keys, key="k").to_pandas()
+    exact = salted_anti_join(
+        left, pa.table({"k": pa.array(ref_keys, pa.string())}), key="k"
+    ).to_pandas()
+    # one-sided: bloom's findings are a subset of the exact misses
+    assert set(bloom["v"]) <= set(exact["v"])
+    assert set(exact["v"]) == {100_000 + i for i in range(50)}
+    # at 1% FPR over 50 orphans, expect ~all recovered (deterministic)
+    assert len(bloom) >= 48

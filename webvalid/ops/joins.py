@@ -216,3 +216,51 @@ def salted_inner_join(left_ds, right: pa.Table, key: str,
                       n_salts=n_salts if hot_keys else 1),
         batch_format="pyarrow",
     )
+
+
+def bloom_anti_join(left_ds, right_keys, key: str, fpr: float = 0.01):
+    """One-sided anti-join for reference key sets beyond sorted-array
+    broadcast scale (~1.2 B/key at 1% FPR vs 8 B/key): keep rows whose
+    key the Bloom filter DEFINITELY lacks.
+
+    Guarantee direction (same as the engine's fingerprint checks):
+    every returned row is a REAL miss — the filter never reports false
+    negatives — while a ~fpr fraction of true misses is hidden by
+    false positives. Exact results need the sorted-array or shuffle
+    paths; this is the memory-bound fallback, and the trade is
+    explicit in the name.
+    """
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    from webvalid.rayutil import task_callable
+    from webvalid.sketches import BloomFilter, hash64
+
+    keys_np = np.asarray(
+        right_keys.to_numpy(zero_copy_only=False)
+        if hasattr(right_keys, "to_numpy") else right_keys, dtype=object)
+    keys_np = keys_np[np.asarray([k is not None for k in keys_np], bool)]
+    bf = BloomFilter.for_capacity(len(keys_np), fpr=fpr)
+    bf.add(keys_np)
+    bf_ref = ray.put(bf.serialize())
+
+    return left_ds.map_batches(
+        task_callable(_BloomAnti, ref=bf_ref, key=key),
+        batch_format="pyarrow",
+    )
+
+
+class _BloomAnti:
+    def __init__(self, ref, key: str):
+        from webvalid.sketches import BloomFilter
+
+        self.bf = BloomFilter.deserialize(ray.get(ref))
+        self.key = key
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vals = t[self.key].to_numpy(zero_copy_only=False)
+        if vals.dtype == object:
+            null = np.asarray([v is None for v in vals], bool)
+        else:
+            null = np.zeros(len(vals), dtype=bool)
+        miss = ~self.bf.contains_hashes(hash64(vals))
+        return t.filter(pa.array(miss | null))

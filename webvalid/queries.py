@@ -1047,3 +1047,20 @@ def components_star_events_users(sf_dir: str):
     from webvalid.ops.graph import connected_components_starlike
 
     return connected_components_starlike(_user_graph_edges(sf_dir))
+
+
+def referential_bloom_documents(sf_dir: str):
+    """Referential misses via the Bloom-broadcast anti-join (the
+    memory-bound path for reference sets beyond sorted-array scale):
+    reference = every source except 'src0', so src0 docs are planted
+    orphans. One-sided op; with this deterministic key set no false
+    positive hides them, so the gate is value-exact."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.joins import bloom_anti_join
+
+    srcs = pq.read_table(_t(sf_dir, "documents"), columns=["source"])["source"]
+    ref = sorted({s for s in srcs.to_pylist() if s is not None and s != "src0"})
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = bloom_anti_join(ds, np.asarray(ref, dtype=object), key="source").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

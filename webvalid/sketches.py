@@ -514,3 +514,86 @@ class MisraGries:
         mg = cls()
         mg.k, mg.counts, mg.n, mg.err = pickle.loads(blob)
         return mg
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Mergeable Bloom filter over 64-bit element hashes.
+
+    The broadcast-membership alternative for reference key sets too
+    large to ship as sorted uint64 arrays (8 B/key): ~1.2 bytes/key at
+    1% FPR. One-sided by construction — `contains` is NEVER false for
+    an added element, so an anti-join driven by it can only MISS
+    violations (absent keys that collide), never invent them; the same
+    guarantee direction as the engine's 64-bit fingerprint checks.
+
+    k probe positions per element via double hashing
+    (h1 + i·h2, Kirsch–Mitzenmacher); add/contains are fully
+    vectorized; merge is a bitwise OR of equal-shaped bit arrays.
+    """
+
+    __slots__ = ("n_bits", "k", "bits")
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 7,
+                 bits: np.ndarray | None = None):
+        assert n_bits % 64 == 0
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = bits if bits is not None else np.zeros(n_bits // 64, np.uint64)
+
+    @classmethod
+    def for_capacity(cls, n: int, fpr: float = 0.01) -> "BloomFilter":
+        """Size for `n` elements at target false-positive rate."""
+        n = max(n, 1)
+        n_bits = int(-n * math.log(fpr) / (math.log(2) ** 2))
+        n_bits = max(256, (n_bits + 63) // 64 * 64)
+        k = max(1, round(n_bits / n * math.log(2)))
+        return cls(n_bits=n_bits, k=k)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h1 = h
+            h2 = (h >> np.uint64(32)) | (h << np.uint64(32)) | np.uint64(1)
+            ks = np.arange(self.k, dtype=np.uint64)[:, None]
+            return ((h1[None, :] + ks * h2[None, :])
+                    % np.uint64(self.n_bits))  # (k, n)
+
+    def add_hashes(self, hashes: np.ndarray) -> "BloomFilter":
+        if len(hashes) == 0:
+            return self
+        pos = self._positions(hashes).ravel()
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        np.bitwise_or.at(self.bits, word, bit)
+        return self
+
+    def add(self, values) -> "BloomFilter":
+        return self.add_hashes(hash64(values))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        return ((self.bits[word] & bit) != 0).all(axis=0)
+
+    def contains(self, values) -> np.ndarray:
+        return self.contains_hashes(hash64(values))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.n_bits == other.n_bits and self.k == other.k
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.n_bits, self.k, self.bits))
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "BloomFilter":
+        n_bits, k, bits = pickle.loads(blob)
+        return cls(n_bits=n_bits, k=k, bits=bits.copy())
