@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "contamination_documents",
     "prep_corpus_documents",
     "rolling_avg_value_events",
+    "referential_bloom_documents",
+    "unigram_topk_sketch_documents",
 ]
 
 
