@@ -155,6 +155,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_documents": q.contamination_documents,
         # composed corpus-prep pipeline (dedup -> boilerplate -> split)
         "prep_corpus_documents": q.prep_corpus_documents,
+        # join variants: left outer (null-fill polarity) + semi (membership)
+        "left_join_orders_customer": q.left_join_orders_customer,
+        "semi_join_orders_customer": q.semi_join_orders_customer,
+        # reshape: crosstab pivot + streaming unpivot/melt
+        "pivot_day_by_type_events": q.pivot_day_by_type_events,
+        "unpivot_lineitem_measures": q.unpivot_lineitem_measures,
+        # distributed set ops (EXCEPT via shuffle, INTERSECT via driver)
+        "except_en_src0_documents": q.except_en_src0_documents,
+        "intersect_en_src0_documents": q.intersect_en_src0_documents,
+        # per-key window functions: LAG / running total
+        "lag_value_events": q.lag_value_events,
+        "cumsum_value_events": q.cumsum_value_events,
+        # distributed zipWithIndex (global total-order row number)
+        "row_number_orders": q.row_number_orders,
+        # TF-IDF (DF pass + broadcast score pass)
+        "tfidf_max_documents": q.tfidf_max_documents,
     }
 
 
@@ -543,5 +559,91 @@ def oracle_sql() -> dict[str, str]:
                    c.clean_text
             FROM clean c JOIN documents d USING (doc_id)
             ORDER BY c.doc_id
+        """,
+        "left_join_orders_customer": """
+            SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+                   COUNT(*) AS n_orders
+            FROM orders LEFT JOIN (
+                SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey % 3 <> 0
+            ) c ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY segment
+        """,
+        "semi_join_orders_customer": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders
+            WHERE o_custkey IN (
+                SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0
+            )
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "pivot_day_by_type_events": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+            FROM events GROUP BY 1 ORDER BY day
+        """,
+        "unpivot_lineitem_measures": """
+            SELECT measure, COUNT(*) AS n_rows,
+                   MIN(val) AS min_val, MAX(val) AS max_val
+            FROM (
+                SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            ) GROUP BY measure ORDER BY measure
+        """,
+        "except_en_src0_documents": """
+            SELECT DISTINCT doc_id FROM documents
+            WHERE lang = 'en' AND doc_id NOT IN (
+                SELECT doc_id FROM documents WHERE source = 'src0'
+            ) ORDER BY doc_id
+        """,
+        "intersect_en_src0_documents": """
+            SELECT DISTINCT doc_id FROM documents
+            WHERE lang = 'en' AND doc_id IN (
+                SELECT doc_id FROM documents WHERE source = 'src0'
+            ) ORDER BY doc_id
+        """,
+        "lag_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ), 6) AS lagged
+            FROM events ORDER BY event_id
+        """,
+        "cumsum_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ), 6) AS cum_value
+            FROM events ORDER BY event_id
+        """,
+        "row_number_orders": """
+            SELECT o_orderkey,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS BIGINT) AS rn
+            FROM orders ORDER BY rn
+        """,
+        "tfidf_max_documents": """
+            WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            tok AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            )
+            SELECT tf.doc_id,
+                   ROUND(MAX(tf.tf * ln(n.n_docs / df.df)), 6) AS max_tfidf
+            FROM tf JOIN df USING (token), n
+            GROUP BY tf.doc_id ORDER BY tf.doc_id
         """,
     }

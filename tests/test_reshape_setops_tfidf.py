@@ -1,0 +1,219 @@
+"""Tests for session-3 operator families: left/semi join variants,
+pivot/unpivot, set ops, lag/cumsum/global row number, TF-IDF."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(ray_session, df: pd.DataFrame, blocks: int = 3):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+@pytest.fixture(scope="module")
+def left_right(ray_session):
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 300),
+        "x": rng.normal(size=300).round(4),
+    })
+    right = pa.table({
+        "k": pa.array(np.arange(0, 40, 2)),          # evens only → misses
+        "name": pa.array([f"n{v}" for v in range(0, 40, 2)]),
+    })
+    return _ds(ray_session, left), right, left
+
+
+def test_salted_left_join_matches_pandas(left_right):
+    from webvalid.ops.joins import salted_left_join
+
+    left_ds, right, left = left_right
+    got = salted_left_join(left_ds, right, key="k", num_buckets=4) \
+        .to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+    exp = left.merge(right.to_pandas(), on="k", how="left") \
+        .sort_values(["k", "x"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(got["name"].reset_index(drop=True),
+                                   exp["name"].reset_index(drop=True))
+
+
+def test_salted_semi_and_anti_partition_the_left(left_right):
+    from webvalid.ops.joins import salted_anti_join, salted_semi_join
+
+    left_ds, right, left = left_right
+    semi = salted_semi_join(left_ds, right, key="k", num_buckets=4).to_pandas()
+    anti = salted_anti_join(left_ds, right, key="k", num_buckets=4).to_pandas()
+    member = set(right["k"].to_pylist())
+    assert set(semi.columns) == {"k", "x"}  # no payload attaches
+    assert (semi["k"].isin(member)).all()
+    assert (~anti["k"].isin(member)).all()
+    assert len(semi) + len(anti) == len(left)
+
+
+def test_semi_join_hot_key_salting(ray_session):
+    from webvalid.ops.joins import salted_semi_join
+
+    left = pd.DataFrame({"k": [7] * 500 + [1, 2, 3]})
+    right = pa.table({"k": pa.array([7, 3])})
+    out = salted_semi_join(_ds(ray_session, left), right, key="k",
+                          num_buckets=4, hot_keys={7}, n_salts=3).to_pandas()
+    assert len(out) == 501  # all 500 hot rows + the one key-3 row
+
+
+def test_pivot_table_matches_pandas(ray_session):
+    from webvalid.ops.reshape import pivot_table
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 400),
+        "p": rng.choice(["x", "y", "z"], 400),
+        "v": rng.integers(1, 10, 400),
+    })
+    got = pivot_table(_ds(ray_session, df), index=["g"], pivot_col="p",
+                      value_col="v", how="sum")
+    exp = df.pivot_table(index="g", columns="p", values="v",
+                         aggfunc="sum", fill_value=0).astype("int64")
+    exp.columns = [str(c) for c in exp.columns]
+    exp = exp.reset_index().sort_values("g").reset_index(drop=True)
+    exp.columns.name = None
+    pd.testing.assert_frame_equal(got, exp, check_names=False)
+
+
+def test_pivot_count_fills_missing_cells(ray_session):
+    from webvalid.ops.reshape import pivot_table
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "p": ["x", "y", "x"]})
+    got = pivot_table(_ds(ray_session, df, blocks=2), index=["g"],
+                      pivot_col="p", how="count")
+    assert got.loc[got["g"] == "b", "y"].iloc[0] == 0
+    assert got.loc[got["g"] == "a", "x"].iloc[0] == 1
+
+
+def test_unpivot_roundtrip_counts(ray_session):
+    from webvalid.ops.reshape import unpivot
+
+    df = pd.DataFrame({"id": [1, 2, 3], "m1": [1.0, 2.0, 3.0],
+                       "m2": [4.0, 5.0, 6.0]})
+    out = unpivot(_ds(ray_session, df, blocks=2), id_cols=["id"],
+                  value_cols=["m1", "m2"]).to_pandas()
+    assert len(out) == 6
+    assert set(out["measure"]) == {"m1", "m2"}
+    got = out[out["measure"] == "m2"].sort_values("id")["val"].tolist()
+    assert got == [4.0, 5.0, 6.0]
+
+
+def test_set_ops_strategies_agree_and_match_numpy(ray_session):
+    from webvalid.ops.setops import set_op_keys
+
+    rng = np.random.default_rng(9)
+    a = pd.DataFrame({"k": rng.integers(0, 60, 200)})
+    b = pd.DataFrame({"k": rng.integers(30, 90, 200)})
+    a_ds, b_ds = _ds(ray_session, a), _ds(ray_session, b)
+    for op, npfn in [("except", np.setdiff1d), ("intersect", np.intersect1d)]:
+        drv = set_op_keys(a_ds, b_ds, "k", op=op, strategy="driver")
+        shf = set_op_keys(a_ds, b_ds, "k", op=op, strategy="shuffle")
+        exp = npfn(a["k"].unique(), b["k"].unique())
+        assert drv["k"].tolist() == sorted(exp.tolist())
+        assert shf["k"].tolist() == sorted(exp.tolist())
+
+
+def test_set_ops_drop_null_keys(ray_session):
+    from webvalid.ops.setops import set_op_keys
+
+    a = pd.DataFrame({"k": pd.array([1, 2, None, 3], dtype="Int64")})
+    b = pd.DataFrame({"k": pd.array([2, None], dtype="Int64")})
+    out = set_op_keys(_ds(ray_session, a, blocks=2),
+                      _ds(ray_session, b, blocks=1), "k", op="except")
+    assert out["k"].tolist() == [1, 3]
+
+
+@pytest.fixture(scope="module")
+def keyed_events(ray_session):
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "eid": np.arange(500),
+        "u": rng.integers(0, 12, 500),
+        "t": rng.integers(0, 10_000, 500),
+        "v": rng.normal(size=500).round(3),
+    })
+    return _ds(ray_session, df, blocks=4), df
+
+
+def test_lag_per_key_matches_pandas(keyed_events):
+    from webvalid.ops.rank import lag_per_key
+
+    ds, df = keyed_events
+    got = lag_per_key(ds, key="u", order_col="t", value_col="v",
+                      tiebreak="eid", n=1, out_col="lagged") \
+        .sort_values("eid").reset_index(drop=True)
+    exp = df.sort_values(["t", "eid"]).groupby("u")["v"].shift(1)
+    exp = df.assign(lagged=exp).sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["lagged"], exp["lagged"])
+
+
+def test_cumsum_per_key_matches_pandas(keyed_events):
+    from webvalid.ops.rank import cumsum_per_key
+
+    ds, df = keyed_events
+    got = cumsum_per_key(ds, key="u", order_col="t", value_col="v",
+                         tiebreak="eid", out_col="cs") \
+        .sort_values("eid").reset_index(drop=True)
+    exp = df.sort_values(["t", "eid"]).groupby("u")["v"].cumsum()
+    exp = df.assign(cs=exp).sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["cs"], exp["cs"])
+
+
+def test_global_row_number_total_order(keyed_events):
+    from webvalid.ops.rank import global_row_number
+
+    ds, df = keyed_events
+    out = global_row_number(ds, by=["t", "eid"], descending=[True, False],
+                            rank_col="rn").to_pandas()
+    exp = df.sort_values(["t", "eid"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    exp["rn"] = np.arange(1, len(exp) + 1)
+    merged = out.merge(exp[["eid", "rn"]], on="eid", suffixes=("", "_exp"))
+    assert (merged["rn"] == merged["rn_exp"]).all()
+    assert sorted(out["rn"]) == list(range(1, len(df) + 1))
+
+
+def test_tfidf_matches_naive_oracle(ray_session):
+    from webvalid.ops.tfidf import tfidf_scores
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "cherry cherry durian apple"},
+        {"doc_id": 3, "text": None},          # null text → no rows
+    ]
+    ds = _ds(ray_session, pd.DataFrame(rows), blocks=2)
+    got = tfidf_scores(ds).to_pandas()
+    n_docs = 4  # ALL rows count in the denominator
+    df = {"apple": 2, "banana": 2, "cherry": 2, "durian": 1}
+    tf = {(0, "apple"): 2, (0, "banana"): 1, (1, "banana"): 1,
+          (1, "cherry"): 1, (2, "cherry"): 2, (2, "durian"): 1,
+          (2, "apple"): 1}
+    assert len(got) == len(tf)
+    for _, r in got.iterrows():
+        key = (r["doc_id"], r["token"])
+        exp = tf[key] * math.log(n_docs / df[r["token"]])
+        assert r["tfidf"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_tfidf_max_per_doc(ray_session):
+    from webvalid.ops.tfidf import tfidf_max_per_doc
+
+    rows = [{"doc_id": 0, "text": "a a a rare"},
+            {"doc_id": 1, "text": "a common words"}]
+    out = tfidf_max_per_doc(_ds(ray_session, pd.DataFrame(rows), blocks=1))
+    # for doc 0: 'a' df=2 → tf3*ln(1)=0; 'rare' df=1 → ln(2)
+    exp0 = round(math.log(2), 6)
+    assert out.loc[out["doc_id"] == 0, "max_tfidf"].iloc[0] == exp0
+    assert set(out["doc_id"]) == {0, 1}

@@ -72,17 +72,21 @@ def _in_sorted_keys(sorted_keys: np.ndarray, keys: np.ndarray) -> np.ndarray:
 
 
 class BucketedAntiJoin:
-    """map_batches callable: rows whose key misses the right side.
+    """map_batches callable: rows whose key misses the right side
+    (or, with keep_hits=True, the SEMI join — rows whose key is
+    present; payload columns are never attached, only the filter).
 
     Resolves only the bucket tables a batch actually needs, builds a
     per-bucket sorted key array lazily, caches across batches.
     """
 
-    def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1):
+    def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1,
+                 keep_hits: bool = False):
         self.bucket_refs = bucket_refs
         self.key = key
         self.num_buckets = num_buckets
         self.n_salts = n_salts
+        self.keep_hits = keep_hits
         self._key_arrays: dict[int, np.ndarray] = {}
 
     def _keys_sorted(self, bucket: int) -> np.ndarray:
@@ -118,7 +122,9 @@ class BucketedAntiJoin:
             sel = (b == bucket) & ~null_left
             miss[sel] = ~_in_sorted_keys(ks, keys[sel])
         miss |= null_left
-        return batch.filter(pa.array(miss))
+        # semi join = complement of anti; null keys match nothing so
+        # they stay on the anti side under either polarity (SQL IN/EXISTS)
+        return batch.filter(pa.array(~miss if self.keep_hits else miss))
 
 
 def salted_anti_join(left_ds, right: pa.Table, key: str,
@@ -137,15 +143,36 @@ def salted_anti_join(left_ds, right: pa.Table, key: str,
     )
 
 
-class BucketedInnerJoin:
-    """map_batches callable: inner hash join of each batch against its
-    bucket tables (payload columns appended)."""
+def salted_semi_join(left_ds, right: pa.Table, key: str,
+                     num_buckets: int = 32, hot_keys: set | None = None,
+                     n_salts: int = 4):
+    """Left rows whose `key` IS present in `right` (SQL `IN`/`EXISTS`
+    semi join). Same bucketed membership machinery as the anti join —
+    only the filter polarity differs; no payload columns move."""
+    from webvalid.rayutil import task_callable
 
-    def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1):
+    refs = build_right_buckets(right, key, num_buckets, hot_keys=hot_keys,
+                               n_salts=n_salts if hot_keys else 1)
+    return left_ds.map_batches(
+        task_callable(BucketedAntiJoin, bucket_refs=refs, key=key,
+                      num_buckets=num_buckets,
+                      n_salts=n_salts if hot_keys else 1, keep_hits=True),
+        batch_format="pyarrow",
+    )
+
+
+class BucketedInnerJoin:
+    """map_batches callable: inner (or left outer, via join_type) hash
+    join of each batch against its bucket tables (payload columns
+    appended; left outer fills misses with nulls)."""
+
+    def __init__(self, bucket_refs, key: str, num_buckets: int, n_salts: int = 1,
+                 join_type: str = "inner"):
         self.bucket_refs = bucket_refs
         self.key = key
         self.num_buckets = num_buckets
         self.n_salts = n_salts
+        self.join_type = join_type
         self._lookups: dict[int, pa.Table] = {}
 
     def _bucket_table(self, bucket: int) -> pa.Table:
@@ -171,13 +198,14 @@ class BucketedInnerJoin:
         for bucket in np.unique(b):
             sub = batch.filter(pa.array(b == bucket))
             right = self._bucket_table(int(bucket))
-            joined = sub.join(right, keys=self.key, join_type="inner")
+            joined = sub.join(right, keys=self.key, join_type=self.join_type)
             if joined.num_rows:
                 out.append(joined)
         if not out:
             empty = batch.slice(0, 0)
             right0 = self._bucket_table(0)
-            return empty.join(right0.slice(0, 0), keys=self.key, join_type="inner")
+            return empty.join(right0.slice(0, 0), keys=self.key,
+                              join_type=self.join_type)
         return pa.concat_tables(out, promote_options="default")
 
 
@@ -214,6 +242,24 @@ def salted_inner_join(left_ds, right: pa.Table, key: str,
         task_callable(BucketedInnerJoin, bucket_refs=refs, key=key,
                       num_buckets=num_buckets,
                       n_salts=n_salts if hot_keys else 1),
+        batch_format="pyarrow",
+    )
+
+
+def salted_left_join(left_ds, right: pa.Table, key: str,
+                     num_buckets: int = 32, hot_keys: set | None = None,
+                     n_salts: int = 4):
+    """Left OUTER join left_ds ⟕ right on `key` (misses keep the left
+    row with null payload columns), bucketed + hot-key salted."""
+    from webvalid.rayutil import task_callable
+
+    refs = build_right_buckets(right, key, num_buckets, hot_keys=hot_keys,
+                               n_salts=n_salts if hot_keys else 1)
+    return left_ds.map_batches(
+        task_callable(BucketedInnerJoin, bucket_refs=refs, key=key,
+                      num_buckets=num_buckets,
+                      n_salts=n_salts if hot_keys else 1,
+                      join_type="left outer"),
         batch_format="pyarrow",
     )
 

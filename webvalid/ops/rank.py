@@ -13,6 +13,7 @@ order_col DESC, tiebreak ASC).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -69,3 +70,87 @@ def rolling_mean_per_key(ds, key: str, order_col: str, value_col: str,
         return g
 
     return ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()
+
+
+def lag_per_key(ds, key: str, order_col: str, value_col: str,
+                tiebreak: str, n: int = 1,
+                out_col: str = "lagged") -> pd.DataFrame:
+    """Per-key LAG(value, n): the value n rows earlier in (order_col,
+    tiebreak) order, null for the first n rows of each key. Same
+    co-location contract as the rolling frame (one key per group);
+    inside a group the shift is C-level pandas."""
+    def shift(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        g[out_col] = g[value_col].shift(n)
+        return g
+
+    return ds.groupby(key).map_groups(shift, batch_format="pandas").to_pandas()
+
+
+def cumsum_per_key(ds, key: str, order_col: str, value_col: str,
+                   tiebreak: str, out_col: str = "cum_sum") -> pd.DataFrame:
+    """Per-key running total (SUM ... OVER (PARTITION BY key ORDER BY
+    order_col, tiebreak ROWS UNBOUNDED PRECEDING))."""
+    def csum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        g[out_col] = g[value_col].cumsum()
+        return g
+
+    return ds.groupby(key).map_groups(csum, batch_format="pandas").to_pandas()
+
+
+def global_row_number(ds, by: list[str], descending: list[bool] | bool,
+                      rank_col: str = "rn"):
+    """Distributed zipWithIndex: total-order rank over the whole dataset.
+
+    `by` MUST be a unique composite key (pass a tiebreak column last) —
+    uniqueness is what makes the sorted blocks' ranges disjoint, which
+    this decomposition relies on:
+
+    1. `ds.sort(by)` range-partitions (the one unavoidable all-to-all),
+       materialized so both passes see identical blocks.
+    2. Pass 1 emits one tiny partial per BLOCK — its first-row key and
+       row count. The driver sorts the O(#blocks) partials the same way
+       and prefix-sums counts into per-block rank offsets.
+    3. Pass 2 re-maps each block: rank = its offset + arange(len). The
+       offset map is broadcast once (it is #blocks entries).
+
+    Nothing but the answer's sort moves; driver state is O(#blocks).
+    Returns a Dataset with `rank_col` added (1-based).
+    """
+    if isinstance(descending, bool):
+        descending = [descending] * len(by)
+    sorted_ds = ds.sort(by, descending=descending).materialize()
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: t[c].slice(0, 0) for c in by} |
+                            {"_cnt": pa.array([], pa.int64())})
+        first = t.slice(0, 1)
+        return pa.table({c: first[c] for c in by} |
+                        {"_cnt": pa.array([t.num_rows], pa.int64())})
+
+    heads = sorted_ds.map_batches(head_partial, batch_size=None,
+                                  batch_format="pyarrow").to_pandas()
+    heads = heads.sort_values(by, ascending=[not d for d in descending],
+                              kind="mergesort").reset_index(drop=True)
+    if heads.duplicated(subset=by).any():
+        raise ValueError("global_row_number needs a unique `by` composite "
+                         "(add a tiebreak column) — duplicate block heads "
+                         "mean key ranges overlap")
+    offsets = heads["_cnt"].cumsum().shift(fill_value=0)
+    key_to_off = {tuple(row): int(off) for row, off in
+                  zip(heads[by].itertuples(index=False), offsets)}
+    import ray as _ray
+    off_ref = _ray.put(key_to_off)
+
+    def number(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(rank_col, pa.array([], pa.int64()))
+        first = tuple(t[c][0].as_py() for c in by)
+        off = _ray.get(off_ref)[first]
+        rn = np.arange(off + 1, off + 1 + t.num_rows, dtype=np.int64)
+        return t.append_column(rank_col, pa.array(rn))
+
+    return sorted_ds.map_batches(number, batch_size=None,
+                                 batch_format="pyarrow")

@@ -1,0 +1,82 @@
+"""Reshape operators: pivot (long → wide) and unpivot/melt (wide → long).
+
+Pivot is a grouped aggregate whose RESULT is reshaped: per-batch
+partials group by (index + pivot column), the driver combines the tiny
+partials and pivots — nothing larger than the answer (|index values| ×
+|pivot values|) ever moves, so the op is shuffle-free and safe at any
+input scale provided the OUTPUT grid is small (the usual crosstab
+contract; a huge pivot domain is a modeling error, not an engine path).
+
+Unpivot is a pure streaming map: each batch emits one slice per value
+column with a constant `measure` label — no state, no shuffle, output
+is k× the input and flows straight through the executor.
+
+No reference analogue; north-rule/training-data additions.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+_COMBINE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def pivot_table(ds, index: list[str], pivot_col: str,
+                value_col: str | None = None, how: str = "count",
+                fill=0) -> pd.DataFrame:
+    """Crosstab of `ds`: one row per `index` combination, one column per
+    distinct `pivot_col` value, cells = how(value_col) (count needs no
+    value_col). Missing cells filled with `fill`. Columns are the pivot
+    values as strings, sorted; rows sorted by `index`."""
+    if how not in _COMBINE:
+        raise ValueError(f"how must be one of {sorted(_COMBINE)}")
+    keys = [*index, pivot_col]
+    agg = (pd.NamedAgg(column=pivot_col, aggfunc="size") if how == "count"
+           else pd.NamedAgg(column=value_col, aggfunc=how))
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(keys, as_index=False, sort=False).agg(_cell=agg)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=index)
+    combined = parts.groupby(keys, as_index=False, sort=False).agg(
+        _cell=pd.NamedAgg(column="_cell", aggfunc=_COMBINE[how])
+    )
+    wide = combined.pivot_table(index=index, columns=pivot_col,
+                                values="_cell", aggfunc="first")
+    wide.columns = [str(c) for c in wide.columns]
+    wide = wide[sorted(wide.columns)]
+    if fill is not None:
+        # preserve integer cells for count/sum over ints
+        wide = wide.fillna(fill)
+        if how in ("count", "sum") and all(
+            pd.api.types.is_numeric_dtype(wide[c]) for c in wide.columns
+        ):
+            ints = combined["_cell"].dtype.kind in "iu"
+            if ints:
+                wide = wide.astype("int64")
+    return wide.reset_index().sort_values(index, kind="mergesort").reset_index(drop=True)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "measure", value_name: str = "val",
+            value_type: pa.DataType | None = None):
+    """Melt `value_cols` into (`var_name`, `value_name`) long format —
+    one output row per input row per value column. Streaming map; the
+    value columns must share (or be castable to) `value_type`."""
+    vt = value_type or pa.float64()
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = t[c].cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -1064,3 +1064,167 @@ def referential_bloom_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
     out = bloom_anti_join(ds, np.asarray(ref, dtype=object), key="source").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Join variants (left outer / semi), reshape, set ops, window functions,
+# global row numbering, TF-IDF — session-3 operator families
+# ---------------------------------------------------------------------------
+
+def left_join_orders_customer(sf_dir: str):
+    """Left OUTER bucketed join (ops/joins.py:salted_left_join): the
+    right side is customers with c_custkey % 3 != 0, so ~1/3 of orders
+    MISS and must survive with a null segment — the polarity the inner
+    join can't exercise. Rolled up per COALESCEd segment."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.joins import salted_left_join
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pa.array(cust["c_custkey"].to_numpy() % 3 != 0))
+    right = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    left = _read(sf_dir, "orders", columns=["o_custkey"])
+    joined = salted_left_join(left, right, key="o_custkey", num_buckets=16)
+
+    def seg(t: pa.Table) -> pa.Table:
+        return pa.table({"segment": pc.coalesce(t["c_mktsegment"],
+                                                pa.scalar("UNMATCHED"))})
+
+    out = twophase_agg(joined.map_batches(seg, batch_format="pyarrow"),
+                       ["segment"], {"n_orders": ("segment", "count")})
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+def semi_join_orders_customer(sf_dir: str):
+    """Semi join (ops/joins.py:salted_semi_join): orders whose custkey
+    IS in the c_custkey % 5 == 0 subset — membership filter only, no
+    payload ever attaches — rolled up per order priority."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.joins import salted_semi_join
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])
+    cust = cust.filter(pa.array(cust["c_custkey"].to_numpy() % 5 == 0))
+    right = cust.rename_columns(["o_custkey"])
+    left = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    kept = salted_semi_join(left, right, key="o_custkey", num_buckets=16)
+    out = twophase_agg(kept.select_columns(["o_orderpriority"]),
+                       ["o_orderpriority"],
+                       {"n_orders": ("o_orderpriority", "count")})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def pivot_day_by_type_events(sf_dir: str):
+    """Crosstab (ops/reshape.py:pivot_table): days × event types, cell
+    = count; missing cells 0. Output grid is |days| × 5 — tiny — while
+    the input streams; columns are the event types themselves."""
+    from webvalid.ops.reshape import pivot_table
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], "%Y-%m-%d"),
+                         "event_type": t["event_type"]})
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"]).map_batches(
+        add_day, batch_format="pyarrow")
+    return pivot_table(ds, index=["day"], pivot_col="event_type", how="count")
+
+
+def unpivot_lineitem_measures(sf_dir: str):
+    """Melt (ops/reshape.py:unpivot): four lineitem measure columns to
+    long (measure, val) — a pure streaming map, output 4× input — then
+    reduce with order-insensitive aggregates (count/min/max; float SUM
+    is order-sensitive across engines so it is not compared)."""
+    from webvalid.ops.reshape import unpivot
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"] + cols)
+    long = unpivot(ds, id_cols=["l_orderkey"], value_cols=cols,
+                   var_name="measure", value_name="val")
+    out = twophase_agg(long, ["measure"],
+                       {"n_rows": ("val", "count"), "min_val": ("val", "min"),
+                        "max_val": ("val", "max")})
+    return out.sort_values("measure").reset_index(drop=True)
+
+
+def except_en_src0_documents(sf_dir: str):
+    """Distributed EXCEPT (ops/setops.py, shuffle strategy — the
+    unbounded-key-domain path): doc_ids of English docs minus doc_ids
+    of src0 docs. Presence flags shuffle, never rows."""
+    from webvalid.ops.setops import set_op_keys
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    a = docs.filter(expr="lang == 'en'").select_columns(["doc_id"])
+    b = docs.filter(expr="source == 'src0'").select_columns(["doc_id"])
+    return set_op_keys(a, b, "doc_id", op="except", strategy="shuffle")
+
+
+def intersect_en_src0_documents(sf_dir: str):
+    """Distributed INTERSECT (ops/setops.py, driver strategy — the
+    vocabulary-sized-key path): English doc_ids ∩ src0 doc_ids."""
+    from webvalid.ops.setops import set_op_keys
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    a = docs.filter(expr="lang == 'en'").select_columns(["doc_id"])
+    b = docs.filter(expr="source == 'src0'").select_columns(["doc_id"])
+    return set_op_keys(a, b, "doc_id", op="intersect", strategy="driver")
+
+
+def _events_ts_us(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table({"event_id": t["event_id"], "ts_us": ts.cast(pa.int64()),
+                         "user_id": t["user_id"], "value": t["value"]})
+
+    return ds.map_batches(ts_us, batch_format="pyarrow")
+
+
+def lag_value_events(sf_dir: str):
+    """Per-user LAG(value, 1) in event-time order (ops/rank.py:
+    lag_per_key) — null for each user's first event."""
+    from webvalid.ops.rank import lag_per_key
+
+    out = lag_per_key(_events_ts_us(sf_dir), key="user_id", order_col="ts_us",
+                      value_col="value", tiebreak="event_id", n=1,
+                      out_col="lagged")
+    out["lagged"] = out["lagged"].round(6)
+    return out[["event_id", "user_id", "lagged"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def cumsum_value_events(sf_dir: str):
+    """Per-user running total of value (ops/rank.py:cumsum_per_key).
+    Within a key both engines accumulate in the same event-time order,
+    so the doubles agree bit-for-bit before the comparison round."""
+    from webvalid.ops.rank import cumsum_per_key
+
+    out = cumsum_per_key(_events_ts_us(sf_dir), key="user_id",
+                         order_col="ts_us", value_col="value",
+                         tiebreak="event_id", out_col="cum_value")
+    out["cum_value"] = out["cum_value"].round(6)
+    return out[["event_id", "user_id", "cum_value"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def row_number_orders(sf_dir: str):
+    """Distributed zipWithIndex (ops/rank.py:global_row_number): dense
+    global 1-based rank of every order by (o_totalprice DESC,
+    o_orderkey) — one sort shuffle, O(#blocks) driver state."""
+    from webvalid.ops.rank import global_row_number
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    ranked = global_row_number(ds, by=["o_totalprice", "o_orderkey"],
+                               descending=[True, False], rank_col="rn")
+    return ranked.select_columns(["o_orderkey", "rn"])
+
+
+def tfidf_max_documents(sf_dir: str):
+    """Per-doc max TF-IDF (ops/tfidf.py): DF pass + broadcast-sorted-
+    hash score pass; the reduce keeps one row per doc."""
+    from webvalid.ops.tfidf import tfidf_max_per_doc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_max_per_doc(ds, text_col="text", id_col="doc_id")
