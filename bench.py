@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "rolling_avg_value_events",
     "referential_bloom_documents",
     "unigram_topk_sketch_documents",
+    "left_join_orders_customer",
+    "except_en_src0_documents",
+    "row_number_orders",
+    "tfidf_max_documents",
 ]
 
 
