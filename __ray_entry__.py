@@ -171,6 +171,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_number_orders": q.row_number_orders,
         # TF-IDF (DF pass + broadcast score pass)
         "tfidf_max_documents": q.tfidf_max_documents,
+        # text normalization (lower / whitespace collapse / trim)
+        "normalize_text_documents": q.normalize_text_documents,
+        # GROUP BY ROLLUP levels from one pass
+        "rollup_lang_source_documents": q.rollup_lang_source_documents,
+        # NTILE deciles over a global sort
+        "ntile_orders": q.ntile_orders,
+        # Gopher-style repetition/quality profile
+        "repetition_documents": q.repetition_documents,
     }
 
 
@@ -645,5 +653,66 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MAX(tf.tf * ln(n.n_docs / df.df)), 6) AS max_tfidf
             FROM tf JOIN df USING (token), n
             GROUP BY tf.doc_id ORDER BY tf.doc_id
+        """,
+        "normalize_text_documents": """
+            SELECT doc_id,
+                   TRIM(regexp_replace(
+                       lower(' ' || chr(9) ||
+                             replace(upper(text), ' ', '  ') ||
+                             chr(9) || ' '),
+                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents ORDER BY doc_id
+        """,
+        "rollup_lang_source_documents": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
+        """,
+        "ntile_orders": """
+            SELECT bucket, COUNT(*) AS n_orders,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM (
+                SELECT o_totalprice,
+                       CAST(NTILE(10) OVER (
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS BIGINT) AS bucket
+                FROM orders
+            ) GROUP BY bucket ORDER BY bucket
+        """,
+        "repetition_documents": """
+            WITH tok AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token
+                FROM documents
+            ),
+            tc AS (
+                SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ),
+            t1 AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       MAX(c) AS max_tok
+                FROM tc GROUP BY doc_id
+            ),
+            big AS (
+                SELECT doc_id, unnest(list_transform(
+                           generate_series(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM (SELECT doc_id, str_split(text, ' ') AS toks
+                      FROM documents)
+            ),
+            bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY 1, 2),
+            b1 AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       MAX(c) AS max_bg
+                FROM bc GROUP BY doc_id
+            )
+            SELECT t1.doc_id, t1.n_tokens,
+                   ROUND(t1.max_tok / t1.n_tokens, 6) AS top_token_frac,
+                   ROUND(COALESCE(b1.max_bg / b1.n_bigrams, 0), 6)
+                       AS top_bigram_frac
+            FROM t1 LEFT JOIN b1 USING (doc_id)
+            ORDER BY t1.doc_id
         """,
     }

@@ -217,3 +217,65 @@ def test_tfidf_max_per_doc(ray_session):
     exp0 = round(math.log(2), 6)
     assert out.loc[out["doc_id"] == 0, "max_tfidf"].iloc[0] == exp0
     assert set(out["doc_id"]) == {0, 1}
+
+
+def test_normalize_text_kernels(ray_session):
+    from webvalid.ops.textnorm import normalize_text
+
+    df = pd.DataFrame({
+        "id": [0, 1, 2, 3],
+        "text": ["  Hello   WORLD ", "a\t\tb\nc", None, "É  Über"],
+    })
+    out = normalize_text(_ds(ray_session, df, blocks=2), text_col="text") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["norm_text"].tolist()[:2] == ["hello world", "a b c"]
+    assert out["norm_text"].isna()[2]          # null preserved
+    assert out["norm_text"][3] == "é über"     # unicode lower
+
+
+def test_rollup_counts_matches_pandas(ray_session):
+    from webvalid.ops.reshape import rollup_counts
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 300),
+                       "b": rng.choice(["p", "q", "r"], 300)})
+    got = rollup_counts(_ds(ray_session, df), ["a", "b"], out_col="n")
+    fine = df.groupby(["a", "b"]).size()
+    # spot-check each level
+    assert got[(got.a == "x") & (got.b == "p")]["n"].iloc[0] == fine[("x", "p")]
+    assert got[(got.a == "y") & (got.b == "ALL")]["n"].iloc[0] == \
+        (df["a"] == "y").sum()
+    assert got[(got.a == "ALL") & (got.b == "ALL")]["n"].iloc[0] == 300
+    assert len(got) == len(fine) + df["a"].nunique() + 1
+
+
+def test_global_ntile_sql_remainder_semantics(ray_session):
+    from webvalid.ops.rank import global_ntile
+
+    df = pd.DataFrame({"k": np.arange(10), "v": np.arange(10)[::-1]})
+    out = global_ntile(_ds(ray_session, df), by=["v", "k"],
+                       descending=[False, False], k=4).to_pandas()
+    sizes = out.groupby("bucket").size().sort_index().tolist()
+    assert sizes == [3, 3, 2, 2]  # first n%k buckets take the extra row
+    # v ascending → smallest v in bucket 1
+    assert set(out[out["bucket"] == 1]["v"]) == {0, 1, 2}
+
+
+def test_repetition_stats_naive_oracle(ray_session):
+    from webvalid.ops.textstats import repetition_stats
+
+    rows = [
+        {"doc_id": 0, "text": "a a a b"},       # top tok 3/4; bigram 'a a' 2/3
+        {"doc_id": 1, "text": "solo"},          # 1 token, no bigrams
+        {"doc_id": 2, "text": None},            # no row
+        {"doc_id": 3, "text": "x y x y x"},     # tok 3/5; 'x y' 2/4
+    ]
+    out = repetition_stats(_ds(ray_session, pd.DataFrame(rows), blocks=2)) \
+        .to_pandas().set_index("doc_id")
+    assert set(out.index) == {0, 1, 3}
+    assert out.loc[0, "n_tokens"] == 4
+    assert out.loc[0, "top_token_frac"] == pytest.approx(3 / 4)
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(2 / 3)
+    assert out.loc[1, "top_bigram_frac"] == 0.0
+    assert out.loc[3, "top_token_frac"] == pytest.approx(3 / 5)
+    assert out.loc[3, "top_bigram_frac"] == pytest.approx(2 / 4)

@@ -154,3 +154,27 @@ def global_row_number(ds, by: list[str], descending: list[bool] | bool,
 
     return sorted_ds.map_batches(number, batch_size=None,
                                  batch_format="pyarrow")
+
+
+def global_ntile(ds, by: list[str], descending: list[bool] | bool,
+                 k: int, bucket_col: str = "bucket"):
+    """SQL NTILE(k) over the whole dataset: global_row_number's sorted
+    blocks + offsets, with ranks mapped to k near-equal buckets (the
+    first n % k buckets take the extra row, as SQL does). Same unique
+    composite `by` contract; returns a Dataset with `bucket_col`."""
+    ranked = global_row_number(ds, by, descending, rank_col="__rn")
+    # count is O(#blocks) metadata on the materialized sort
+    n = ranked.count()
+    q, r = divmod(n, k)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy()
+        cut = r * (q + 1)
+        b = np.where(rn <= cut,
+                     (rn - 1) // (q + 1),
+                     r + (rn - cut - 1) // max(q, 1)) + 1
+        out = t.drop_columns(["__rn"])
+        return out.append_column(bucket_col, pa.array(b.astype(np.int64)))
+
+    return ranked.map_batches(bucketize, batch_size=None,
+                              batch_format="pyarrow")

@@ -80,3 +80,31 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str],
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def rollup_counts(ds, keys: list[str], out_col: str = "n_rows",
+                  all_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys) row counts: one result block per prefix
+    level (full keys, then each shorter prefix, then grand total),
+    coarser levels re-aggregated DRIVER-SIDE from the finest partials
+    — the input is touched once, and nothing larger than the finest
+    group count ever moves. Key columns must be non-null strings
+    (`all_label` marks rolled-up positions, as COALESCE does in SQL)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(keys, as_index=False, sort=False).size() \
+                .rename(columns={"size": out_col})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    finest = parts.groupby(keys, as_index=False, sort=False)[out_col].sum()
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        lv = (finest.groupby(keys[:depth], as_index=False, sort=False)[out_col]
+              .sum() if depth else
+              pd.DataFrame({out_col: [finest[out_col].sum()]}))
+        for rolled in keys[depth:]:
+            lv[rolled] = all_label
+        levels.append(lv[keys + [out_col]])
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)

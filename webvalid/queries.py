@@ -1228,3 +1228,63 @@ def tfidf_max_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return tfidf_max_per_doc(ds, text_col="text", id_col="doc_id")
+
+
+def normalize_text_documents(sf_dir: str):
+    """Text normalization (ops/textnorm.py): the gate derives a
+    deliberately messy string from each doc IDENTICALLY on both sides
+    (upper-cased text + doubled spaces + padding — the table's own
+    text is already clean, which would make the kernel a no-op), then
+    the engine normalizes it back: lower → collapse whitespace → trim."""
+    from webvalid.ops.textnorm import normalize_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def messy(t: pa.Table) -> pa.Table:
+        up = pc.utf8_upper(t["text"])
+        two = pc.replace_substring(up, " ", "  ")
+        pad = pc.binary_join_element_wise(
+            pa.array([" \t"] * t.num_rows), two,
+            pa.array(["\t "] * t.num_rows), "")
+        return pa.table({"doc_id": t["doc_id"], "text": pad})
+
+    out = normalize_text(ds.map_batches(messy, batch_format="pyarrow"),
+                         keep=["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def rollup_lang_source_documents(sf_dir: str):
+    """GROUP BY ROLLUP (ops/reshape.py:rollup_counts): doc counts at
+    (lang, source), (lang), and grand-total levels, 'ALL' marking the
+    rolled-up positions."""
+    from webvalid.ops.reshape import rollup_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return rollup_counts(ds, ["lang", "source"], out_col="n_docs")
+
+
+def ntile_orders(sf_dir: str):
+    """NTILE(10) by descending total price (ops/rank.py:global_ntile),
+    rolled up per decile with order-insensitive price bounds."""
+    from webvalid.ops.rank import global_ntile
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    tiled = global_ntile(ds, by=["o_totalprice", "o_orderkey"],
+                         descending=[True, False], k=10)
+    out = twophase_agg(tiled, ["bucket"],
+                       {"n_orders": ("o_orderkey", "count"),
+                        "min_price": ("o_totalprice", "min"),
+                        "max_price": ("o_totalprice", "max")})
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+def repetition_documents(sf_dir: str):
+    """Per-doc repetition profile (ops/textstats.py:repetition_stats):
+    Gopher-style top-token / top-bigram fractions."""
+    from webvalid.ops.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_stats(ds).to_pandas()
+    out["top_token_frac"] = out["top_token_frac"].round(6)
+    out["top_bigram_frac"] = out["top_bigram_frac"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
