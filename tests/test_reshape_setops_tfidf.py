@@ -279,3 +279,15 @@ def test_repetition_stats_naive_oracle(ray_session):
     assert out.loc[1, "top_bigram_frac"] == 0.0
     assert out.loc[3, "top_token_frac"] == pytest.approx(3 / 5)
     assert out.loc[3, "top_bigram_frac"] == pytest.approx(2 / 4)
+
+
+def test_salted_left_join_hot_keys(ray_session):
+    from webvalid.ops.joins import salted_left_join
+
+    left = pd.DataFrame({"k": [9] * 200 + [1, 4]})
+    right = pa.table({"k": pa.array([9, 1]), "p": pa.array(["hot", "cold"])})
+    out = salted_left_join(_ds(ray_session, left), right, key="k",
+                           num_buckets=4, hot_keys={9}, n_salts=3).to_pandas()
+    assert len(out) == 202  # salt replicas must not duplicate matches
+    assert (out.loc[out["k"] == 9, "p"] == "hot").all()
+    assert out.loc[out["k"] == 4, "p"].isna().all()
