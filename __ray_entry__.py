@@ -179,6 +179,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_orders": q.ntile_orders,
         # Gopher-style repetition/quality profile
         "repetition_documents": q.repetition_documents,
+        # LEAD + DENSE_RANK window functions
+        "lead_value_events": q.lead_value_events,
+        "dense_rank_lineitem": q.dense_rank_lineitem,
+        # FULL OUTER join (left outer ∪ right-only)
+        "full_join_orders_customer": q.full_join_orders_customer,
+        # composed prep v2: dedup → repetition filter → boilerplate → split
+        "prep_corpus_v2_documents": q.prep_corpus_v2_documents,
     }
 
 
@@ -714,5 +721,82 @@ def oracle_sql() -> dict[str, str]:
                        AS top_bigram_frac
             FROM t1 LEFT JOIN b1 USING (doc_id)
             ORDER BY t1.doc_id
+        """,
+        "lead_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(LEAD(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ), 6) AS led
+            FROM events ORDER BY event_id
+        """,
+        "dense_rank_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(DENSE_RANK() OVER (
+                       PARTITION BY l_orderkey ORDER BY l_quantity
+                   ) AS BIGINT) AS drank
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "full_join_orders_customer": """
+            SELECT COALESCE(c_mktsegment, 'UNMATCHED') AS segment,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS right_only
+            FROM orders FULL JOIN (
+                SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey % 3 <> 0
+            ) c ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY segment
+        """,
+        # prep v2 oracle: dedup (min doc per text) -> repetition filter
+        # (top-token frac <= 0.15 AND >= 20 tokens) -> df>0.78-of-
+        # FILTERED boilerplate strip -> md5 split on ORIGINAL text
+        "prep_corpus_v2_documents": """
+            WITH kept_ids AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            kd AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN kept_ids k USING (doc_id)
+            ),
+            reptok AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM kd
+            ),
+            reptc AS (
+                SELECT doc_id, token, COUNT(*) AS c FROM reptok GROUP BY 1, 2
+            ),
+            rep AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       MAX(c) AS max_tok
+                FROM reptc GROUP BY doc_id
+            ),
+            fd AS (
+                SELECT kd.doc_id, kd.text FROM kd JOIN rep USING (doc_id)
+                WHERE rep.max_tok / rep.n_tokens <= 0.15
+                  AND rep.n_tokens >= 20
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM fd),
+            df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM (
+                    SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM fd
+                ) GROUP BY token
+            ),
+            hot AS (SELECT token FROM df, n WHERE df > 0.78 * n_docs),
+            tok AS (
+                SELECT doc_id, unnest(str_split(text, ' ')) AS token,
+                       unnest(generate_series(1, len(str_split(text, ' ')))) AS ord
+                FROM fd
+            ),
+            clean AS (
+                SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.ord) AS clean_text
+                FROM tok t LEFT JOIN hot h ON t.token = h.token
+                WHERE h.token IS NULL GROUP BY t.doc_id
+            )
+            SELECT c.doc_id,
+                   CASE WHEN substr(md5(d.text), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(d.text), 1, 4) < 'e666' THEN 'valid'
+                        ELSE 'test' END AS split,
+                   c.clean_text
+            FROM clean c JOIN documents d USING (doc_id)
+            ORDER BY c.doc_id
         """,
     }

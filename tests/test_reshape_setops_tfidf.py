@@ -291,3 +291,98 @@ def test_salted_left_join_hot_keys(ray_session):
     assert len(out) == 202  # salt replicas must not duplicate matches
     assert (out.loc[out["k"] == 9, "p"] == "hot").all()
     assert out.loc[out["k"] == 4, "p"].isna().all()
+
+
+def test_lead_per_key_matches_pandas(keyed_events):
+    from webvalid.ops.rank import lead_per_key
+
+    ds, df = keyed_events
+    got = lead_per_key(ds, key="u", order_col="t", value_col="v",
+                       tiebreak="eid", n=1, out_col="led") \
+        .sort_values("eid").reset_index(drop=True)
+    exp = df.sort_values(["t", "eid"]).groupby("u")["v"].shift(-1)
+    exp = df.assign(led=exp).sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["led"], exp["led"])
+
+
+def test_dense_rank_stitches_keys_and_ties_across_blocks(ray_session):
+    from webvalid.ops.rank import dense_rank_per_key
+
+    # 3 keys x ~170 rows from only 5 distinct order values → every key
+    # spans multiple sorted blocks and ties cross block boundaries
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 500),
+        "q": rng.integers(0, 5, 500),
+        "tb": np.arange(500),
+    })
+    got = dense_rank_per_key(_ds(ray_session, df, blocks=8), key="k",
+                             order_col="q", tiebreak="tb",
+                             out_col="drank").to_pandas()
+    exp = df.copy()
+    exp["drank"] = df.groupby("k")["q"].rank(method="dense").astype("int64")
+    merged = got.merge(exp[["tb", "drank"]], on="tb", suffixes=("", "_exp"))
+    assert (merged["drank"] == merged["drank_exp"]).all()
+
+
+def test_dense_rank_descending(ray_session):
+    from webvalid.ops.rank import dense_rank_per_key
+
+    df = pd.DataFrame({"k": ["x"] * 6, "q": [3, 1, 2, 3, 1, 2],
+                       "tb": range(6)})
+    got = dense_rank_per_key(_ds(ray_session, df, blocks=2), key="k",
+                             order_col="q", tiebreak="tb", descending=True,
+                             out_col="drank").to_pandas()
+    exp = {3: 1, 2: 2, 1: 3}
+    assert all(exp[q] == r for q, r in zip(got["q"], got["drank"]))
+
+
+def test_full_join_matches_pandas(ray_session):
+    from webvalid.ops.joins import salted_full_join
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 30, 200),
+                         "lid": np.arange(200)})
+    right = pa.table({"k": pa.array(np.arange(20, 50)),
+                      "name": pa.array([f"n{v}" for v in range(20, 50)])})
+    got = salted_full_join(_ds(ray_session, left), right, key="k",
+                           num_buckets=4).to_pandas()
+    exp = left.merge(right.to_pandas(), on="k", how="outer")
+    assert len(got) == len(exp)
+    # right-only rows: null lid, key + name present
+    ro = got[got["lid"].isna()]
+    exp_ro = set(range(20, 50)) - set(left["k"])
+    assert set(ro["k"]) == exp_ro
+    assert ro["name"].notna().all()
+
+
+def test_repetition_filter_cuts(ray_session):
+    from webvalid.ops.textstats import repetition_filter
+
+    long_ok = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        {"doc_id": 0, "text": long_ok},                       # keeps
+        {"doc_id": 1, "text": "spam " * 30},                  # repetitive
+        {"doc_id": 2, "text": "tiny doc"},                    # too short
+        {"doc_id": 3, "text": None},                          # null
+    ]
+    out = repetition_filter(_ds(ray_session, pd.DataFrame(rows), blocks=2),
+                            max_top_token_frac=0.15, min_tokens=20) \
+        .to_pandas()
+    assert out["doc_id"].tolist() == [0]
+
+
+def test_prep_corpus_v2_composition(ray_session):
+    from webvalid.ops.prep import prep_corpus, prep_corpus_v2
+
+    texts = [" ".join(f"t{i}_{j}" for j in range(25)) + " common"
+             for i in range(8)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    rows.append({"doc_id": 8, "text": texts[0]})          # exact dup
+    rows.append({"doc_id": 9, "text": "loop " * 25})      # repetitive
+    ds = _ds(ray_session, pd.DataFrame(rows), blocks=2)
+    v2 = prep_corpus_v2(ds, max_top_token_frac=0.15, min_tokens=20) \
+        .to_pandas().sort_values("doc_id")
+    assert set(v2["doc_id"]) == set(range(8))  # dup + repetitive dropped
+    # 'common' has df 8/8 > 0.78 → stripped from every doc
+    assert not v2["clean_text"].str.contains("common").any()

@@ -310,3 +310,46 @@ class _BloomAnti:
             null = np.zeros(len(vals), dtype=bool)
         miss = ~self.bf.contains_hashes(hash64(vals))
         return t.filter(pa.array(miss | null))
+
+
+def salted_full_join(left_ds, right: pa.Table, key: str,
+                     num_buckets: int = 32, hot_keys: set | None = None,
+                     n_salts: int = 4):
+    """FULL OUTER join = left outer UNION right-only rows (USING-style:
+    one coalesced key column; left payload columns null-filled on the
+    right-only side).
+
+    The right-only side needs the LEFT side's distinct key set — the
+    streamed pass ships vocabulary-sized per-batch distinct partials,
+    never rows (same key-domain-fits-driver contract as the setops
+    driver strategy; for unbounded key domains use the shuffle join).
+    """
+    lo = salted_left_join(left_ds, right, key, num_buckets=num_buckets,
+                          hot_keys=hot_keys, n_salts=n_salts)
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({key: pc.unique(pc.drop_null(col))})
+
+    parts = left_ds.select_columns([key]).map_batches(
+        distinct_keys, batch_format="pyarrow").to_pandas()
+    left_keys = np.unique(parts[key].to_numpy())
+    miss = ~_in_sorted_keys(left_keys,
+                            right[key].to_numpy(zero_copy_only=False))
+    right_only = right.filter(pa.array(miss))
+
+    left_schema = left_ds.schema()
+    cols: dict = {}
+    for name, typ in zip(left_schema.names, left_schema.types):
+        if name == key:
+            cols[name] = right_only[key]
+        else:
+            cols[name] = pa.nulls(right_only.num_rows, typ)
+    for name in right.column_names:
+        if name != key:
+            cols[name] = right_only[name]
+    import ray.data as _rd
+
+    return lo.union(_rd.from_arrow(pa.table(cols)))

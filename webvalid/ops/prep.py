@@ -110,3 +110,35 @@ def prep_corpus(ds, text_col: str = "text", id_col: str = "doc_id",
                                    [id_col, "split"])
 
     return with_split.map_batches(rewrite, batch_format="pyarrow")
+
+
+def prep_corpus_v2(ds, text_col: str = "text", id_col: str = "doc_id",
+                   max_df_frac: float = 0.78,
+                   max_top_token_frac: float = 0.15, min_tokens: int = 20,
+                   fractions: dict[str, float] | None = None):
+    """prep_corpus with a repetition-quality gate between dedup and the
+    boilerplate strip (the Gopher-style filter a real corpus prep
+    runs): dedup → drop docs that are too repetitive or too short →
+    split on the original text → boilerplate DF computed over the
+    FILTERED corpus only. Still SQL-expressible end-to-end, so the
+    gate stays value-exact."""
+    from webvalid.ops.textstats import repetition_filter
+
+    dup_ref = ray.put(_dup_keeper_arrays(ds, text_col, id_col))
+    kept = ds.map_batches(_keep_filter(dup_ref, text_col, id_col),
+                          batch_format="pyarrow")
+    clean = repetition_filter(kept, text_col,
+                              max_top_token_frac=max_top_token_frac,
+                              min_tokens=min_tokens)
+    th = split_thresholds(fractions or {"train": 0.8, "valid": 0.1, "test": 0.1})
+    with_split = clean.map_batches(
+        lambda t: add_split_column(t, text_col, th), batch_format="pyarrow"
+    )
+    dfs, n_docs = document_frequencies(clean, text_col, return_doc_count=True)
+    hot_ref = hot_tokens_ref(dfs, n_docs, max_df_frac)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        return rewrite_without_hot(batch, text_col, ray.get(hot_ref),
+                                   [id_col, "split"])
+
+    return with_split.map_batches(rewrite, batch_format="pyarrow")

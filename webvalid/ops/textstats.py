@@ -279,3 +279,43 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         lambda t: repetition_stats_batch(t, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def repetition_filter(ds, text_col: str = "text",
+                      max_top_token_frac: float = 0.15,
+                      min_tokens: int = 20):
+    """Quality gate: drop docs whose single most-repeated token exceeds
+    `max_top_token_frac` of the doc, or with fewer than `min_tokens`
+    tokens (null text drops too). Pure streaming map — the repetition
+    kernel is batch-local; both sides of the comparison are one double
+    division, so the cut is bit-identical to the SQL twin."""
+    from webvalid.ops.boilerplate import _split_flat
+    from webvalid.sketches import hash64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        flat, offs, valid = _split_flat(batch[text_col])
+        if len(flat) == 0 or not valid.any():
+            return batch.slice(0, 0)
+        doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        tok_valid = valid[doc_idx]
+        h = hash64(flat.to_numpy(zero_copy_only=False))
+        d, k = doc_idx[tok_valid], h[tok_valid]
+        order = np.lexsort((k, d))
+        d_s, k_s = d[order], k[order]
+        run_start = np.ones(len(d_s), dtype=bool)
+        run_start[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+        starts = np.flatnonzero(run_start)
+        cnt = np.diff(np.append(starts, len(d_s)))
+        run_doc = d_s[starts]
+        doc_start = np.ones(len(run_doc), dtype=bool)
+        doc_start[1:] = run_doc[1:] != run_doc[:-1]
+        dstarts = np.flatnonzero(doc_start)
+        docs = run_doc[dstarts]
+        n_tok = np.add.reduceat(cnt, dstarts)
+        max_tok = np.maximum.reduceat(cnt, dstarts)
+        ok_mask = np.zeros(batch.num_rows, dtype=bool)
+        frac = max_tok / n_tok.astype(np.float64)
+        ok_mask[docs] = (frac <= max_top_token_frac) & (n_tok >= min_tokens)
+        return batch.filter(pa.array(ok_mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

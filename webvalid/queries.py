@@ -1288,3 +1288,69 @@ def repetition_documents(sf_dir: str):
     out["top_token_frac"] = out["top_token_frac"].round(6)
     out["top_bigram_frac"] = out["top_bigram_frac"].round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lead_value_events(sf_dir: str):
+    """Per-user LEAD(value, 1) (ops/rank.py:lead_per_key) — null for
+    each user's last event."""
+    from webvalid.ops.rank import lead_per_key
+
+    out = lead_per_key(_events_ts_us(sf_dir), key="user_id", order_col="ts_us",
+                       value_col="value", tiebreak="event_id", n=1,
+                       out_col="led")
+    out["led"] = out["led"].round(6)
+    return out[["event_id", "user_id", "led"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def dense_rank_lineitem(sf_dir: str):
+    """Per-order DENSE_RANK by quantity (ops/rank.py:dense_rank_per_key)
+    — integer quantities tie constantly, so dense (gap-free, shared)
+    ranks differ visibly from row numbers."""
+    from webvalid.ops.rank import dense_rank_per_key
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = dense_rank_per_key(ds, key="l_orderkey", order_col="l_quantity",
+                             tiebreak="l_linenumber", out_col="drank")
+    return out.select_columns(["l_orderkey", "l_linenumber", "drank"])
+
+
+def full_join_orders_customer(sf_dir: str):
+    """FULL OUTER join (ops/joins.py:salted_full_join): orders ⟗
+    customers-with-custkey%3≠0, so both polarities appear — orders
+    missing a customer AND customers with no order — rolled up per
+    COALESCEd segment with an exact right-only count."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.joins import salted_full_join
+
+    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pa.array(cust["c_custkey"].to_numpy() % 3 != 0))
+    right = cust.rename_columns(["o_custkey", "c_mktsegment"])
+    left = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+    full = salted_full_join(left, right, key="o_custkey", num_buckets=16)
+
+    def mark(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "segment": pc.coalesce(t["c_mktsegment"], pa.scalar("UNMATCHED")),
+            "is_right_only": pc.cast(pc.is_null(t["o_orderkey"]), pa.int64()),
+        })
+
+    out = twophase_agg(full.map_batches(mark, batch_format="pyarrow"),
+                       ["segment"], {"n_rows": ("segment", "count"),
+                                     "right_only": ("is_right_only", "sum")})
+    return out.sort_values("segment").reset_index(drop=True)
+
+
+def prep_corpus_v2_documents(sf_dir: str):
+    """Composed prep v2 (ops/prep.py:prep_corpus_v2): dedup →
+    repetition-quality filter (top-token ≤ 0.15, ≥ 20 tokens) →
+    boilerplate strip over the filtered corpus → content-keyed split.
+    One composed SQL oracle checks the whole chain value-exactly."""
+    from webvalid.ops.prep import prep_corpus_v2
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = prep_corpus_v2(ds).to_pandas()
+    return out[["doc_id", "split", "clean_text"]] \
+        .sort_values("doc_id").reset_index(drop=True)
