@@ -186,6 +186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_orders_customer": q.full_join_orders_customer,
         # composed prep v2: dedup → repetition filter → boilerplate → split
         "prep_corpus_v2_documents": q.prep_corpus_v2_documents,
+        # deterministic bottom-k (KMV) uniform sample
+        "sample_bottomk_documents": q.sample_bottomk_documents,
+        # equi-width numeric histogram via the mergeable sketch
+        "histogram_price_lineitem": q.histogram_price_lineitem,
+        # PERCENT_RANK + per-key FIRST/LAST_VALUE window functions
+        "percent_rank_orders": q.percent_rank_orders,
+        "first_last_value_events": q.first_last_value_events,
     }
 
 
@@ -798,5 +805,43 @@ def oracle_sql() -> dict[str, str]:
                    c.clean_text
             FROM clean c JOIN documents d USING (doc_id)
             ORDER BY c.doc_id
+        """,
+        "sample_bottomk_documents": """
+            SELECT doc_id FROM (
+                SELECT doc_id FROM documents
+                ORDER BY md5(text), doc_id LIMIT 100
+            ) ORDER BY doc_id
+        """,
+        # bin arithmetic mirrors the engine exactly:
+        # TRUNC(((x - lo) / (hi - lo)) * bins), clipped into [0, bins-1]
+        "histogram_price_lineitem": """
+            SELECT bin, COUNT(*) AS cnt FROM (
+                SELECT CASE
+                    WHEN l_extendedprice < 0.0 THEN -1
+                    WHEN l_extendedprice >= 100000.0 THEN 20
+                    ELSE LEAST(CAST(TRUNC(((l_extendedprice - 0.0)
+                                           / 100000.0) * 20.0) AS BIGINT), 19)
+                END AS bin
+                FROM lineitem
+            ) GROUP BY bin ORDER BY bin
+        """,
+        "percent_rank_orders": """
+            SELECT o_orderkey,
+                   ROUND(PERCENT_RANK() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ), 6) AS pr
+            FROM orders ORDER BY o_orderkey
+        """,
+        "first_last_value_events": """
+            SELECT DISTINCT user_id,
+                   FIRST_VALUE(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id
+                   ) AS first_value,
+                   FIRST_VALUE(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC
+                   ) AS last_value
+            FROM events ORDER BY user_id
         """,
     }

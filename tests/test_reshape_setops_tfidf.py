@@ -386,3 +386,52 @@ def test_prep_corpus_v2_composition(ray_session):
     assert set(v2["doc_id"]) == set(range(8))  # dup + repetitive dropped
     # 'common' has df 8/8 > 0.78 → stripped from every doc
     assert not v2["clean_text"].str.contains("common").any()
+
+
+def test_bottomk_sample_matches_naive(ray_session):
+    import hashlib
+
+    from webvalid.ops.sampling import bottomk_sample
+
+    rng = np.random.default_rng(17)
+    texts = [f"doc number {i} " + " ".join(map(str, rng.integers(0, 9, 5)))
+             for i in range(200)]
+    df = pd.DataFrame({"doc_id": range(200), "text": texts})
+    got = bottomk_sample(_ds(ray_session, df, blocks=4), k=10)
+    exp = sorted(range(200),
+                 key=lambda i: (hashlib.md5(texts[i].encode()).hexdigest(), i))[:10]
+    assert got["doc_id"].tolist() == sorted(exp)
+
+
+def test_bottomk_ties_break_by_id(ray_session):
+    from webvalid.ops.sampling import bottomk_sample
+
+    df = pd.DataFrame({"doc_id": [5, 3, 9], "text": ["same", "same", "same"]})
+    got = bottomk_sample(_ds(ray_session, df, blocks=2), k=2)
+    assert got["doc_id"].tolist() == [3, 5]
+
+
+def test_percent_rank_bounds(keyed_events):
+    from webvalid.ops.rank import global_percent_rank
+
+    ds, df = keyed_events
+    out = global_percent_rank(ds, by=["t", "eid"], descending=False,
+                              out_col="pr").to_pandas()
+    assert out["pr"].min() == 0.0 and out["pr"].max() == 1.0
+    # row with the globally smallest (t, eid) has pr 0
+    top = df.sort_values(["t", "eid"]).iloc[0]["eid"]
+    assert out.loc[out["eid"] == top, "pr"].iloc[0] == 0.0
+
+
+def test_first_last_value_matches_pandas(keyed_events):
+    from webvalid.ops.rank import first_last_value_per_key
+
+    ds, df = keyed_events
+    got = first_last_value_per_key(ds, key="u", order_col="t",
+                                   value_col="v", tiebreak="eid")
+    s = df.sort_values(["t", "eid"])
+    exp_first = s.drop_duplicates("u", keep="first").set_index("u")["v"]
+    exp_last = s.drop_duplicates("u", keep="last").set_index("u")["v"]
+    for _, r in got.iterrows():
+        assert r["first_value"] == exp_first[r["u"]]
+        assert r["last_value"] == exp_last[r["u"]]

@@ -300,3 +300,51 @@ def dense_rank_per_key(ds, key: str, order_col: str, tiebreak: str,
 
     return sorted_ds.map_batches(number, batch_size=None,
                                  batch_format="pyarrow")
+
+
+def global_percent_rank(ds, by: list[str], descending: list[bool] | bool,
+                        out_col: str = "pr"):
+    """SQL PERCENT_RANK() over the whole dataset: (rn - 1) / (n - 1)
+    on the zipWithIndex rank (0 for a single row). Same unique
+    composite `by` contract; returns a Dataset with `out_col`."""
+    ranked = global_row_number(ds, by, descending, rank_col="__rn")
+    n = ranked.count()
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def pr(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy()
+        vals = (rn - 1).astype(np.float64) / denom
+        return t.drop_columns(["__rn"]).append_column(
+            out_col, pa.array(vals, pa.float64()))
+
+    return ranked.map_batches(pr, batch_size=None, batch_format="pyarrow")
+
+
+def first_last_value_per_key(ds, key: str, order_col: str, value_col: str,
+                             tiebreak: str) -> pd.DataFrame:
+    """Per-key FIRST_VALUE and LAST_VALUE of `value_col` in (order_col,
+    tiebreak) order — two-phase: each batch emits its per-key first and
+    last candidate rows (2 rows per key per batch), the driver reduces
+    the O(#keys · #batches) candidates the same way. No shuffle."""
+    cols = [key, order_col, tiebreak, value_col]
+
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([order_col, tiebreak], kind="mergesort")
+        first = df.drop_duplicates(key, keep="first")
+        last = df.drop_duplicates(key, keep="last")
+        return pd.concat([first, last], ignore_index=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(ends(t.select(cols).to_pandas()),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = ends(parts)
+    first = cand.sort_values([order_col, tiebreak], kind="mergesort") \
+        .drop_duplicates(key, keep="first").set_index(key)[value_col]
+    last = cand.sort_values([order_col, tiebreak], kind="mergesort") \
+        .drop_duplicates(key, keep="last").set_index(key)[value_col]
+    out = pd.DataFrame({key: first.index,
+                        "first_value": first.to_numpy(),
+                        "last_value": last.loc[first.index].to_numpy()})
+    return out.sort_values(key).reset_index(drop=True)

@@ -131,3 +131,32 @@ def stratified_sample(ds, strat_col: str = "lang", rates: dict[str, float] | Non
         return batch.filter(pa.array(valid & (bucket < row_th)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def bottomk_sample(ds, k: int, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Deterministic uniform k-sample: the k docs with the smallest
+    md5(text) (bottom-k / KMV sampling — a uniform sample because the
+    hash is uniform, yet reproducible and mergeable, unlike reservoir
+    sampling). Each batch ships only its local bottom-k (id, hash)
+    pairs; the driver merges O(#batches · k) pairs. Hash order is the
+    md5 HEX-string order (digest byte order), so the SQL twin is
+    `ORDER BY md5(text), id LIMIT k`; ties between identical texts
+    break by id. Returns a sorted pandas DataFrame of ids.
+    """
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        valid, d8 = _md5_digest8_per_row(batch[text_col])
+        h = d8.byteswap()  # little-endian uint64 -> digest byte order
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(valid)
+        if len(sel) > k:
+            sub = np.lexsort((ids[sel], h[sel]))[:k]
+            sel = sel[sub]
+        return pa.table({id_col: pa.array(ids[sel], batch[id_col].type),
+                         "_h": pa.array(h[sel], pa.uint64())})
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["_h", id_col], kind="mergesort").head(k)
+    return parts[[id_col]].sort_values(id_col).reset_index(drop=True)

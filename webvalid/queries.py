@@ -1354,3 +1354,60 @@ def prep_corpus_v2_documents(sf_dir: str):
     out = prep_corpus_v2(ds).to_pandas()
     return out[["doc_id", "split", "clean_text"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def sample_bottomk_documents(sf_dir: str, k: int = 100):
+    """Deterministic uniform bottom-k sample (ops/sampling.py:
+    bottomk_sample): the k docs with the smallest md5(text)."""
+    from webvalid.ops.sampling import bottomk_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bottomk_sample(ds, k=k)
+
+
+def histogram_price_lineitem(sf_dir: str):
+    """Equi-width histogram of l_extendedprice over the mergeable
+    NumericHistogram sketch (sketches.py): fixed [0, 100000) × 20 bins,
+    bin -1 = underflow, 20 = overflow — per-batch partials merge
+    associatively, so the combine is O(bins) regardless of rows."""
+    from webvalid.sketches import NumericHistogram
+
+    LO, HI, BINS = 0.0, 100_000.0, 20
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = NumericHistogram(LO, HI, BINS)
+        h.add_array(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([h.serialize()], pa.binary())})
+
+    parts = _read(sf_dir, "lineitem", columns=["l_extendedprice"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = NumericHistogram(LO, HI, BINS)
+    for blob in parts["blob"]:
+        total.merge(NumericHistogram.deserialize(blob))
+    bins = [-1] + list(range(BINS)) + [BINS]
+    cnts = [total.underflow] + total.counts.tolist() + [total.overflow]
+    out = pd.DataFrame({"bin": bins, "cnt": cnts})
+    return out[out["cnt"] > 0].reset_index(drop=True)
+
+
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK over all orders by price desc (ops/rank.py:
+    global_percent_rank on the zipWithIndex machinery)."""
+    from webvalid.ops.rank import global_percent_rank
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_percent_rank(ds, by=["o_totalprice", "o_orderkey"],
+                              descending=[True, False], out_col="pr") \
+        .select_columns(["o_orderkey", "pr"]).to_pandas()
+    out["pr"] = out["pr"].round(6)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def first_last_value_events(sf_dir: str):
+    """Per-user FIRST_VALUE / LAST_VALUE of value in event-time order
+    (ops/rank.py:first_last_value_per_key, two-phase ends reduce)."""
+    from webvalid.ops.rank import first_last_value_per_key
+
+    return first_last_value_per_key(_events_ts_us(sf_dir), key="user_id",
+                                    order_col="ts_us", value_col="value",
+                                    tiebreak="event_id")
