@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "except_en_src0_documents",
     "row_number_orders",
     "tfidf_max_documents",
+    "dense_rank_lineitem",
+    "prep_corpus_v2_documents",
+    "sample_bottomk_documents",
 ]
 
 
