@@ -193,6 +193,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PERCENT_RANK + per-key FIRST/LAST_VALUE window functions
         "percent_rank_orders": q.percent_rank_orders,
         "first_last_value_events": q.first_last_value_events,
+        # RANK (competition) + CUME_DIST + multi-reducer rolling frames
+        "rank_lineitem": q.rank_lineitem,
+        "cume_dist_orders": q.cume_dist_orders,
+        "rolling_minmax_value_events": q.rolling_minmax_value_events,
+        # broadcast interval/range join (busiest-day windows)
+        "range_join_events_days": q.range_join_events_days,
+        # GROUP BY CUBE from one finest-partials pass
+        "cube_lang_source_documents": q.cube_lang_source_documents,
+        # grouped mode / entropy / correlation (profile aggregates)
+        "mode_event_type_by_user": q.mode_event_type_by_user,
+        "entropy_event_type_by_user": q.entropy_event_type_by_user,
+        "corr_qty_price_lineitem": q.corr_qty_price_lineitem,
+        # per-group ordered string_agg + per-group arg-max
+        "stringagg_docs_by_lang_source": q.stringagg_docs_by_lang_source,
+        "argmax_chars_documents": q.argmax_chars_documents,
+        # temporal profile (ISO dow × hour)
+        "events_dow_hour": q.events_dow_hour,
+        # PII redaction + fixed-token-window chunking (training-data ops)
+        "redact_pii_documents": q.redact_pii_documents,
+        "chunk_tokens_documents": q.chunk_tokens_documents,
     }
 
 
@@ -843,5 +863,156 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY epoch_us(ts) DESC, event_id DESC
                    ) AS last_value
             FROM events ORDER BY user_id
+        """,
+        "rank_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(RANK() OVER (
+                       PARTITION BY l_orderkey ORDER BY l_quantity
+                   ) AS BIGINT) AS rnk
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "cume_dist_orders": """
+            SELECT o_orderkey,
+                   ROUND(CUME_DIST() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ), 6) AS cd
+            FROM orders ORDER BY o_orderkey
+        """,
+        "rolling_minmax_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(MIN(value) OVER w, 6) AS roll_min,
+                   ROUND(MAX(value) OVER w, 6) AS roll_max,
+                   ROUND(SUM(value) OVER w, 6) AS roll_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "range_join_events_days": """
+            WITH d AS (
+                SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                       epoch_us(ts) AS ts_us, value
+                FROM events
+            ),
+            top5 AS (
+                SELECT day_us AS win_start,
+                       day_us + 86400000000 AS win_end
+                FROM (SELECT day_us, COUNT(*) AS c FROM d GROUP BY 1
+                      ORDER BY c DESC, day_us LIMIT 5)
+            )
+            SELECT t.win_start, COUNT(*) AS n_events,
+                   ROUND(SUM(e.value), 4) AS sum_value
+            FROM d e JOIN top5 t
+              ON e.ts_us >= t.win_start AND e.ts_us < t.win_end
+            GROUP BY 1 ORDER BY 1
+        """,
+        "cube_lang_source_documents": """
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY CUBE (lang, source)
+            ORDER BY lang, source
+        """,
+        "mode_event_type_by_user": """
+            SELECT user_id, mode_val, n FROM (
+                SELECT user_id, event_type AS mode_val, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY COUNT(*) DESC, event_type
+                       ) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "entropy_event_type_by_user": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT user_id, CAST(SUM(c) AS DOUBLE) AS n
+                FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   ROUND(SUM(-(c.c / t.n) * ln(c.c / t.n)), 6) AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id ORDER BY user_id
+        """,
+        "corr_qty_price_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)
+                       AS n_pairs
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "stringagg_docs_by_lang_source": """
+            SELECT lang, source,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS doc_ids
+            FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "argmax_chars_documents": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1 ORDER BY lang
+        """,
+        "events_dow_hour": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hr, COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # messy derivation mirrors the engine's gate exactly; counting
+        # order is part of the contract (emails first, then phones on
+        # the email-redacted text); both engines are RE2
+        "redact_pii_documents": """
+            WITH m AS (
+                SELECT doc_id,
+                       text || ' contact-' || CAST(doc_id AS VARCHAR)
+                            || '@example.com call +1-555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           AS mt
+                FROM documents
+            ),
+            s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(mt,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                           AS BIGINT) AS n_emails,
+                       regexp_replace(mt,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t1
+                FROM m
+            )
+            SELECT doc_id, n_emails,
+                   CAST(len(regexp_extract_all(t1, '\\+1-555-[0-9]{4}'))
+                        AS BIGINT) AS n_phones,
+                   regexp_replace(t1, '\\+1-555-[0-9]{4}', '[PHONE]', 'g')
+                       AS red_text
+            FROM s1 ORDER BY doc_id
+        """,
+        "chunk_tokens_documents": """
+            WITH t AS (
+                SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           0, CAST((len(toks) - 1) // 32 AS BIGINT)
+                       )) AS chunk_id
+                FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(len(list_slice(toks, chunk_id * 32 + 1,
+                                       chunk_id * 32 + 32)) AS BIGINT)
+                       AS n_tokens,
+                   array_to_string(list_slice(toks, chunk_id * 32 + 1,
+                                              chunk_id * 32 + 32), ' ')
+                       AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id
         """,
     }

@@ -1,0 +1,228 @@
+"""Tests for session-4 operator families: RANK/CUME_DIST/rolling-agg
+windows, grouped mode/entropy/correlation, CUBE, string_agg, range
+join, token chunking, PII redaction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _ds(ray_session, df: pd.DataFrame, blocks: int = 4):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+@pytest.fixture(scope="module")
+def keyed(ray_session):
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, 600),
+        # few distinct values → constant ties, incl. across block bounds
+        "v": rng.integers(0, 5, 600).astype(np.float64),
+        "tb": np.arange(600),
+    })
+    return _ds(ray_session, df, blocks=7), df
+
+
+def test_rank_per_key_matches_pandas(keyed):
+    from webvalid.ops.rank import rank_per_key
+
+    ds, df = keyed
+    got = rank_per_key(ds, key="k", order_col="v", tiebreak="tb",
+                       out_col="rnk").to_pandas() \
+        .sort_values("tb").reset_index(drop=True)
+    exp = df.copy()
+    exp["rnk"] = exp.groupby("k")["v"].rank(method="min").astype(np.int64)
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["rnk"], exp["rnk"])
+
+
+def test_rank_per_key_descending_single_key(ray_session):
+    from webvalid.ops.rank import rank_per_key
+
+    df = pd.DataFrame({"k": 0, "v": [3.0, 3.0, 1.0, 2.0, 2.0, 2.0],
+                       "tb": range(6)})
+    got = rank_per_key(_ds(ray_session, df, blocks=3), key="k",
+                       order_col="v", tiebreak="tb", descending=True,
+                       out_col="rnk").to_pandas() \
+        .sort_values("tb").reset_index(drop=True)
+    assert got["rnk"].tolist() == [1, 1, 6, 3, 3, 3]
+
+
+def test_global_cume_dist_unique_composite(keyed):
+    from webvalid.ops.rank import global_cume_dist
+
+    ds, df = keyed
+    got = global_cume_dist(ds, by=["v", "tb"], descending=[True, False],
+                           out_col="cd").to_pandas() \
+        .sort_values("tb").reset_index(drop=True)
+    # unique composite → cume_dist == rn/n
+    exp_rn = df.sort_values(["v", "tb"], ascending=[False, True]) \
+        .reset_index().index.to_numpy() + 1
+    exp = df.sort_values(["v", "tb"], ascending=[False, True]).copy()
+    exp["cd"] = exp_rn / len(df)
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    np.testing.assert_allclose(got["cd"].to_numpy(), exp["cd"].to_numpy())
+
+
+def test_rolling_agg_per_key_matches_pandas(keyed):
+    from webvalid.ops.rank import rolling_agg_per_key
+
+    ds, df = keyed
+    got = rolling_agg_per_key(ds, key="k", order_col="v", value_col="v",
+                              window=3, tiebreak="tb",
+                              aggs={"rmin": "min", "rmax": "max",
+                                    "rsum": "sum"}) \
+        .sort_values("tb").reset_index(drop=True)
+    exp = df.sort_values(["k", "v", "tb"], kind="mergesort").copy()
+    r = exp.groupby("k")["v"].rolling(3, min_periods=1)
+    for out, how in [("rmin", "min"), ("rmax", "max"), ("rsum", "sum")]:
+        exp[out] = getattr(r, how)().reset_index(level=0, drop=True)
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    for c in ["rmin", "rmax", "rsum"]:
+        np.testing.assert_allclose(got[c].to_numpy(), exp[c].to_numpy())
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    from webvalid.ops.agg import grouped_mode
+
+    df = pd.DataFrame({"k": [0, 0, 0, 0, 1, 1, 1],
+                       "v": ["b", "b", "a", "a", "z", "y", "z"]})
+    got = grouped_mode(_ds(ray_session, df, blocks=3), key="k", val="v")
+    # key 0: tie 2-2 → smallest value "a"; key 1: "z" wins 2-1
+    assert got.set_index("k")["mode_val"].to_dict() == {0: "a", 1: "z"}
+    assert got.set_index("k")["n"].to_dict() == {0: 2, 1: 2}
+
+
+def test_grouped_entropy_matches_numpy(keyed):
+    from webvalid.ops.agg import grouped_entropy
+
+    ds, df = keyed
+    got = grouped_entropy(ds, key="k", val="v", ndigits=None)
+    for k, g in df.groupby("k"):
+        p = g["v"].value_counts().to_numpy() / len(g)
+        exp = float(-(p * np.log(p)).sum())
+        np.testing.assert_allclose(
+            got.loc[got["k"] == k, "entropy"].iloc[0], exp, rtol=1e-12)
+
+
+def test_grouped_corr_matches_pandas(ray_session):
+    from webvalid.ops.agg import grouped_corr
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 4, 500),
+                       "x": rng.normal(size=500),
+                       "y": rng.normal(size=500)})
+    df["y"] += 0.5 * df["x"]
+    df.loc[::17, "x"] = np.nan  # null pairs must be excluded
+    got = grouped_corr(_ds(ray_session, df, blocks=5), key="k",
+                       x="x", y="y", ndigits=None)
+    for k, g in df.dropna(subset=["x", "y"]).groupby("k"):
+        np.testing.assert_allclose(
+            got.loc[got["k"] == k, "corr_xy"].iloc[0],
+            g["x"].corr(g["y"]), rtol=1e-9)
+        assert got.loc[got["k"] == k, "n_pairs"].iloc[0] == len(g)
+
+
+def test_cube_counts_matches_pandas(ray_session):
+    from webvalid.ops.reshape import cube_counts
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 200),
+                       "b": rng.choice(["p", "q", "r"], 200)})
+    got = cube_counts(_ds(ray_session, df, blocks=3), ["a", "b"])
+    # 4 grouping sets: (a,b), (a), (b), ()
+    fine = df.groupby(["a", "b"]).size()
+    assert len(got) == len(fine) + df["a"].nunique() + df["b"].nunique() + 1
+    assert got.loc[(got["a"] == "ALL") & (got["b"] == "ALL"),
+                   "n_rows"].iloc[0] == 200
+    for (a, b), n in fine.items():
+        assert got.loc[(got["a"] == a) & (got["b"] == b),
+                       "n_rows"].iloc[0] == n
+    for b, n in df.groupby("b").size().items():
+        assert got.loc[(got["a"] == "ALL") & (got["b"] == b),
+                       "n_rows"].iloc[0] == n
+
+
+def test_grouped_string_agg_ordered(ray_session):
+    from webvalid.ops.reshape import grouped_string_agg
+
+    df = pd.DataFrame({"g": ["a", "a", "b", "a", "b"],
+                       "v": [30, 10, 2, 20, 1]})
+    got = grouped_string_agg(_ds(ray_session, df, blocks=3), ["g"], "v",
+                             sep=",", out_col="vals")
+    assert got.set_index("g")["vals"].to_dict() == \
+        {"a": "10,20,30", "b": "1,2"}
+
+
+def test_broadcast_range_join(ray_session):
+    from webvalid.ops.joins import broadcast_range_join
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"ts": rng.integers(0, 1000, 400), "id": range(400)})
+    intervals = pa.table({"win_start": pa.array([100, 300, 800], pa.int64()),
+                          "win_end": pa.array([200, 350, 1000], pa.int64())})
+    got = broadcast_range_join(_ds(ray_session, df, blocks=4), intervals,
+                               ts_col="ts", start_col="win_start",
+                               end_col="win_end").to_pandas()
+    exp_mask = (((df.ts >= 100) & (df.ts < 200)) |
+                ((df.ts >= 300) & (df.ts < 350)) |
+                ((df.ts >= 800) & (df.ts < 1000)))
+    assert sorted(got["id"]) == sorted(df.loc[exp_mask, "id"])
+    assert ((got["ts"] >= got["win_start"]) & (got["ts"] < got["win_end"])).all()
+
+
+def test_broadcast_range_join_rejects_overlap(ray_session):
+    from webvalid.ops.joins import broadcast_range_join
+
+    intervals = pa.table({"s": pa.array([0, 50], pa.int64()),
+                          "e": pa.array([60, 100], pa.int64())})
+    ds = _ds(ray_session, pd.DataFrame({"ts": [1, 2]}), blocks=1)
+    with pytest.raises(ValueError, match="non-overlapping"):
+        broadcast_range_join(ds, intervals, ts_col="ts",
+                             start_col="s", end_col="e")
+
+
+def test_token_chunks_matches_naive(ray_session):
+    from webvalid.ops.chunking import token_chunks
+
+    rng = np.random.default_rng(8)
+    texts = [" ".join(f"w{rng.integers(0, 9)}" for _ in range(n))
+             for n in rng.integers(1, 90, 50)]
+    texts.append("")  # empty text → one chunk of the single '' token
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = token_chunks(_ds(ray_session, df, blocks=3), chunk_tokens=32) \
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    rows = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        for c in range(-(-len(toks) // 32)):
+            piece = toks[c * 32:(c + 1) * 32]
+            rows.append((i, c, len(piece), " ".join(piece)))
+    exp = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "n_tokens",
+                                      "chunk_text"])
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "chunk_id", "n_tokens", "chunk_text"]], exp,
+        check_dtype=False)
+
+
+def test_redact_pii_counts_and_masks(ray_session):
+    from webvalid.ops.redact import redact_pii
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["mail me at a.b-c@ex-ample.org or x@y.io thanks",
+                 "call +1-555-0199 or +1-555-7777 now",
+                 "nothing sensitive here"],
+    })
+    got = redact_pii(_ds(ray_session, df, blocks=2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_emails"].tolist() == [2, 0, 0]
+    assert got["n_phones"].tolist() == [0, 2, 0]
+    assert got.loc[0, "red_text"] == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert got.loc[1, "red_text"] == "call [PHONE] or [PHONE] now"
+    assert got.loc[2, "red_text"] == "nothing sensitive here"

@@ -1,0 +1,101 @@
+"""Grouped-aggregate extensions: mode, Shannon entropy, correlation.
+
+All three follow the engine's standard two-phase shape: a vectorized
+per-batch partial (one row per in-batch group, pandas/numpy kernels)
+plus an O(#groups) driver combine — nothing larger than the group
+domain ever moves, so there is no shuffle and the ops stream at any
+input scale provided the (key × value) domain is materially smaller
+than the data (the usual profile-aggregation contract).
+
+No reference analogue; north-rule / training-data additions (mode and
+entropy are the categorical-drift profile primitives; correlation is
+the numeric-pair drift primitive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _keyval_counts(ds, key: str, val: str) -> pd.DataFrame:
+    """Two-phase (key, val) counts: per-batch partials + driver sum."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, val]).to_pandas()
+        out = df.groupby([key, val], as_index=False, sort=False).size() \
+                .rename(columns={"size": "_c"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.groupby([key, val], as_index=False, sort=False)["_c"].sum()
+
+
+def grouped_mode(ds, key: str, val: str, out_col: str = "mode_val",
+                 count_col: str = "n") -> pd.DataFrame:
+    """Per-key MODE of `val` with a deterministic tie-break (highest
+    count, then smallest value — SQL twin: ROW_NUMBER() OVER (PARTITION
+    BY key ORDER BY COUNT(*) DESC, val) = 1)."""
+    comb = _keyval_counts(ds, key, val)
+    comb = comb.sort_values([key, "_c", val], ascending=[True, False, True],
+                            kind="mergesort")
+    top = comb.drop_duplicates(key, keep="first")
+    return pd.DataFrame({key: top[key].to_numpy(),
+                         out_col: top[val].to_numpy(),
+                         count_col: top["_c"].to_numpy()}).reset_index(drop=True)
+
+
+def grouped_entropy(ds, key: str, val: str, out_col: str = "entropy",
+                    ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key Shannon entropy (nats) of the `val` distribution:
+    -Σ p·ln(p) over the key's value counts. Vectorized on the combined
+    counts; rounds to `ndigits` for cross-engine float comparability."""
+    comb = _keyval_counts(ds, key, val)
+    n = comb.groupby(key, sort=False)["_c"].transform("sum").to_numpy()
+    p = comb["_c"].to_numpy() / n
+    comb = comb.assign(_t=-p * np.log(p))
+    out = comb.groupby(key, as_index=False, sort=False)["_t"].sum() \
+              .rename(columns={"_t": out_col})
+    if ndigits is not None:
+        out[out_col] = out[out_col].round(ndigits)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_corr(ds, key: str, x: str, y: str, out_col: str = "corr_xy",
+                 count_col: str = "n_pairs",
+                 ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key Pearson correlation of (x, y) over non-null pairs.
+
+    Per-batch partials carry the six mergeable sums (n, Σx, Σy, Σx²,
+    Σy², Σxy); the driver combines them and closes the formula
+    (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ₛ)(n·Σy² − Σy²ₛ)) — identical
+    for sample and population, so it matches SQL corr(). Rows where
+    either side is null are excluded (SQL semantics)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[x].to_numpy(zero_copy_only=False),
+            "_y": t[y].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x", "_y"])
+        df["_xx"] = df["_x"] * df["_x"]
+        df["_yy"] = df["_y"] * df["_y"]
+        df["_xy"] = df["_x"] * df["_y"]
+        df["_n"] = 1
+        out = df.groupby(key, as_index=False, sort=False)[
+            ["_n", "_x", "_y", "_xx", "_yy", "_xy"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(key, as_index=False, sort=False)[
+        ["_n", "_x", "_y", "_xx", "_yy", "_xy"]].sum()
+    n = c["_n"].to_numpy(dtype=np.float64)
+    sx, sy = c["_x"].to_numpy(), c["_y"].to_numpy()
+    sxx, syy, sxy = c["_xx"].to_numpy(), c["_yy"].to_numpy(), c["_xy"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = pd.DataFrame({key: c[key].to_numpy(), out_col: corr,
+                        count_col: c["_n"].to_numpy(dtype=np.int64)})
+    if ndigits is not None:
+        out[out_col] = out[out_col].round(ndigits)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)

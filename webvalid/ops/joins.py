@@ -353,3 +353,52 @@ def salted_full_join(left_ds, right: pa.Table, key: str,
     import ray.data as _rd
 
     return lo.union(_rd.from_arrow(pa.table(cols)))
+
+
+def broadcast_range_join(left_ds, intervals: pa.Table, ts_col: str,
+                         start_col: str, end_col: str):
+    """Interval/range join: keep left rows whose `ts_col` falls inside
+    one of the half-open [start, end) intervals and tag them with the
+    interval's columns.
+
+    The interval table (small side) is broadcast ONCE as plain sorted
+    numpy arrays via ray.put; per batch, membership is two vectorized
+    searchsorted/compare passes — no shuffle, no per-row Python.
+    Intervals must be NON-overlapping (checked at build time): a row
+    can land in at most one, so `searchsorted(starts, ts) - 1` plus an
+    end-bound check resolves it. Overlapping interval sets are a
+    different operator (explode + join) by design.
+    """
+    starts = intervals[start_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(starts, kind="stable")
+    starts = starts[order]
+    ends = intervals[end_col].to_numpy(zero_copy_only=False)[order]
+    if np.any(ends[:-1] > starts[1:]):
+        raise ValueError("broadcast_range_join needs non-overlapping "
+                         "intervals (sorted ends must not pass the next "
+                         "start)")
+    payload = {c: intervals[c].to_numpy(zero_copy_only=False)[order]
+               for c in intervals.column_names}
+    ref = ray.put((starts, ends, payload))
+
+    class _RangeJoin:
+        def __init__(self, ref):
+            self.starts, self.ends, self.payload = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ts = t[ts_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.starts, ts, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            ok = (idx >= 0) & (ts < self.ends[safe])
+            sel = np.flatnonzero(ok)
+            out = t.take(pa.array(sel, pa.int64()))
+            hit = idx[sel]
+            for c, vals in self.payload.items():
+                if c not in out.column_names:
+                    out = out.append_column(c, pa.array(vals[hit]))
+            return out
+
+    from webvalid.rayutil import task_callable
+
+    return left_ds.map_batches(task_callable(_RangeJoin, ref=ref),
+                               batch_format="pyarrow")

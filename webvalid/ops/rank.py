@@ -302,6 +302,154 @@ def dense_rank_per_key(ds, key: str, order_col: str, tiebreak: str,
                                  batch_format="pyarrow")
 
 
+def rank_per_key(ds, key: str, order_col: str, tiebreak: str,
+                 descending: bool = False, out_col: str = "rnk"):
+    """Per-key RANK() by order_col (competition rank: ties share a rank,
+    gaps follow — rank = #rows of the key with a strictly smaller value
+    + 1).
+
+    Same high-cardinality design as dense_rank_per_key: one global sort
+    by (key, order, tiebreak), a vectorized per-block kernel, and an
+    O(#blocks) driver stitch. The stitch state per key boundary is
+    (rows seen so far, global rank of the still-open tail tie group):
+    a block continuing a key adds its row-count offset to every local
+    rank, and rows tying the previous block's tail value inherit that
+    group's already-assigned rank. Returns a Dataset with `out_col`.
+    """
+    by = [key, order_col, tiebreak]
+    desc = [False, descending, False]
+    sorted_ds = ds.sort(by, descending=desc).materialize()
+
+    def _cols(t: pa.Table):
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[order_col].to_numpy(zero_copy_only=False)
+        return k, v
+
+    def _local(k: np.ndarray, v: np.ndarray):
+        """(key_id per row, competition rank per row within block)."""
+        n = len(k)
+        idx = np.arange(n, dtype=np.int64)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        new_val = new_key.copy()
+        new_val[1:] |= v[1:] != v[:-1]
+        key_id = np.cumsum(new_key) - 1
+        grp_id = np.cumsum(new_val) - 1
+        key_start = idx[new_key]
+        grp_start = idx[new_val]
+        rank = grp_start[grp_id] - key_start[key_id] + 1
+        return key_id, rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({c: t[c].slice(0, 0) for c in by} | {
+                "_rows_tail": pa.array([], pa.int64()),
+                "_single": pa.array([], pa.bool_()),
+                "_one_group": pa.array([], pa.bool_()),
+                "_tail_grp_rank": pa.array([], pa.int64()),
+                "_tail_key": t[key].slice(0, 0),
+                "_tail_val": t[order_col].slice(0, 0),
+            })
+        k, v = _cols(t)
+        key_id, rank = _local(k, v)
+        head = t.slice(0, 1)
+        return pa.table({c: head[c] for c in by} | {
+            "_rows_tail": pa.array([int((key_id == key_id[-1]).sum())], pa.int64()),
+            "_single": pa.array([bool(key_id[-1] == 0)]),
+            "_one_group": pa.array([bool(key_id[-1] == 0 and v[0] == v[-1])]),
+            "_tail_grp_rank": pa.array([int(rank[-1])], pa.int64()),
+            "_tail_key": t[key].slice(t.num_rows - 1, 1),
+            "_tail_val": t[order_col].slice(t.num_rows - 1, 1),
+        })
+
+    heads = sorted_ds.map_batches(partial, batch_size=None,
+                                  batch_format="pyarrow").to_pandas()
+    heads = heads.sort_values(by, ascending=[not d for d in desc],
+                              kind="mergesort").reset_index(drop=True)
+    if heads.duplicated(subset=by).any():
+        raise ValueError("rank_per_key needs a unique (key, order, "
+                         "tiebreak) composite to recover block order")
+    by_arrays = [heads[c].to_numpy() for c in by]
+    rows_tail_a = heads["_rows_tail"].to_numpy()
+    single_a = heads["_single"].to_numpy()
+    one_group_a = heads["_one_group"].to_numpy()
+    tail_grp_rank_a = heads["_tail_grp_rank"].to_numpy()
+    tail_key_a = heads["_tail_key"].to_numpy()
+    tail_val_a = heads["_tail_val"].to_numpy()
+    offsets: dict = {}
+    cur_key = cur_last_val = None
+    cur_rows = 0          # rows of cur_key seen so far
+    cur_tie_rank = 0      # global rank of cur_key's open tail tie group
+    for i in range(len(heads)):  # O(#blocks), driver-side
+        head_tuple = tuple(a[i] for a in by_arrays)
+        continuing = cur_key is not None and head_tuple[0] == cur_key
+        tie = continuing and head_tuple[1] == cur_last_val
+        off = cur_rows if continuing else 0
+        offsets[head_tuple] = (off, cur_tie_rank if tie else -1)
+        if single_a[i] and continuing:
+            cur_tie_rank = (cur_tie_rank if (one_group_a[i] and tie)
+                            else int(tail_grp_rank_a[i]) + off)
+            cur_rows = off + int(rows_tail_a[i])
+        else:
+            cur_tie_rank = int(tail_grp_rank_a[i])
+            cur_rows = int(rows_tail_a[i])
+        cur_key = tail_key_a[i]
+        cur_last_val = tail_val_a[i]
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+
+    def number(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        k, v = _cols(t)
+        key_id, rank = _local(k, v)
+        head_tuple = tuple(t[c][0].as_py() for c in by)
+        off, head_rank = _ray.get(off_ref)[head_tuple]
+        rank = rank.astype(np.int64)
+        rank[key_id == 0] += off
+        if head_rank >= 0:
+            rank[(key_id == 0) & (v == v[0])] = head_rank
+        return t.append_column(out_col, pa.array(rank))
+
+    return sorted_ds.map_batches(number, batch_size=None,
+                                 batch_format="pyarrow")
+
+
+def global_cume_dist(ds, by: list[str], descending: list[bool] | bool,
+                     out_col: str = "cd"):
+    """SQL CUME_DIST() over the whole dataset under a UNIQUE composite
+    `by` (pass a tiebreak last): with no peers, cume_dist = rn / n on
+    the zipWithIndex rank. Returns a Dataset with `out_col`."""
+    ranked = global_row_number(ds, by, descending, rank_col="__rn")
+    n = float(ranked.count())
+
+    def cd(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy()
+        vals = rn.astype(np.float64) / n
+        return t.drop_columns(["__rn"]).append_column(
+            out_col, pa.array(vals, pa.float64()))
+
+    return ranked.map_batches(cd, batch_size=None, batch_format="pyarrow")
+
+
+def rolling_agg_per_key(ds, key: str, order_col: str, value_col: str,
+                        window: int, tiebreak: str,
+                        aggs: dict[str, str]) -> pd.DataFrame:
+    """Per-key trailing-window aggregates (ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW) for several reducers at once —
+    `aggs` = {out_col: how} with how in mean/sum/min/max. Same
+    one-key-per-group co-location contract as rolling_mean_per_key;
+    inside a group each reducer is C-level pandas rolling."""
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        r = g[value_col].rolling(window, min_periods=1)
+        for out, how in aggs.items():
+            g[out] = getattr(r, how)()
+        return g
+
+    return ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()
+
+
 def global_percent_rank(ds, by: list[str], descending: list[bool] | bool,
                         out_col: str = "pr"):
     """SQL PERCENT_RANK() over the whole dataset: (rn - 1) / (n - 1)

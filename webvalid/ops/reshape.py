@@ -108,3 +108,49 @@ def rollup_counts(ds, keys: list[str], out_col: str = "n_rows",
         levels.append(lv[keys + [out_col]])
     out = pd.concat(levels, ignore_index=True)
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def cube_counts(ds, keys: list[str], out_col: str = "n_rows",
+                all_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY CUBE(keys) row counts: every subset of `keys` as a
+    grouping set (2^k levels), all re-aggregated DRIVER-SIDE from one
+    finest-partials pass — the input is touched once. Same non-null
+    string-key contract as rollup_counts (`all_label` marks rolled-up
+    positions, as COALESCE does in SQL)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = df.groupby(keys, as_index=False, sort=False).size() \
+                .rename(columns={"size": out_col})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    finest = parts.groupby(keys, as_index=False, sort=False)[out_col].sum()
+    levels = []
+    for mask in range(1 << len(keys)):
+        kept = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        lv = (finest.groupby(kept, as_index=False, sort=False)[out_col].sum()
+              if kept else
+              pd.DataFrame({out_col: [finest[out_col].sum()]}))
+        for rolled in keys:
+            if rolled not in kept:
+                lv[rolled] = all_label
+        levels.append(lv[keys + [out_col]])
+    out = pd.concat(levels, ignore_index=True)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_string_agg(ds, keys: list[str], val_col: str, sep: str = ",",
+                       out_col: str = "agg") -> pd.DataFrame:
+    """Per-group ordered string concatenation (SQL string_agg(val, sep
+    ORDER BY val)). The output row is the size of the group's DATA, so
+    each group must individually fit a worker — the same
+    one-key-per-group contract as sessionize; co-location uses the real
+    groupby shuffle, the in-group sort+join is C-level."""
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(val_col, kind="mergesort")
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row[out_col] = [sep.join(g[val_col].astype(str))]
+        return pd.DataFrame(row)
+
+    out = ds.groupby(keys).map_groups(agg, batch_format="pandas").to_pandas()
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)

@@ -1411,3 +1411,193 @@ def first_last_value_events(sf_dir: str):
     return first_last_value_per_key(_events_ts_us(sf_dir), key="user_id",
                                     order_col="ts_us", value_col="value",
                                     tiebreak="event_id")
+
+
+def rank_lineitem(sf_dir: str):
+    """Per-order RANK() by quantity (ops/rank.py:rank_per_key) —
+    competition rank: ties share, gaps follow; same high-cardinality
+    sort + O(#blocks) stitch machinery as dense_rank."""
+    from webvalid.ops.rank import rank_per_key
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = rank_per_key(ds, key="l_orderkey", order_col="l_quantity",
+                       tiebreak="l_linenumber", out_col="rnk")
+    return out.select_columns(["l_orderkey", "l_linenumber", "rnk"])
+
+
+def cume_dist_orders(sf_dir: str):
+    """CUME_DIST over all orders by (price DESC, key) — the unique
+    composite makes cume_dist = rn/n on the zipWithIndex rank
+    (ops/rank.py:global_cume_dist)."""
+    from webvalid.ops.rank import global_cume_dist
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = global_cume_dist(ds, by=["o_totalprice", "o_orderkey"],
+                           descending=[True, False], out_col="cd") \
+        .select_columns(["o_orderkey", "cd"]).to_pandas()
+    out["cd"] = out["cd"].round(6)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def rolling_minmax_value_events(sf_dir: str):
+    """Per-user rolling MIN/MAX/SUM over the trailing 5-row frame
+    (ops/rank.py:rolling_agg_per_key, three reducers in one pass)."""
+    from webvalid.ops.rank import rolling_agg_per_key
+
+    out = rolling_agg_per_key(_events_ts_us(sf_dir), key="user_id",
+                              order_col="ts_us", value_col="value",
+                              window=5, tiebreak="event_id",
+                              aggs={"roll_min": "min", "roll_max": "max",
+                                    "roll_sum": "sum"})
+    for c in ["roll_min", "roll_max", "roll_sum"]:
+        out[c] = out[c].round(6)
+    return out[["event_id", "user_id", "roll_min", "roll_max", "roll_sum"]] \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+def range_join_events_days(sf_dir: str):
+    """Interval join (ops/joins.py:broadcast_range_join): the 5 busiest
+    calendar days (count DESC, day ASC — derived with a two-phase agg)
+    become non-overlapping [day, day+24h) windows; events are
+    range-joined to them with broadcast searchsorted and rolled up per
+    window."""
+    from webvalid.ops.joins import broadcast_range_join
+
+    DAY_US = 86_400_000_000
+    ds = _events_ts_us(sf_dir)
+
+    def add_day(t: pa.Table) -> pa.Table:
+        day = pc.multiply(pc.divide(t["ts_us"], DAY_US), DAY_US)
+        return t.append_column("day_us", day)
+
+    with_day = ds.map_batches(add_day, batch_format="pyarrow")
+    counts = twophase_agg(with_day, ["day_us"], {"c": ("day_us", "count")})
+    top5 = counts.sort_values(["c", "day_us"], ascending=[False, True]) \
+        .head(5)
+    intervals = pa.table({
+        "win_start": pa.array(top5["day_us"].to_numpy(), pa.int64()),
+        "win_end": pa.array(top5["day_us"].to_numpy() + DAY_US, pa.int64()),
+    })
+    joined = broadcast_range_join(ds, intervals, ts_col="ts_us",
+                                  start_col="win_start", end_col="win_end")
+    out = twophase_agg(joined, ["win_start"],
+                       {"n_events": ("win_start", "count"),
+                        "sum_value": ("value", "sum")})
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values("win_start").reset_index(drop=True)
+
+
+def cube_lang_source_documents(sf_dir: str):
+    """GROUP BY CUBE (ops/reshape.py:cube_counts): doc counts for every
+    grouping subset of (lang, source) from one finest-partials pass."""
+    from webvalid.ops.reshape import cube_counts
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return cube_counts(ds, ["lang", "source"], out_col="n_docs")
+
+
+def mode_event_type_by_user(sf_dir: str):
+    """Per-user MODE of event_type (ops/agg.py:grouped_mode) with the
+    deterministic (count DESC, value ASC) tie-break."""
+    from webvalid.ops.agg import grouped_mode
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = grouped_mode(ds, key="user_id", val="event_type")
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def entropy_event_type_by_user(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution
+    (ops/agg.py:grouped_entropy) — the categorical-drift profile
+    primitive."""
+    from webvalid.ops.agg import grouped_entropy
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_entropy(ds, key="user_id", val="event_type")
+
+
+def corr_qty_price_lineitem(sf_dir: str):
+    """Per-returnflag Pearson correlation of (quantity, price) from the
+    six mergeable sums (ops/agg.py:grouped_corr); null pairs excluded,
+    as SQL corr() does."""
+    from webvalid.ops.agg import grouped_corr
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_corr(ds, key="l_returnflag", x="l_quantity",
+                        y="l_extendedprice", out_col="corr_qp")
+
+
+def stringagg_docs_by_lang_source(sf_dir: str):
+    """Per-(lang, source) ordered doc_id concatenation (ops/reshape.py:
+    grouped_string_agg — SQL string_agg ... ORDER BY doc_id)."""
+    from webvalid.ops.reshape import grouped_string_agg
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "doc_id"])
+    return grouped_string_agg(ds, ["lang", "source"], "doc_id",
+                              sep=",", out_col="doc_ids")
+
+
+def events_dow_hour(sf_dir: str):
+    """Event counts by (ISO day-of-week, hour) — Arrow temporal kernels
+    (pc.day_of_week week_start=1 count_from_zero=False == isodow) +
+    two-phase agg."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        dow = pc.day_of_week(t["ts"], count_from_zero=False, week_start=1)
+        hr = pc.hour(t["ts"])
+        return pa.table({"dow": pc.cast(dow, pa.int64()),
+                         "hr": pc.cast(hr, pa.int64())})
+
+    out = twophase_agg(ds.map_batches(proj, batch_format="pyarrow"),
+                       ["dow", "hr"], {"cnt": ("dow", "count")})
+    return out.sort_values(["dow", "hr"]).reset_index(drop=True)
+
+
+def argmax_chars_documents(sf_dir: str):
+    """Per-lang arg-max: the doc with the most characters (ties → min
+    doc_id) via the two-phase top-N machinery with n=1
+    (ops/rank.py:top_n_per_key)."""
+    from webvalid.ops.rank import top_n_per_key
+
+    ds = _read(sf_dir, "documents", columns=["lang", "doc_id", "n_chars"])
+    out = top_n_per_key(ds, key="lang", order_col="n_chars", n=1,
+                        tiebreak="doc_id", rank_col="rn")
+    return out[["lang", "doc_id", "n_chars"]] \
+        .sort_values("lang").reset_index(drop=True)
+
+
+def redact_pii_documents(sf_dir: str):
+    """PII redaction (ops/redact.py): the gate derives a messy string
+    from each doc IDENTICALLY on both sides (the table's text contains
+    no PII) — appending a doc-keyed email + phone — then the engine
+    counts and masks them with Arrow RE2 kernels."""
+    from webvalid.ops.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def messy(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        id_str = pa.array(ids.astype(str))
+        pad4 = pa.array(np.char.zfill((ids % 10000).astype(str), 4))
+        n = t.num_rows
+        mt = pc.binary_join_element_wise(
+            t["text"], pa.array([" contact-"] * n), id_str,
+            pa.array(["@example.com call +1-555-"] * n), pad4, "")
+        return pa.table({"doc_id": t["doc_id"], "text": mt})
+
+    out = redact_pii(ds.map_batches(messy, batch_format="pyarrow")) \
+        .to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def chunk_tokens_documents(sf_dir: str):
+    """Fixed 32-token window chunking (ops/chunking.py:token_chunks) —
+    LLM sequence-packing prep, one row per (doc, chunk)."""
+    from webvalid.ops.chunking import token_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = token_chunks(ds, chunk_tokens=32).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
