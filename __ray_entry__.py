@@ -213,6 +213,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PII redaction + fixed-token-window chunking (training-data ops)
         "redact_pii_documents": q.redact_pii_documents,
         "chunk_tokens_documents": q.chunk_tokens_documents,
+        # exact quantile selection (histogram bisection — no sort)
+        "quantile_disc_price_lineitem": q.quantile_disc_price_lineitem,
+        # per-key exact distinct count + min-max feature scaling
+        "distinct_users_by_type": q.distinct_users_by_type,
+        "normalize_value_events": q.normalize_value_events,
+        # gap-filled (densified) hourly counts
+        "densify_hourly_events": q.densify_hourly_events,
+        # vector-column statistics (per-label embedding norms)
+        "embedding_norms_by_label": q.embedding_norms_by_label,
     }
 
 
@@ -1014,5 +1023,54 @@ def oracle_sql() -> dict[str, str]:
                                               chunk_id * 32 + 32), ' ')
                        AS chunk_text
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        "quantile_disc_price_lineitem": """
+            SELECT q, value FROM (
+                SELECT 0.25 AS q,
+                       quantile_disc(l_extendedprice, 0.25) AS value
+                FROM lineitem
+                UNION ALL
+                SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM lineitem
+                UNION ALL
+                SELECT 0.9, quantile_disc(l_extendedprice, 0.9) FROM lineitem
+            ) ORDER BY q
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "normalize_value_events": """
+            SELECT event_id, user_id,
+                   ROUND((value - MIN(value) OVER w)
+                         / NULLIF(MAX(value) OVER w - MIN(value) OVER w, 0),
+                         6) AS norm_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id)
+            ORDER BY event_id
+        """,
+        "densify_hourly_events": """
+            WITH b AS (
+                SELECT (MIN(epoch_us(ts)) // 3600000000) * 3600000000 AS lo,
+                       (MAX(epoch_us(ts)) // 3600000000) * 3600000000 AS hi
+                FROM events
+            ),
+            g AS (
+                SELECT unnest(generate_series(lo, hi, 3600000000))
+                    AS window_start
+                FROM b
+            )
+            SELECT g.window_start, CAST(COUNT(e.ts) AS BIGINT) AS cnt
+            FROM g LEFT JOIN events e
+              ON (epoch_us(e.ts) // 3600000000) * 3600000000 = g.window_start
+            GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_norms_by_label": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   COUNT(*) AS n_vecs,
+                   ROUND(AVG(sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x)))), 6)
+                       AS avg_norm
+            FROM embeddings GROUP BY 1 ORDER BY 1
         """,
     }

@@ -226,3 +226,75 @@ def test_redact_pii_counts_and_masks(ray_session):
     assert got.loc[0, "red_text"] == "mail me at [EMAIL] or [EMAIL] thanks"
     assert got.loc[1, "red_text"] == "call [PHONE] or [PHONE] now"
     assert got.loc[2, "red_text"] == "nothing sensitive here"
+
+
+def test_kth_smallest_forced_bisection(ray_session):
+    from webvalid.ops.selection import kth_smallest
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(scale=100, size=5000)
+    vals[::13] = np.nan  # nulls excluded
+    df = pd.DataFrame({"x": vals})
+    clean = np.sort(vals[~np.isnan(vals)])
+    ds = _ds(ray_session, df, blocks=5)
+    # collect_limit far below n forces several histogram rounds
+    for k in [1, 7, len(clean) // 2, len(clean)]:
+        got = kth_smallest(ds, "x", k, bins=16, collect_limit=50)
+        assert got == clean[k - 1]
+
+
+def test_exact_quantile_disc_semantics(ray_session):
+    from webvalid.ops.selection import exact_quantile_disc
+
+    rng = np.random.default_rng(10)
+    vals = rng.integers(0, 1000, 777).astype(np.float64)
+    ds = _ds(ray_session, pd.DataFrame({"x": vals}), blocks=4)
+    got = exact_quantile_disc(ds, "x", qs=[0.25, 0.5, 0.9],
+                              bins=32, collect_limit=64)
+    s = np.sort(vals)
+    for _, row in got.iterrows():
+        assert row["value"] == s[int(np.floor(row["q"] * (len(s) - 1)))]
+
+
+def test_grouped_count_distinct(ray_session):
+    from webvalid.ops.agg import grouped_count_distinct
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 400),
+                       "v": rng.integers(0, 30, 400).astype(np.float64)})
+    df.loc[::9, "v"] = np.nan
+    got = grouped_count_distinct(_ds(ray_session, df, blocks=4),
+                                 key="k", val="v")
+    exp = df.dropna(subset=["v"]).groupby("k")["v"].nunique()
+    assert got.set_index("k")["n_distinct"].to_dict() == exp.to_dict()
+
+
+def test_grouped_minmax_normalize(ray_session):
+    from webvalid.ops.agg import grouped_minmax_normalize
+
+    rng = np.random.default_rng(12)
+    df = pd.DataFrame({"k": rng.integers(0, 6, 300),
+                       "v": rng.normal(size=300)})
+    df.loc[df["k"] == 5, "v"] = 3.25  # zero-range key → null
+    got = grouped_minmax_normalize(_ds(ray_session, df, blocks=4),
+                                   key="k", val="v", out_col="nv") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    exp = df.sort_values(["k", "v"]).reset_index(drop=True)
+    g = exp.groupby("k")["v"]
+    rngs = g.transform("max") - g.transform("min")
+    exp["nv"] = np.where(rngs == 0, np.nan,
+                         (exp["v"] - g.transform("min")) / rngs)
+    np.testing.assert_allclose(got["nv"].to_numpy(), exp["nv"].to_numpy(),
+                               equal_nan=True)
+
+
+def test_densify_hourly_fills_gaps(ray_session):
+    from webvalid.ops.windows import densify_hourly
+
+    H = 3_600_000_000
+    # hours 0, 1, 4 occupied → 2 and 3 must appear with zero counts
+    ts = np.array([10, 20, H + 5, 4 * H + 1, 4 * H + 2])
+    df = pd.DataFrame({"ts_us": ts})
+    got = densify_hourly(_ds(ray_session, df, blocks=2))
+    assert got["window_start"].tolist() == [0, H, 2 * H, 3 * H, 4 * H]
+    assert got["cnt"].tolist() == [2, 1, 0, 0, 2]

@@ -99,3 +99,63 @@ def grouped_corr(ds, key: str, x: str, y: str, out_col: str = "corr_xy",
     if ndigits is not None:
         out[out_col] = out[out_col].round(ndigits)
     return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_count_distinct(ds, key: str, val: str,
+                           out_col: str = "n_distinct") -> pd.DataFrame:
+    """Per-key exact COUNT(DISTINCT val): per-batch distinct (key, val)
+    pairs — domain-sized, not row-sized — then a driver distinct +
+    count. Exact twin of the per-key HLL sketch path."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, val]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.dropna(subset=[val]).drop_duplicates()
+    out = parts.groupby(key, as_index=False, sort=False)[val].size() \
+               .rename(columns={"size": out_col})
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_minmax_normalize(ds, key: str, val: str,
+                             out_col: str = "norm_val"):
+    """Per-key min-max feature scaling: (v − min_k) / (max_k − min_k),
+    null when the key's range is zero (SQL NULLIF semantics).
+
+    Two-phase: a twophase min/max partial pass builds an O(#keys)
+    table, broadcast ONCE as sorted numpy arrays (ray.put); the rescale
+    pass is a vectorized searchsorted lookup per batch — no shuffle,
+    and the fact table is touched twice but never moved."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, val]).to_pandas()
+        out = df.groupby(key, as_index=False, sort=False)[val] \
+                .agg(["min", "max"]).reset_index(drop=True)
+        out.columns = [key, "_min", "_max"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    comb = parts.groupby(key, as_index=False, sort=False) \
+                .agg(_min=("_min", "min"), _max=("_max", "max")) \
+                .sort_values(key, kind="mergesort")
+    import ray as _ray
+    ref = _ray.put((comb[key].to_numpy(), comb["_min"].to_numpy(),
+                    comb["_max"].to_numpy()))
+
+    class _Rescale:
+        def __init__(self, ref):
+            self.keys, self.mins, self.maxs = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            v = t[val].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, k)
+            rng = self.maxs[idx] - self.mins[idx]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                norm = np.where(rng == 0, np.nan,
+                                (v - self.mins[idx]) / rng)
+            return t.append_column(out_col, pa.array(norm, pa.float64()))
+
+    from webvalid.rayutil import task_callable
+
+    return ds.map_batches(task_callable(_Rescale, ref=ref),
+                          batch_format="pyarrow")

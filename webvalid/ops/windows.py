@@ -106,3 +106,31 @@ def sessionize(ds, key: str, ts_col: str, gap_us: int):
     return ds.select_columns([key, ts_col]).groupby(key).map_groups(
         per_key, batch_format="pandas"
     )
+
+
+def densify_hourly(ds, ts_us_col: str = "ts_us",
+                   out_col: str = "cnt"):
+    """Gap-filled hourly counts: every hour between the global min and
+    max event hour appears, empty hours with count 0 (SQL twin:
+    generate_series LEFT JOIN counts). The grid is derived driver-side
+    from the O(#hours) two-phase partials — answer-sized, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = pc.multiply(pc.divide(t[ts_us_col], HOUR_US), HOUR_US)
+        df = pd.DataFrame({"window_start": h.to_numpy(zero_copy_only=False)})
+        out = df.groupby("window_start", as_index=False).size() \
+                .rename(columns={"size": out_col})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    counts = parts.groupby("window_start", as_index=False)[out_col].sum()
+    grid = pd.DataFrame({"window_start": np.arange(
+        counts["window_start"].min(),
+        counts["window_start"].max() + HOUR_US, HOUR_US)})
+    out = grid.merge(counts, on="window_start", how="left")
+    out[out_col] = out[out_col].fillna(0).astype(np.int64)
+    return out.reset_index(drop=True)

@@ -1601,3 +1601,83 @@ def chunk_tokens_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = token_chunks(ds, chunk_tokens=32).to_pandas()
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def quantile_disc_price_lineitem(sf_dir: str):
+    """EXACT discrete quantiles of l_extendedprice WITHOUT a global
+    sort (ops/selection.py): iterative histogram bisection, O(rounds)
+    streaming passes + an answer-sized collect — the exact twin of the
+    tdigest sketch gate."""
+    from webvalid.ops.selection import exact_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = exact_quantile_disc(ds, "l_extendedprice", qs=[0.25, 0.5, 0.9])
+    return out.reset_index(drop=True)
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Per-type exact COUNT(DISTINCT user_id) (ops/agg.py:
+    grouped_count_distinct) — domain-sized partials, no row shuffle."""
+    from webvalid.ops.agg import grouped_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_count_distinct(ds, key="event_type", val="user_id",
+                                  out_col="n_distinct")
+
+
+def normalize_value_events(sf_dir: str):
+    """Per-user min-max feature scaling of value (ops/agg.py:
+    grouped_minmax_normalize): broadcast O(#keys) stats + vectorized
+    searchsorted rescale."""
+    from webvalid.ops.agg import grouped_minmax_normalize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    out = grouped_minmax_normalize(ds, key="user_id", val="value",
+                                   out_col="norm_value") \
+        .select_columns(["event_id", "user_id", "norm_value"]).to_pandas()
+    # min-max ratios are dyadic rationals, so exact .5 ties at the 6th
+    # decimal DO occur — round half away from zero like SQL ROUND, not
+    # numpy's half-even
+    v = out["norm_value"].to_numpy()
+    out["norm_value"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def densify_hourly_events(sf_dir: str):
+    """Gap-filled hourly event counts (ops/windows.py:densify_hourly):
+    every hour in the global span appears, empty hours as 0."""
+    from webvalid.ops.windows import densify_hourly
+
+    return densify_hourly(_events_ts_us(sf_dir), ts_us_col="ts_us",
+                          out_col="cnt")
+
+
+def embedding_norms_by_label(sf_dir: str):
+    """Per-label L2-norm profile of the embedding column — the vector-
+    column statistics primitive (flatten → reshape → one BLAS pass per
+    batch; mergeable (sum, n) partials)."""
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = pc.list_flatten(emb).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = t.num_rows
+        m = flat.reshape(n, -1)
+        norms = np.sqrt((m * m).sum(axis=1))
+        df = pd.DataFrame({"label": t["label"].to_numpy(), "_s": norms,
+                           "_n": 1})
+        out = df.groupby("label", as_index=False, sort=False)[["_s", "_n"]] \
+                .sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby("label", as_index=False, sort=False)[["_s", "_n"]].sum()
+    out = pd.DataFrame({
+        "label": c["label"].to_numpy().astype(np.int64),
+        "n_vecs": c["_n"].to_numpy().astype(np.int64),
+        "avg_norm": (c["_s"] / c["_n"]).round(6),
+    })
+    return out.sort_values("label").reset_index(drop=True)
