@@ -222,6 +222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densify_hourly_events": q.densify_hourly_events,
         # vector-column statistics (per-label embedding norms)
         "embedding_norms_by_label": q.embedding_norms_by_label,
+        # funnel conversion (sequence analytics) + grouped heavy hitters
+        "funnel_click_purchase_events": q.funnel_click_purchase_events,
+        "top_tokens_by_lang": q.top_tokens_by_lang,
+        # weighted mean / ratio-to-report / equi-depth composition
+        "weighted_avg_price_lineitem": q.weighted_avg_price_lineitem,
+        "share_by_priority_orders": q.share_by_priority_orders,
+        "equidepth_buckets_price_lineitem": q.equidepth_buckets_price_lineitem,
     }
 
 
@@ -1072,5 +1079,68 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), x -> x * x)))), 6)
                        AS avg_norm
             FROM embeddings GROUP BY 1 ORDER BY 1
+        """,
+        "funnel_click_purchase_events": """
+            WITH c AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+                WHERE event_type = 'click'
+            ),
+            p AS (
+                SELECT user_id, epoch_us(ts) AS ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            conv AS (
+                SELECT c.event_id, c.user_id,
+                       MAX(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END)
+                           AS converted
+                FROM c LEFT JOIN p
+                  ON p.user_id = c.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + 3600000000
+                GROUP BY c.event_id, c.user_id
+            )
+            SELECT user_id, COUNT(*) AS n_clicks,
+                   CAST(SUM(converted) AS BIGINT) AS n_conversions
+            FROM conv GROUP BY user_id ORDER BY user_id
+        """,
+        "top_tokens_by_lang": """
+            SELECT lang, token, cnt, CAST(rn AS BIGINT) AS rn FROM (
+                SELECT lang, token, cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, token
+                       ) AS rn
+                FROM (
+                    SELECT lang, token, COUNT(*) AS cnt FROM (
+                        SELECT lang, unnest(str_split(text, ' ')) AS token
+                        FROM documents
+                    ) GROUP BY lang, token
+                )
+            ) WHERE rn <= 3 ORDER BY lang, rn
+        """,
+        "weighted_avg_price_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * l_quantity)
+                         / SUM(CASE WHEN l_extendedprice IS NOT NULL
+                               THEN l_quantity END), 6) AS wavg_price
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "share_by_priority_orders": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders,
+                   ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "equidepth_buckets_price_lineitem": """
+            WITH q AS (
+                SELECT quantile_disc(l_extendedprice, 0.25) AS q1,
+                       quantile_disc(l_extendedprice, 0.5) AS q2,
+                       quantile_disc(l_extendedprice, 0.75) AS q3
+                FROM lineitem
+            )
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                SELECT CASE WHEN l_extendedprice <= q1 THEN 0
+                            WHEN l_extendedprice <= q2 THEN 1
+                            WHEN l_extendedprice <= q3 THEN 2
+                            ELSE 3 END AS bucket
+                FROM lineitem, q WHERE l_extendedprice IS NOT NULL
+            ) GROUP BY bucket ORDER BY bucket
         """,
     }

@@ -298,3 +298,29 @@ def test_densify_hourly_fills_gaps(ray_session):
     got = densify_hourly(_ds(ray_session, df, blocks=2))
     assert got["window_start"].tolist() == [0, H, 2 * H, 3 * H, 4 * H]
     assert got["cnt"].tolist() == [2, 1, 0, 0, 2]
+
+
+def test_funnel_conversion_matches_naive(ray_session):
+    from webvalid.ops.funnel import funnel_conversion
+
+    rng = np.random.default_rng(13)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "ts": rng.integers(0, 10_000, n),
+        "typ": rng.choice(["a", "b", "c"], n, p=[0.4, 0.2, 0.4]),
+    })
+    H = 500
+    got = funnel_conversion(_ds(ray_session, df, blocks=5), key="k",
+                            ts_col="ts", type_col="typ", from_type="a",
+                            to_type="b", horizon=H)
+    for k, g in df.groupby("k"):
+        a = g.loc[g.typ == "a", "ts"].to_numpy()
+        b = g.loc[g.typ == "b", "ts"].to_numpy()
+        if len(a) == 0:
+            assert k not in set(got["k"])
+            continue
+        n_conv = sum(bool(((b >= t) & (b <= t + H)).any()) for t in a)
+        row = got[got["k"] == k].iloc[0]
+        assert row["n_from"] == len(a)
+        assert row["n_conversions"] == n_conv

@@ -1681,3 +1681,110 @@ def embedding_norms_by_label(sf_dir: str):
         "avg_norm": (c["_s"] / c["_n"]).round(6),
     })
     return out.sort_values("label").reset_index(drop=True)
+
+
+def funnel_click_purchase_events(sf_dir: str):
+    """Per-user click→purchase conversion within 1 h (ops/funnel.py:
+    funnel_conversion — vectorized searchsorted per co-located key)."""
+    from webvalid.ops.funnel import funnel_conversion
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.timestamp("us"))
+                                         .cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    return funnel_conversion(ds.map_batches(ts_us, batch_format="pyarrow"),
+                             key="user_id", ts_col="ts_us",
+                             type_col="event_type", from_type="click",
+                             to_type="purchase", horizon=3_600_000_000,
+                             n_from_col="n_clicks")
+
+
+def top_tokens_by_lang(sf_dir: str, k: int = 3):
+    """Per-lang top-k tokens (grouped heavy hitters): vectorized
+    flatten partials → driver combine → per-group head — the grouped
+    twin of the global unigram top-k."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t["text"], " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        rep = np.repeat(t["lang"].to_numpy(zero_copy_only=False),
+                        np.nan_to_num(counts, nan=0).astype(np.int64))
+        df = pd.DataFrame({"lang": rep, "token": flat.to_pandas()})
+        out = df.groupby(["lang", "token"], as_index=False, sort=False).size() \
+                .rename(columns={"size": "cnt"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    comb = parts.groupby(["lang", "token"], as_index=False, sort=False)["cnt"].sum()
+    comb = comb.sort_values(["lang", "cnt", "token"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = comb.groupby("lang", sort=False).head(k).reset_index(drop=True)
+    top["rn"] = top.groupby("lang", sort=False).cumcount() + 1
+    return top[["lang", "token", "cnt", "rn"]]
+
+
+def weighted_avg_price_lineitem(sf_dir: str):
+    """Quantity-weighted mean price per returnflag — ratio of two
+    mergeable sums (null pairs excluded, as SQL SUM of a product is)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_numpy(zero_copy_only=False),
+            "_w": t["l_quantity"].to_numpy(zero_copy_only=False),
+            "_x": t["l_extendedprice"].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_w", "_x"])
+        df["_xw"] = df["_x"] * df["_w"]
+        out = df.groupby("l_returnflag", as_index=False, sort=False)[
+            ["_xw", "_w"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby("l_returnflag", as_index=False, sort=False)[
+        ["_xw", "_w"]].sum()
+    out = pd.DataFrame({"l_returnflag": c["l_returnflag"],
+                        "wavg_price": (c["_xw"] / c["_w"]).round(6)})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def share_by_priority_orders(sf_dir: str):
+    """Ratio-to-report: each priority's share of all orders (two-phase
+    counts; the total is the partials' own sum — no second pass)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
+    out = twophase_agg(ds, ["o_orderpriority"],
+                       {"n_orders": ("o_orderpriority", "count")})
+    out["share"] = (out["n_orders"] / out["n_orders"].sum()).round(6)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def equidepth_buckets_price_lineitem(sf_dir: str):
+    """Equi-DEPTH histogram: exact quartile boundaries from the
+    histogram-bisection selection op (ops/selection.py), broadcast into
+    a vectorized bucket-count pass — a two-op composition with no sort
+    and no shuffle."""
+    from webvalid.ops.selection import exact_quantile_disc
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    q = exact_quantile_disc(ds, "l_extendedprice", qs=[0.25, 0.5, 0.75])
+    bounds = q["value"].to_numpy()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        b = np.searchsorted(bounds, v, side="left")
+        cnt = np.bincount(b, minlength=4)
+        return pa.table({"bucket": pa.array(np.arange(4, dtype=np.int64)),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bucket", as_index=False)["cnt"].sum()
+    return out.sort_values("bucket").reset_index(drop=True)
