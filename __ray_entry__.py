@@ -229,6 +229,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_avg_price_lineitem": q.weighted_avg_price_lineitem,
         "share_by_priority_orders": q.share_by_priority_orders,
         "equidepth_buckets_price_lineitem": q.equidepth_buckets_price_lineitem,
+        # higher moments / outlier scan / interpolated quantiles
+        "skew_kurtosis_price_lineitem": q.skew_kurtosis_price_lineitem,
+        "zscore_outliers_price_lineitem": q.zscore_outliers_price_lineitem,
+        "quantile_cont_price_lineitem": q.quantile_cont_price_lineitem,
+        # keep-best canonical dedup + per-group rebalancing cap
+        "dedup_keep_best_documents": q.dedup_keep_best_documents,
+        "cap_per_lang_documents": q.cap_per_lang_documents,
     }
 
 
@@ -1142,5 +1149,60 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 3 END AS bucket
                 FROM lineitem, q WHERE l_extendedprice IS NOT NULL
             ) GROUP BY bucket ORDER BY bucket
+        """,
+        "skew_kurtosis_price_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(skewness(l_extendedprice), 6) AS skew,
+                   ROUND(kurtosis(l_extendedprice), 6) AS kurt
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "zscore_outliers_price_lineitem": """
+            WITH s AS (
+                SELECT l_returnflag, AVG(l_extendedprice) AS m,
+                       STDDEV_SAMP(l_extendedprice) AS sd
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN ABS(l.l_extendedprice - s.m) / s.sd > 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   CAST(SUM(CASE WHEN l.l_extendedprice IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_rows
+            FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+            GROUP BY 1 ORDER BY 1
+        """,
+        "quantile_cont_price_lineitem": """
+            SELECT q, ROUND(value, 6) AS value FROM (
+                SELECT 0.1 AS q,
+                       quantile_cont(l_extendedprice, 0.1) AS value
+                FROM lineitem
+                UNION ALL SELECT 0.25,
+                       quantile_cont(l_extendedprice, 0.25) FROM lineitem
+                UNION ALL SELECT 0.5,
+                       quantile_cont(l_extendedprice, 0.5) FROM lineitem
+                UNION ALL SELECT 0.75,
+                       quantile_cont(l_extendedprice, 0.75) FROM lineitem
+                UNION ALL SELECT 0.9,
+                       quantile_cont(l_extendedprice, 0.9) FROM lineitem
+            ) ORDER BY q
+        """,
+        "dedup_keep_best_documents": """
+            SELECT text_md5, doc_id, n_chars, cnt FROM (
+                SELECT md5(text) AS text_md5, doc_id, n_chars,
+                       COUNT(*) OVER (PARTITION BY md5(text)) AS cnt,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY md5(text)
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1 ORDER BY text_md5
+        """,
+        "cap_per_lang_documents": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY md5(text), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 40 ORDER BY lang, doc_id
         """,
     }

@@ -1,0 +1,155 @@
+"""Tests for session-5 operator families: grouped higher moments
+(skewness/kurtosis), z-score outlier counts, interpolated quantiles,
+keep-best exact dedup, per-group cap sampling."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(ray_session, df: pd.DataFrame, blocks: int = 4):
+    import ray.data
+
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+def _naive_skew_kurt(x: np.ndarray) -> tuple[float, float]:
+    n = len(x)
+    m = x.mean()
+    s = np.sqrt(((x - m) ** 2).sum() / (n - 1))
+    skew = (n / ((n - 1) * (n - 2))) * (((x - m) / s) ** 3).sum()
+    kurt = (n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))) \
+        * (((x - m) / s) ** 4).sum() - 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+    return skew, kurt
+
+
+def test_grouped_skew_kurt_matches_naive(ray_session):
+    from webvalid.ops.agg import grouped_skew_kurt
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 900),
+        "x": rng.normal(100, 17, 900) ** 2,
+    })
+    df.loc[rng.choice(900, 30, replace=False), "x"] = np.nan
+    got = grouped_skew_kurt(_ds(ray_session, df, blocks=6), "k", "x")
+    for _, row in got.iterrows():
+        x = df.loc[(df.k == row["k"]) & df.x.notna(), "x"].to_numpy()
+        sk, ku = _naive_skew_kurt(x)
+        assert row["skew"] == pytest.approx(sk, abs=2e-6)
+        assert row["kurt"] == pytest.approx(ku, abs=2e-6)
+
+
+def test_grouped_skew_kurt_matches_duckdb(ray_session):
+    import duckdb
+
+    from webvalid.ops.agg import grouped_skew_kurt
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.choice(["p", "q"], 400),
+                       "x": rng.exponential(5.0, 400)})
+    got = grouped_skew_kurt(_ds(ray_session, df, blocks=5), "k", "x")
+    exp = duckdb.connect().execute(
+        "SELECT k, ROUND(skewness(x),6) skew, ROUND(kurtosis(x),6) kurt "
+        "FROM df GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp,
+                                  check_dtype=False, atol=1.5e-6)
+
+
+def test_zscore_outlier_counts_matches_naive(ray_session):
+    from webvalid.ops.agg import zscore_outlier_counts
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 700),
+        "x": rng.standard_t(3, 700),  # heavy tails → real outliers
+    })
+    df.loc[rng.choice(700, 20, replace=False), "x"] = np.nan
+    got = zscore_outlier_counts(_ds(ray_session, df, blocks=5), "k", "x",
+                                z=1.5)
+    for _, row in got.iterrows():
+        x = df.loc[(df.k == row["k"]) & df.x.notna(), "x"].to_numpy()
+        z = np.abs(x - x.mean()) / x.std(ddof=1)
+        assert row["n_rows"] == len(x)
+        assert row["n_outliers"] == int((z > 1.5).sum())
+        assert row["n_outliers"] > 0  # the fixture must exercise the branch
+
+
+def test_exact_quantile_cont_matches_numpy(ray_session):
+    from webvalid.ops.selection import exact_quantile_cont
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(50, 20, 3001)
+    df = pd.DataFrame({"x": x})
+    df.loc[rng.choice(3001, 100, replace=False), "x"] = np.nan
+    got = exact_quantile_cont(_ds(ray_session, df, blocks=6), "x",
+                              qs=[0.0, 0.1, 0.5, 0.9, 1.0])
+    clean = df["x"].dropna().to_numpy()
+    for _, row in got.iterrows():
+        # numpy 'linear' interpolation == SQL quantile_cont
+        assert row["value"] == pytest.approx(
+            np.quantile(clean, row["q"]), abs=2e-6)
+
+
+def test_dedup_keep_best_prefers_longest_then_smallest_id(ray_session):
+    from webvalid.ops.dedup import exact_dedup_keep_best
+
+    texts = ["alpha beta", "alpha beta", "gamma", "delta words here",
+             "gamma", "gamma"]
+    df = pd.DataFrame({
+        "doc_id": [10, 4, 7, 1, 9, 3],
+        "text": texts,
+        # duplicate content with DIFFERENT scores (e.g. post-cleanup
+        # lengths): keep max score, tie → min id
+        "n_chars": [10, 12, 5, 16, 5, 5],
+    })
+    out = exact_dedup_keep_best(_ds(ray_session, df, blocks=3)).to_pandas()
+    by_md5 = {hashlib.md5(t.encode()).hexdigest(): t for t in set(texts)}
+    got = {by_md5[r.text_md5]: (r.doc_id, r.n_chars, r.cnt)
+           for r in out.itertuples()}
+    assert got["alpha beta"] == (4, 12, 2)      # higher score wins
+    assert got["gamma"] == (3, 5, 3)            # tie → smallest id
+    assert got["delta words here"] == (1, 16, 1)
+
+
+def test_dedup_keep_best_rejects_out_of_range_scores(ray_session):
+    from webvalid.ops.dedup import exact_dedup_keep_best
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["x"], "n_chars": [-2]})
+    with pytest.raises(Exception, match="keep_best encoding"):
+        exact_dedup_keep_best(_ds(ray_session, df, blocks=1)).to_pandas()
+
+
+def test_cap_per_group_matches_sql_order(ray_session):
+    from webvalid.ops.sampling import cap_per_group
+
+    rng = np.random.default_rng(19)
+    langs = rng.choice(["en", "de", "fr"], 300)
+    texts = [f"doc {i} {rng.integers(0, 9)}" for i in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300), "lang": langs,
+                       "text": texts})
+    k = 7
+    got = cap_per_group(_ds(ray_session, df, blocks=5), group_col="lang",
+                        k=k)
+    # naive oracle: per-lang smallest k by (md5(text), doc_id)
+    df["_md5"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    exp = df.sort_values(["lang", "_md5", "doc_id"], kind="mergesort") \
+            .groupby("lang", sort=False).head(k) \
+            .sort_values(["lang", "doc_id"], kind="mergesort")
+    assert got[["lang", "doc_id"]].reset_index(drop=True).equals(
+        exp[["lang", "doc_id"]].reset_index(drop=True))
+    assert (got.groupby("lang").size() == k).all()
+
+
+def test_cap_per_group_keeps_small_groups_whole(ray_session):
+    from webvalid.ops.sampling import cap_per_group
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["en", "en", "fr"],
+                       "text": ["a", "b", "c"]})
+    got = cap_per_group(_ds(ray_session, df, blocks=2), group_col="lang",
+                        k=10)
+    assert len(got) == 3

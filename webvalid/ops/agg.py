@@ -159,3 +159,108 @@ def grouped_minmax_normalize(ds, key: str, val: str,
 
     return ds.map_batches(task_callable(_Rescale, ref=ref),
                           batch_format="pyarrow")
+
+
+def grouped_skew_kurt(ds, key: str, val: str, ndigits: int | None = 6
+                      ) -> pd.DataFrame:
+    """Per-key sample skewness and excess kurtosis (SQL skewness() /
+    kurtosis(): the bias-corrected Fisher–Pearson definitions).
+
+    Two streaming passes keep the arithmetic exact: pass 1 is a tiny
+    (n, Σx) twophase for the per-group means; pass 2 ships the O(#keys)
+    mean table into each task and accumulates CENTRAL moment sums
+    Σd², Σd³, Σd⁴ — no raw fourth-power sums, so there is no
+    catastrophic cancellation when the driver closes the formulas.
+    Nulls are excluded per group (SQL semantics)."""
+    def p1(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        df["_n"] = 1
+        out = df.groupby(key, as_index=False, sort=False)[["_n", "_x"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(p1, batch_format="pyarrow").to_pandas()
+    c1 = parts.groupby(key, as_index=False, sort=False)[["_n", "_x"]].sum() \
+              .sort_values(key, kind="mergesort")
+    gkeys = c1[key].to_numpy()
+    n = c1["_n"].to_numpy(dtype=np.float64)
+    means = c1["_x"].to_numpy() / n
+
+    def p2(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        d = df["_x"].to_numpy() - means[np.searchsorted(gkeys, df[key].to_numpy())]
+        df = df.assign(_d2=d * d, _d3=d ** 3, _d4=d ** 4)
+        out = df.groupby(key, as_index=False, sort=False)[
+            ["_d2", "_d3", "_d4"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    p = ds.map_batches(p2, batch_format="pyarrow").to_pandas()
+    c2 = p.groupby(key, as_index=False, sort=False)[["_d2", "_d3", "_d4"]] \
+          .sum().sort_values(key, kind="mergesort")
+    m2 = c2["_d2"].to_numpy()
+    m3 = c2["_d3"].to_numpy()
+    m4 = c2["_d4"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s = np.sqrt(m2 / (n - 1))  # sample std
+        skew = (n / ((n - 1) * (n - 2))) * m3 / s ** 3
+        kurt = (n * (n + 1) / ((n - 1) * (n - 2) * (n - 3))) * m4 / s ** 4 \
+            - 3.0 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+    out = pd.DataFrame({key: gkeys, "skew": skew, "kurt": kurt})
+    if ndigits is not None:
+        out["skew"] = out["skew"].round(ndigits)
+        out["kurt"] = out["kurt"].round(ndigits)
+    return out.reset_index(drop=True)
+
+
+def zscore_outlier_counts(ds, key: str, val: str, z: float = 2.0
+                          ) -> pd.DataFrame:
+    """Per-key count of rows whose |x − mean| / stddev_samp exceeds z.
+
+    Pass 1: (n, Σx, Σx²) twophase → mean and sample std per key (the
+    mild cancellation of the sum-of-squares form is harmless for a
+    threshold test). Pass 2 ships the O(#keys) stats table and counts
+    exceedances vectorized — the classic broadcast-the-profile,
+    scan-the-data anomaly shape."""
+    def p1(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        df["_xx"] = df["_x"] * df["_x"]
+        df["_n"] = 1
+        out = df.groupby(key, as_index=False, sort=False)[
+            ["_n", "_x", "_xx"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(p1, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(key, as_index=False, sort=False)[["_n", "_x", "_xx"]] \
+             .sum().sort_values(key, kind="mergesort")
+    gkeys = c[key].to_numpy()
+    n = c["_n"].to_numpy(dtype=np.float64)
+    mean = c["_x"].to_numpy() / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sd = np.sqrt(np.maximum(c["_xx"].to_numpy() - n * mean * mean, 0.0)
+                     / (n - 1))
+
+    def p2(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        idx = np.searchsorted(gkeys, df[key].to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            zz = np.abs(df["_x"].to_numpy() - mean[idx]) / sd[idx]
+        df = df.assign(_o=(zz > z).astype(np.int64), _n=1)
+        out = df.groupby(key, as_index=False, sort=False)[["_o", "_n"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    p = ds.map_batches(p2, batch_format="pyarrow").to_pandas()
+    out = p.groupby(key, as_index=False, sort=False)[["_o", "_n"]].sum() \
+           .rename(columns={"_o": "n_outliers", "_n": "n_rows"}) \
+           .sort_values(key, kind="mergesort")
+    return out.reset_index(drop=True)

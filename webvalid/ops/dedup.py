@@ -872,3 +872,52 @@ def embedding_near_dups(ds, threshold: float = 0.95, id_col: str = "vec_id",
     return ray.data.from_pandas(
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
+
+
+def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
+                          score_col: str = "n_chars"):
+    """Exact dedup keeping the BEST row per content group (highest
+    score, smallest id on ties) — the canonicalization variant of
+    `exact_dedup_groups` (which keeps min id).
+
+    Scale path: ships only (text_md5, encoded) pairs through Ray's
+    hash groupby — the (score, id) preference order is packed into ONE
+    int64 (score · 2³² + (2³² − 1 − id)) so a plain Max aggregate IS
+    the argmax; the winner is decoded after the shuffle. Requires
+    0 ≤ score < 2³¹ and 0 ≤ id < 2³² (asserted per batch). Null-text
+    rows form no group, as in `exact_dedup_groups`.
+
+    SQL twin: ROW_NUMBER() OVER (PARTITION BY md5(text)
+    ORDER BY score DESC, id) = 1.
+    """
+    from ray.data.aggregate import Count, Max
+
+    _ID_SPAN = 1 << 32
+
+    def fp(t: pa.Table) -> pa.Table:
+        out = add_fingerprint(t, text_col)
+        out = out.filter(pc.is_valid(out["text_md5"]))
+        score = out[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = out[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(score) and (score.min() < 0 or score.max() >= (1 << 31)
+                           or ids.min() < 0 or ids.max() >= _ID_SPAN):
+            raise ValueError("keep_best encoding needs 0 <= score < 2^31 "
+                             "and 0 <= id < 2^32")
+        enc = score * _ID_SPAN + (_ID_SPAN - 1 - ids)
+        return pa.table({"text_md5": out["text_md5"],
+                         "_enc": pa.array(enc, pa.int64())})
+
+    grouped = ds.map_batches(fp, batch_format="pyarrow") \
+        .groupby("text_md5").aggregate(
+            Max("_enc", alias_name="_best"), Count(alias_name="cnt"))
+
+    def decode(t: pa.Table) -> pa.Table:
+        enc = t["_best"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "text_md5": t["text_md5"],
+            id_col: pa.array(_ID_SPAN - 1 - (enc % _ID_SPAN), pa.int64()),
+            score_col: pa.array(enc // _ID_SPAN, pa.int64()),
+            "cnt": t["cnt"],
+        })
+
+    return grouped.map_batches(decode, batch_format="pyarrow")

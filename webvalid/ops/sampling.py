@@ -27,6 +27,8 @@ north-rule/training-data addition per the build brief.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -160,3 +162,37 @@ def bottomk_sample(ds, k: int, text_col: str = "text",
     parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     parts = parts.sort_values(["_h", id_col], kind="mergesort").head(k)
     return parts[[id_col]].sort_values(id_col).reset_index(drop=True)
+
+
+def cap_per_group(ds, group_col: str = "lang", k: int = 50,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Keep at most k rows per group, chosen deterministically by
+    (md5(text), id) order — the language/domain-rebalancing cap of a
+    training-data mixer (the md5 order is a content-stable uniform
+    draw, so the cap is an unbiased per-group subsample).
+
+    Mergeable per-group top-k: each batch keeps its local smallest k
+    per group (ships ≤ k·#groups rows), the driver head-k's the
+    concatenated partials — no shuffle, no full-column collect.
+    SQL twin: ROW_NUMBER() OVER (PARTITION BY group
+    ORDER BY md5(text), id) <= k."""
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: batch[group_col].to_numpy(zero_copy_only=False),
+            id_col: batch[id_col].to_numpy(zero_copy_only=False),
+            "_md5": [None if t is None else
+                     hashlib.md5(t.encode()).hexdigest()
+                     for t in batch[text_col].to_pylist()],
+        })
+        df = df[df["_md5"].notna()]
+        df = df.sort_values([group_col, "_md5", id_col], kind="mergesort") \
+               .groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    kept = parts.sort_values([group_col, "_md5", id_col], kind="mergesort") \
+                .groupby(group_col, sort=False).head(k)
+    return kept[[group_col, id_col]].sort_values(
+        [group_col, id_col], kind="mergesort").reset_index(drop=True)

@@ -117,3 +117,28 @@ def exact_quantile_disc(ds, col: str, qs: list[float],
         k = int(math.floor(q * (n - 1))) + 1
         rows.append({"q": q, "value": kth_smallest(ds, col, k, **kwargs)})
     return pd.DataFrame(rows)
+
+
+def exact_quantile_cont(ds, col: str, qs: list[float],
+                        ndigits: int | None = 6, **kwargs) -> pd.DataFrame:
+    """Exact interpolated quantiles (SQL quantile_cont /
+    PERCENTILE_CONT semantics): with h = q·(n−1) over the sorted
+    non-null column, linearly interpolate between the values at
+    0-based indices floor(h) and ceil(h).
+
+    Each boundary value comes from the histogram-bisection
+    `kth_smallest` — no sort, no shuffle, answer-sized collection."""
+    n = int(ds.map_batches(
+        lambda t: pa.table({"n": pa.array(
+            [len(t[col]) - t[col].null_count], pa.int64())}),
+        batch_format="pyarrow").to_pandas()["n"].sum())
+    rows = []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(math.floor(h))
+        frac = h - lo
+        v_lo = kth_smallest(ds, col, lo + 1, **kwargs)
+        v = v_lo if frac == 0.0 else \
+            v_lo + frac * (kth_smallest(ds, col, lo + 2, **kwargs) - v_lo)
+        rows.append({"q": q, "value": round(v, ndigits) if ndigits else v})
+    return pd.DataFrame(rows)

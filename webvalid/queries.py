@@ -1788,3 +1788,54 @@ def equidepth_buckets_price_lineitem(sf_dir: str):
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = parts.groupby("bucket", as_index=False)["cnt"].sum()
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def skew_kurtosis_price_lineitem(sf_dir: str):
+    """Per-returnflag sample skewness / excess kurtosis of price —
+    two-pass central-moment streaming (ops/agg.grouped_skew_kurt)."""
+    from webvalid.ops.agg import grouped_skew_kurt
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_skew_kurt(ds, "l_returnflag", "l_extendedprice")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def zscore_outliers_price_lineitem(sf_dir: str):
+    """Per-returnflag |z| > 2 outlier counts — broadcast-profile
+    anomaly scan (ops/agg.zscore_outlier_counts)."""
+    from webvalid.ops.agg import zscore_outlier_counts
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = zscore_outlier_counts(ds, "l_returnflag", "l_extendedprice", z=2.0)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def quantile_cont_price_lineitem(sf_dir: str):
+    """Exact PERCENTILE_CONT quantiles of price via histogram
+    bisection (ops/selection.exact_quantile_cont) — no sort."""
+    from webvalid.ops.selection import exact_quantile_cont
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    return exact_quantile_cont(ds, "l_extendedprice",
+                               qs=[0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def dedup_keep_best_documents(sf_dir: str):
+    """Exact dedup keeping the LONGEST copy per content group
+    (ops/dedup.exact_dedup_keep_best — encoded-argmax hash groupby)."""
+    from webvalid.ops.dedup import exact_dedup_keep_best
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    out = exact_dedup_keep_best(ds).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return out[["text_md5", "doc_id", "n_chars", "cnt"]] \
+        .sort_values("text_md5", kind="mergesort").reset_index(drop=True)
+
+
+def cap_per_lang_documents(sf_dir: str, k: int = 40):
+    """Language-rebalancing cap: at most k docs per lang, picked by
+    content-hash order (ops/sampling.cap_per_group)."""
+    from webvalid.ops.sampling import cap_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return cap_per_group(ds, group_col="lang", k=k)
