@@ -236,6 +236,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keep-best canonical dedup + per-group rebalancing cap
         "dedup_keep_best_documents": q.dedup_keep_best_documents,
         "cap_per_lang_documents": q.cap_per_lang_documents,
+        # anti join, imputation (LOCF + group mean), geomean, regex extract
+        "anti_join_customers_no_orders": q.anti_join_customers_no_orders,
+        "fill_forward_value_events": q.fill_forward_value_events,
+        "impute_group_mean_events": q.impute_group_mean_events,
+        "geomean_chars_by_lang": q.geomean_chars_by_lang,
+        "extract_first_number_documents": q.extract_first_number_documents,
     }
 
 
@@ -1204,5 +1210,51 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM documents
             ) WHERE rn <= 40 ORDER BY lang, doc_id
+        """,
+        "anti_join_customers_no_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+            )
+            GROUP BY 1 ORDER BY 1
+        """,
+        "fill_forward_value_events": """
+            WITH m AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 7 < 3 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   last_value(value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS filled
+            FROM m ORDER BY event_id
+        """,
+        "impute_group_mean_events": """
+            WITH m AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 7 < 3 THEN NULL
+                            ELSE value END AS value
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   ROUND(COALESCE(value,
+                         AVG(value) OVER (PARTITION BY user_id))
+                         + 0.000000001, 6) AS filled
+            FROM m ORDER BY event_id
+        """,
+        "geomean_chars_by_lang": """
+            SELECT lang, ROUND(EXP(AVG(LN(n_chars))), 6) AS geomean
+            FROM documents WHERE n_chars > 0
+            GROUP BY 1 ORDER BY 1
+        """,
+        "extract_first_number_documents": """
+            SELECT doc_id,
+                   NULLIF(regexp_extract(text, '[0-9]+'), '') AS first_num
+            FROM documents ORDER BY doc_id
         """,
     }

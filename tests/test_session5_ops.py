@@ -153,3 +153,61 @@ def test_cap_per_group_keeps_small_groups_whole(ray_session):
     got = cap_per_group(_ds(ray_session, df, blocks=2), group_col="lang",
                         k=10)
     assert len(got) == 3
+
+
+def test_fill_forward_per_key_matches_pandas(ray_session):
+    from webvalid.ops.impute import fill_forward_per_key
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, 400),
+        "o": rng.permutation(400),
+        "v": rng.normal(0, 1, 400),
+    })
+    df.loc[rng.choice(400, 150, replace=False), "v"] = np.nan
+    got = fill_forward_per_key(_ds(ray_session, df, blocks=5), key="k",
+                               order_col="o", tiebreak="o", value_col="v")
+    exp = df.sort_values(["k", "o"], kind="mergesort")
+    exp["filled"] = exp.groupby("k")["v"].ffill()
+    g = got.sort_values(["k", "o"], kind="mergesort").reset_index(drop=True)
+    e = exp.reset_index(drop=True)
+    pd.testing.assert_series_equal(g["filled"], e["filled"])
+    # leading nulls must remain null somewhere in the fixture
+    assert g["filled"].isna().any()
+
+
+def test_fill_group_mean_matches_pandas(ray_session):
+    from webvalid.ops.impute import fill_group_mean
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, 300),
+        "v": rng.normal(10, 2, 300),
+    })
+    df.loc[rng.choice(300, 90, replace=False), "v"] = np.nan
+    # one all-null group must stay null
+    df.loc[df.k == 5, "v"] = np.nan
+    got = fill_group_mean(_ds(ray_session, df, blocks=4), key="k",
+                          value_col="v", ndigits=None).to_pandas()
+    means = df.groupby("k")["v"].mean()
+    exp = df["v"].fillna(df["k"].map(means))
+    assert np.allclose(got["filled"].to_numpy(),
+                       exp.to_numpy(), equal_nan=True)
+    assert got.loc[got.k == 5, "filled"].isna().all()
+
+
+def test_grouped_geomean_matches_naive(ray_session):
+    from webvalid.ops.agg import grouped_geomean
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 200),
+        "v": rng.lognormal(3, 1, 200),
+    })
+    df.loc[rng.choice(200, 10, replace=False), "v"] = 0.0   # excluded
+    df.loc[rng.choice(200, 5, replace=False), "v"] = np.nan
+    got = grouped_geomean(_ds(ray_session, df, blocks=4), "k", "v")
+    for _, row in got.iterrows():
+        x = df.loc[(df.k == row["k"]) & (df.v > 0), "v"].to_numpy()
+        assert row["geomean"] == pytest.approx(
+            np.exp(np.log(x).mean()), abs=2e-6)

@@ -264,3 +264,32 @@ def zscore_outlier_counts(ds, key: str, val: str, z: float = 2.0
            .rename(columns={"_o": "n_outliers", "_n": "n_rows"}) \
            .sort_values(key, kind="mergesort")
     return out.reset_index(drop=True)
+
+
+def grouped_geomean(ds, key: str, val: str, out_col: str = "geomean",
+                    ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key geometric mean of positive `val` rows: exp(mean(ln x)),
+    the SQL twin EXP(AVG(LN(x))). Non-positive and null rows are
+    excluded (matching SQL, where LN of them is an error/null).
+    Mergeable (n, Σln x) partials — same twophase shape as the other
+    grouped stats."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        df = df[df["_x"] > 0]
+        df["_lx"] = np.log(df["_x"].to_numpy())
+        df["_n"] = 1
+        out = df.groupby(key, as_index=False, sort=False)[["_n", "_lx"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(key, as_index=False, sort=False)[["_n", "_lx"]].sum()
+    out = pd.DataFrame({
+        key: c[key],
+        out_col: np.exp(c["_lx"].to_numpy() / c["_n"].to_numpy(np.float64)),
+    })
+    if ndigits is not None:
+        out[out_col] = out[out_col].round(ndigits)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)

@@ -55,6 +55,11 @@ def twophase_agg(ds, keys: list[str], spec: dict[str, tuple[str, str]]) -> pd.Da
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # a fully-empty upstream (e.g. an anti join with no survivors)
+        # can yield a column-less frame; return the right shape anyway
+        return pd.DataFrame({c: pd.Series(dtype=object)
+                             for c in [*keys, *spec]})
     combined = parts.groupby(keys, as_index=False, sort=False).agg(
         **{
             out: pd.NamedAgg(column=out, aggfunc=_COMBINE_HOW[how])
@@ -1839,3 +1844,100 @@ def cap_per_lang_documents(sf_dir: str, k: int = 40):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     return cap_per_group(ds, group_col="lang", k=k)
+
+
+def anti_join_customers_no_orders(sf_dir: str):
+    """Anti join (ops/joins.py:salted_anti_join): customers with NO
+    urgent orders, rolled up per market segment — the inverse polarity
+    of the semi-join gate, same zero-payload bucketed membership. (The
+    urgent restriction keeps the gate non-degenerate: every customer
+    has SOME order at these scales.)"""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.joins import salted_anti_join
+
+    orders = pq.read_table(_t(sf_dir, "orders"),
+                           columns=["o_custkey", "o_orderpriority"])
+    orders = orders.filter(
+        pc.equal(orders["o_orderpriority"], "1-URGENT"))
+    right = orders.select(["o_custkey"]).rename_columns(["c_custkey"])
+    left = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    kept = salted_anti_join(left, right, key="c_custkey", num_buckets=16)
+    out = twophase_agg(kept.select_columns(["c_mktsegment"]),
+                       ["c_mktsegment"],
+                       {"n_customers": ("c_mktsegment", "count")})
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+_MASK_MOD, _MASK_LT = 7, 3  # event_id % 7 < 3 → value masked to NULL
+
+
+def _masked_events(sf_dir: str):
+    """Events with `value` deterministically masked to NULL on ~3/7 of
+    rows — the shared fixture for the imputation gates (the raw table
+    has no nulls; the mask is part of the query definition and is
+    replicated verbatim in the SQL oracle)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.where(ev % _MASK_MOD < _MASK_LT, np.nan, v)
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "value": pa.array(v, pa.float64())})
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
+def fill_forward_value_events(sf_dir: str):
+    """LOCF imputation (ops/impute.py:fill_forward_per_key): per-user
+    fill-forward of masked values in event_id order."""
+    from webvalid.ops.impute import fill_forward_per_key
+
+    out = fill_forward_per_key(_masked_events(sf_dir), key="user_id",
+                               order_col="event_id", tiebreak="event_id",
+                               value_col="value")
+    out = out[["event_id", "user_id", "filled"]]
+    return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+def impute_group_mean_events(sf_dir: str):
+    """Group-mean imputation (ops/impute.py:fill_group_mean): masked
+    values replaced by the user's mean over surviving rows.
+
+    The comparison rounds to 6 digits AFTER a +1e-9 nudge (mirrored in
+    the oracle SQL): 2-decimal source values make several group means
+    land EXACTLY on a 7th-decimal …5 boundary, where numpy (half-even)
+    and DuckDB (half-away) round apart; the nudge moves both engines to
+    the same side of every attainable boundary."""
+    from webvalid.ops.impute import fill_group_mean
+
+    ds = fill_group_mean(_masked_events(sf_dir), key="user_id",
+                         value_col="value", ndigits=None)
+    out = ds.select_columns(["event_id", "user_id", "filled"]).to_pandas()
+    out["filled"] = (out["filled"] + 1e-9).round(6)
+    return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+def geomean_chars_by_lang(sf_dir: str):
+    """Per-lang geometric mean of document length
+    (ops/agg.py:grouped_geomean — EXP(AVG(LN(n_chars))))."""
+    from webvalid.ops.agg import grouped_geomean
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_geomean(ds, "lang", "n_chars")
+
+
+def extract_first_number_documents(sf_dir: str):
+    """First decimal-number substring per document via the Arrow RE2
+    regex kernel (pc.extract_regex) — null when no digits occur.
+    Shares regex semantics with DuckDB's regexp_extract (also RE2)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ex(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["text"], r"(?P<num>[0-9]+)")
+        return pa.table({"doc_id": t["doc_id"],
+                         "first_num": pc.struct_field(m, "num")})
+
+    out = ds.map_batches(ex, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
