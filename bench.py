@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "dense_rank_lineitem",
     "prep_corpus_v2_documents",
     "sample_bottomk_documents",
+    "funnel_click_purchase_events",
+    "skew_kurtosis_price_lineitem",
+    "dedup_keep_best_documents",
+    "fill_forward_value_events",
 ]
 
 
