@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_group_mean_events": q.impute_group_mean_events,
         "geomean_chars_by_lang": q.geomean_chars_by_lang,
         "extract_first_number_documents": q.extract_first_number_documents,
+        # robust stats, edit-distance verify, per-key rate
+        "median_mad_price_lineitem": q.median_mad_price_lineitem,
+        "edit_distance_adjacent_documents": q.edit_distance_adjacent_documents,
+        "rate_value_events": q.rate_value_events,
     }
 
 
@@ -1256,5 +1260,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    NULLIF(regexp_extract(text, '[0-9]+'), '') AS first_num
             FROM documents ORDER BY doc_id
+        """,
+        "median_mad_price_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(median(l_extendedprice), 6) AS median,
+                   ROUND(mad(l_extendedprice), 6) AS mad
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "edit_distance_adjacent_documents": """
+            WITH w AS (
+                SELECT lang, doc_id,
+                       LEAD(doc_id) OVER (
+                           PARTITION BY lang ORDER BY doc_id) AS next_id,
+                       substr(text, 1, 120) AS t,
+                       LEAD(substr(text, 1, 120)) OVER (
+                           PARTITION BY lang ORDER BY doc_id) AS nt
+                FROM documents
+            )
+            SELECT lang, doc_id, next_id, levenshtein(t, nt) AS dist
+            FROM w WHERE next_id IS NOT NULL ORDER BY lang, doc_id
+        """,
+        "rate_value_events": """
+            WITH w AS (
+                SELECT event_id, user_id, value,
+                       epoch_us(ts) AS ts_us,
+                       LAG(value) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS pv,
+                       LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS pt
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   (value - pv) / NULLIF(ts_us - pt, 0) AS rate
+            FROM w ORDER BY event_id
         """,
     }

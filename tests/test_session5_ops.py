@@ -211,3 +211,83 @@ def test_grouped_geomean_matches_naive(ray_session):
         x = df.loc[(df.k == row["k"]) & (df.v > 0), "v"].to_numpy()
         assert row["geomean"] == pytest.approx(
             np.exp(np.log(x).mean()), abs=2e-6)
+
+
+def test_levenshtein_kernel_fuzz_vs_duckdb():
+    import random
+
+    import duckdb
+
+    from webvalid.ops.editdist import levenshtein
+
+    con = duckdb.connect()
+    random.seed(47)
+    for _ in range(120):
+        a = "".join(random.choice("abxy ") for _ in range(random.randint(0, 25)))
+        b = "".join(random.choice("abxy ") for _ in range(random.randint(0, 25)))
+        exp = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        assert levenshtein(a, b) == exp, (a, b)
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("abcdef", "abcdef", max_chars=3) == 0  # truncation
+
+
+def test_adjacent_edit_distances_matches_naive(ray_session):
+    from webvalid.ops.editdist import adjacent_edit_distances, levenshtein
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 60),
+        "i": np.arange(60),
+        "t": ["word " * rng.integers(1, 6) + str(rng.integers(0, 99))
+              for _ in range(60)],
+    })
+    got = adjacent_edit_distances(_ds(ray_session, df, blocks=4), key="k",
+                                  order_col="i", text_col="t", max_chars=30)
+    for k, g in df.groupby("k"):
+        g = g.sort_values("i")
+        exp = [levenshtein(g.t.iloc[j], g.t.iloc[j + 1], 30)
+               for j in range(len(g) - 1)]
+        sub = got[got.k == k].sort_values("i")
+        assert sub["dist"].tolist() == exp
+        assert sub["next_id"].tolist() == g["i"].iloc[1:].tolist()
+
+
+def test_grouped_median_mad_matches_numpy(ray_session):
+    from webvalid.ops.agg import grouped_median_mad
+
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 501),
+        "v": np.round(rng.normal(50, 20, 501), 2),
+    })
+    df.loc[rng.choice(501, 20, replace=False), "v"] = np.nan
+    got = grouped_median_mad(_ds(ray_session, df, blocks=5), "k", "v")
+    for _, row in got.iterrows():
+        v = df.loc[(df.k == row["k"]) & df.v.notna(), "v"].to_numpy()
+        med = np.median(v)
+        assert row["median"] == pytest.approx(med, abs=1e-9)
+        assert row["mad"] == pytest.approx(np.median(np.abs(v - med)),
+                                           abs=1e-9)
+
+
+def test_rate_per_key_matches_pandas(ray_session):
+    from webvalid.ops.rank import rate_per_key
+
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 300),
+        "o": rng.integers(0, 50, 300),  # duplicate orders → dt == 0 rows
+        "tb": np.arange(300),
+        "v": rng.normal(0, 10, 300),
+    })
+    got = rate_per_key(_ds(ray_session, df, blocks=4), key="k",
+                       order_col="o", value_col="v", tiebreak="tb")
+    exp = df.sort_values(["k", "o", "tb"], kind="mergesort").copy()
+    dv = exp.groupby("k")["v"].diff()
+    dt = exp.groupby("k")["o"].diff()
+    exp["rate"] = np.where(dt == 0, np.nan, dv / dt)
+    g = got.sort_values(["k", "o", "tb"], kind="mergesort")["rate"] \
+           .reset_index(drop=True)
+    e = exp["rate"].reset_index(drop=True)
+    assert np.allclose(g.to_numpy(), e.to_numpy(), equal_nan=True)
+    assert np.isnan(g.to_numpy()).sum() > 5  # dt==0 + leading rows hit

@@ -293,3 +293,25 @@ def grouped_geomean(ds, key: str, val: str, out_col: str = "geomean",
     if ndigits is not None:
         out[out_col] = out[out_col].round(ndigits)
     return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_median_mad(ds, key: str, val: str, ndigits: int | None = 6
+                       ) -> pd.DataFrame:
+    """Per-key median and MAD (median absolute deviation) — the robust
+    location/scale profile (SQL twins median() / mad(), both with
+    midpoint interpolation on even counts).
+
+    Exact medians need a key's values co-located, so this rides the
+    hash groupby (the engine's one all-to-all aggregate path — same
+    contract as grouped_quantiles); inside a group both medians are
+    single NumPy selections. Nulls excluded per group."""
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[val].dropna().to_numpy()
+        med = float(np.median(v))
+        mad = float(np.median(np.abs(v - med)))
+        if ndigits is not None:
+            med, mad = round(med, ndigits), round(mad, ndigits)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             "median": [med], "mad": [mad]})
+
+    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()

@@ -496,3 +496,22 @@ def first_last_value_per_key(ds, key: str, order_col: str, value_col: str,
                         "first_value": first.to_numpy(),
                         "last_value": last.loc[first.index].to_numpy()})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def rate_per_key(ds, key: str, order_col: str, value_col: str,
+                 tiebreak: str, out_col: str = "rate") -> pd.DataFrame:
+    """Per-key rate of change: (value − LAG(value)) / (order −
+    LAG(order)), null on the first row of each key and wherever the
+    order delta is zero (SQL NULLIF semantics). One sorted diff pass
+    per co-located group; both deltas and the division are the same
+    IEEE ops SQL performs on the same inputs, so results are
+    bit-identical — no rounding needed."""
+    def r(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        dv = g[value_col].diff().to_numpy()
+        dt = g[order_col].diff().to_numpy(dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g[out_col] = np.where(dt == 0, np.nan, dv / dt)
+        return g
+
+    return ds.groupby(key).map_groups(r, batch_format="pandas").to_pandas()

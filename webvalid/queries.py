@@ -1941,3 +1941,46 @@ def extract_first_number_documents(sf_dir: str):
 
     out = ds.map_batches(ex, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def median_mad_price_lineitem(sf_dir: str):
+    """Robust location/scale per returnflag: exact median + MAD
+    (ops/agg.py:grouped_median_mad — co-located group selection)."""
+    from webvalid.ops.agg import grouped_median_mad
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    out = grouped_median_mad(ds, "l_returnflag", "l_extendedprice")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def edit_distance_adjacent_documents(sf_dir: str, max_chars: int = 120):
+    """Levenshtein distance between doc_id-consecutive documents per
+    lang (ops/editdist.py — vectorized DP rows, prefix-min insertion
+    scan), truncated to the first 120 chars."""
+    from webvalid.ops.editdist import adjacent_edit_distances
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = adjacent_edit_distances(ds, key="lang", order_col="doc_id",
+                                  text_col="text", max_chars=max_chars)
+    return out.sort_values(["lang", "doc_id"], kind="mergesort") \
+              .reset_index(drop=True)
+
+
+def rate_value_events(sf_dir: str):
+    """Per-user value rate of change over event time
+    (ops/rank.py:rate_per_key — sorted diff pass per group)."""
+    from webvalid.ops.rank import rate_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.timestamp("us"))
+                                         .cast(pa.int64()),
+                         "value": t["value"]})
+
+    out = rate_per_key(ds.map_batches(ts_us, batch_format="pyarrow"),
+                       key="user_id", order_col="ts_us",
+                       value_col="value", tiebreak="event_id")
+    out = out[["event_id", "user_id", "rate"]]
+    return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
