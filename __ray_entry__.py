@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_mad_price_lineitem": q.median_mad_price_lineitem,
         "edit_distance_adjacent_documents": q.edit_distance_adjacent_documents,
         "rate_value_events": q.rate_value_events,
+        # sliding-window COUNT DISTINCT (trailing-3h active users)
+        "sliding_3h_distinct_users_events": q.sliding_3h_distinct_users_events,
     }
 
 
@@ -1295,5 +1297,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    (value - pv) / NULLIF(ts_us - pt, 0) AS rate
             FROM w ORDER BY event_id
+        """,
+        "sliding_3h_distinct_users_events": """
+            WITH e AS (
+                SELECT epoch_us(ts) // 3600000000 AS hb, user_id FROM events
+            ),
+            hours AS (SELECT DISTINCT hb FROM e)
+            SELECT h.hb * 3600000000 AS window_end,
+                   COUNT(DISTINCT e.user_id) AS n_users
+            FROM hours h JOIN e ON e.hb BETWEEN h.hb - 2 AND h.hb
+            GROUP BY 1 ORDER BY 1
         """,
     }

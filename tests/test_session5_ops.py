@@ -291,3 +291,23 @@ def test_rate_per_key_matches_pandas(ray_session):
     e = exp["rate"].reset_index(drop=True)
     assert np.allclose(g.to_numpy(), e.to_numpy(), equal_nan=True)
     assert np.isnan(g.to_numpy()).sum() > 5  # dt==0 + leading rows hit
+
+
+def test_windowed_distinct_matches_naive(ray_session):
+    from webvalid.ops.windows import windowed_distinct
+
+    rng = np.random.default_rng(67)
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 12 * 3600, 500) * 1_000_000
+    df = pd.DataFrame({"ts": pd.to_datetime(ts, unit="us"),
+                       "uid": rng.integers(0, 40, 500)})
+    got = windowed_distinct(_ds(ray_session, df, blocks=5), ts_col="ts",
+                            id_col="uid", bucket_us=3_600_000_000,
+                            n_buckets=3)
+    hb = ts // 3_600_000_000
+    present = np.unique(hb)
+    for _, row in got.iterrows():
+        w = row["window_end"] // 3_600_000_000
+        exp = len(set(df.uid[np.isin(hb, [w - 2, w - 1, w])]))
+        assert row["n_ids"] == exp
+    assert set(got["window_end"] // 3_600_000_000) == set(present)

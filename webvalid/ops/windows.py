@@ -134,3 +134,39 @@ def densify_hourly(ds, ts_us_col: str = "ts_us",
     out = grid.merge(counts, on="window_start", how="left")
     out[out_col] = out[out_col].fillna(0).astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def windowed_distinct(ds, ts_col: str, id_col: str,
+                      bucket_us: int = 3_600_000_000, n_buckets: int = 3
+                      ) -> pd.DataFrame:
+    """Sliding-window COUNT DISTINCT: for every time bucket present in
+    the data, the number of distinct ids seen in the window of the
+    `n_buckets` buckets ending there (e.g. trailing-3h active users
+    per hour).
+
+    Distinct-over-sliding-windows does not decompose into mergeable
+    per-window counts, but it DOES decompose into (bucket, id) pair
+    dedup: each batch emits its locally-unique pairs (bounded by
+    #buckets × #ids, typically ≪ #rows), the driver dedups globally,
+    replicates each pair to the n_buckets windows it affects, and
+    counts — all vectorized, nothing but the pair domain ever moves."""
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hb = ts // bucket_us
+        df = pd.DataFrame({"_hb": hb,
+                           "_id": t[id_col].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pairs = parts.drop_duplicates()
+    present = np.sort(pairs["_hb"].unique())
+    reps = pd.concat([pairs.assign(_w=pairs["_hb"] + off)
+                      for off in range(n_buckets)], ignore_index=True)
+    reps = reps[reps["_w"].isin(present)].drop_duplicates(["_w", "_id"])
+    out = reps.groupby("_w", as_index=False)["_id"].nunique() \
+              .rename(columns={"_w": "window_end", "_id": "n_ids"})
+    out["window_end"] = out["window_end"] * bucket_us
+    return out.sort_values("window_end", kind="mergesort") \
+              .reset_index(drop=True)

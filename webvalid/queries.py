@@ -1984,3 +1984,16 @@ def rate_value_events(sf_dir: str):
                        value_col="value", tiebreak="event_id")
     out = out[["event_id", "user_id", "rate"]]
     return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+def sliding_3h_distinct_users_events(sf_dir: str):
+    """Trailing-3h distinct active users per hour
+    (ops/windows.py:windowed_distinct — (bucket, id) pair dedup, the
+    non-mergeable COUNT DISTINCT decomposed into a bounded pair
+    domain)."""
+    from webvalid.ops.windows import windowed_distinct
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    out = windowed_distinct(ds, ts_col="ts", id_col="user_id",
+                            bucket_us=3_600_000_000, n_buckets=3)
+    return out.rename(columns={"n_ids": "n_users"})
