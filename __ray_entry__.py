@@ -248,6 +248,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_value_events": q.rate_value_events,
         # sliding-window COUNT DISTINCT (trailing-3h active users)
         "sliding_3h_distinct_users_events": q.sliding_3h_distinct_users_events,
+        # paragraph(chunk)-level exact dedup with document rebuild
+        "dedup_paragraphs_documents": q.dedup_paragraphs_documents,
+        # gaps-and-islands run stats per user
+        "streaks_events_users": q.streaks_events_users,
+        # winsorized grouped mean (exact global PERCENTILE_CONT fences)
+        "winsorized_mean_price_lineitem": q.winsorized_mean_price_lineitem,
+        # per-type least-squares trend (mergeable moment partials)
+        "trend_value_by_type_events": q.trend_value_by_type_events,
     }
 
 
@@ -1307,5 +1315,89 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT e.user_id) AS n_users
             FROM hours h JOIN e ON e.hb BETWEEN h.hb - 2 AND h.hb
             GROUP BY 1 ORDER BY 1
+        """,
+        "dedup_paragraphs_documents": """
+            WITH t AS (
+                SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+                WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(
+                           0, CAST((len(toks) - 1) // 16 AS BIGINT)
+                       )) AS chunk_id
+                FROM t
+            ),
+            chunks AS (
+                SELECT doc_id, chunk_id,
+                       array_to_string(list_slice(toks, chunk_id * 16 + 1,
+                                                  chunk_id * 16 + 16), ' ')
+                           AS chunk_text
+                FROM c
+            ),
+            ranked AS (
+                SELECT doc_id, chunk_id, chunk_text,
+                       ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM chunks
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_id) AS text_dedup
+            FROM ranked WHERE rn = 1
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "streaks_events_users": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS rnt
+                FROM events
+            ),
+            isl AS (
+                SELECT user_id, COUNT(*) AS len
+                FROM e GROUP BY user_id, event_type, rn - rnt
+            )
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "winsorized_mean_price_lineitem": """
+            WITH f AS (
+                SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                       quantile_cont(l_extendedprice, 0.95) AS hi
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   ROUND(AVG(LEAST(GREATEST(l_extendedprice, f.lo), f.hi))
+                         + 1e-9, 6) AS wmean,
+                   COUNT(l_extendedprice) AS n
+            FROM lineitem, f
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "trend_value_by_type_events": """
+            WITH e AS (
+                SELECT event_type, value,
+                       (epoch_us(ts) - 1704067200000000) // 3600000000 AS xh
+                FROM events
+            ),
+            s AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(xh) AS DOUBLE) AS sx,
+                       SUM(value) AS sy,
+                       SUM(xh * value) AS sxy,
+                       CAST(SUM(xh * xh) AS DOUBLE) AS sxx
+                FROM e GROUP BY event_type
+            )
+            SELECT event_type,
+                   ROUND((n * sxy - sx * sy)
+                         / NULLIF(n * sxx - sx * sx, 0) + 1e-9, 6) AS slope,
+                   ROUND((sy - (n * sxy - sx * sy)
+                               / NULLIF(n * sxx - sx * sx, 0) * sx) / n
+                         + 1e-9, 6) AS icept,
+                   CAST(n AS BIGINT) AS n
+            FROM s ORDER BY event_type
         """,
     }

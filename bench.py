@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "skew_kurtosis_price_lineitem",
     "dedup_keep_best_documents",
     "fill_forward_value_events",
+    "dedup_paragraphs_documents",
+    "streaks_events_users",
+    "winsorized_mean_price_lineitem",
+    "trend_value_by_type_events",
 ]
 
 

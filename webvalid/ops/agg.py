@@ -315,3 +315,90 @@ def grouped_median_mad(ds, key: str, val: str, ndigits: int | None = 6
                              "median": [med], "mad": [mad]})
 
     return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
+
+
+def winsorized_mean(ds, key: str, val: str, q_lo: float = 0.05,
+                    q_hi: float = 0.95, out_col: str = "wmean",
+                    count_col: str = "n",
+                    ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key mean of `val` after winsorizing at the GLOBAL exact
+    interpolated [q_lo, q_hi] quantiles (PERCENTILE_CONT semantics via
+    `ops/selection.exact_quantile_cont` — histogram bisection, no
+    sort). The two fences are answer-sized scalars broadcast into a
+    clip-and-sum two-phase aggregate, so the whole op is streaming
+    passes + an O(#groups) combine. SQL twin:
+    AVG(LEAST(GREATEST(val, lo), hi)) GROUP BY key.
+
+    Rounds after a +1e-9 nudge (see `impute_group_mean_events`):
+    summation-order float residue must not straddle a round boundary
+    differently across engines."""
+    from webvalid.ops.selection import exact_quantile_cont
+
+    fences = exact_quantile_cont(ds, val, [q_lo, q_hi], ndigits=None)
+    lo, hi = float(fences["value"].iloc[0]), float(fences["value"].iloc[1])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        df["_x"] = np.clip(df["_x"].to_numpy(), lo, hi)
+        df["_n"] = 1
+        out = df.groupby(key, as_index=False, sort=False)[["_n", "_x"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(key, as_index=False, sort=False)[["_n", "_x"]].sum()
+    out = pd.DataFrame({
+        key: c[key],
+        out_col: c["_x"].to_numpy() / c["_n"].to_numpy(np.float64),
+        count_col: c["_n"].astype(np.int64),
+    })
+    if ndigits is not None:
+        out[out_col] = (out[out_col] + 1e-9).round(ndigits)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_regr_slope(ds, key: str, x: str, y: str,
+                       slope_col: str = "slope",
+                       icept_col: str = "icept", count_col: str = "n",
+                       ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key least-squares line of y on x over non-null pairs —
+    the numeric trend/drift primitive (e.g. value vs hours-since-t0
+    per event type). Mergeable (n, Σx, Σy, Σxy, Σxx) partials; the
+    driver closes slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) and
+    intercept = (Σy − slope·Σx)/n, the explicit-sums formula the SQL
+    oracle states verbatim (NOT regr_slope, whose accumulation order
+    differs). Callers should pre-center x (small-magnitude ints) so
+    Σx/Σxx are float64-exact and cancellation is benign; outputs round
+    after a +1e-9 nudge. Keys with zero x-variance get null slope
+    (SQL NULLIF semantics)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[x].to_numpy(zero_copy_only=False).astype(np.float64),
+            "_y": t[y].to_numpy(zero_copy_only=False).astype(np.float64),
+        }).dropna(subset=["_x", "_y"])
+        df["_n"] = 1
+        df["_xy"] = df["_x"] * df["_y"]
+        df["_xx"] = df["_x"] * df["_x"]
+        out = df.groupby(key, as_index=False, sort=False)[
+            ["_n", "_x", "_y", "_xy", "_xx"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(key, as_index=False, sort=False)[
+        ["_n", "_x", "_y", "_xy", "_xx"]].sum()
+    n = c["_n"].to_numpy(np.float64)
+    sx, sy = c["_x"].to_numpy(), c["_y"].to_numpy()
+    sxy, sxx = c["_xy"].to_numpy(), c["_xx"].to_numpy()
+    den = n * sxx - sx * sx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(den == 0, np.nan, (n * sxy - sx * sy) / den)
+        icept = (sy - slope * sx) / n
+    out = pd.DataFrame({key: c[key], slope_col: slope, icept_col: icept,
+                        count_col: c["_n"].astype(np.int64)})
+    if ndigits is not None:
+        out[slope_col] = (out[slope_col] + 1e-9).round(ndigits)
+        out[icept_col] = (out[icept_col] + 1e-9).round(ndigits)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)

@@ -515,3 +515,28 @@ def rate_per_key(ds, key: str, order_col: str, value_col: str,
         return g
 
     return ds.groupby(key).map_groups(r, batch_format="pandas").to_pandas()
+
+
+def streaks_per_key(ds, key: str, order_col: str, tiebreak: str,
+                    val_col: str, max_col: str = "max_streak",
+                    runs_col: str = "n_runs") -> pd.DataFrame:
+    """Per-key gaps-and-islands run stats over `val_col` in
+    (order_col, tiebreak) order: length of the longest run of equal
+    consecutive values plus the total number of runs. SQL twin: the
+    classic ROW_NUMBER() − ROW_NUMBER() OVER (PARTITION BY key, val)
+    island construction. Integer outputs — exact, no rounding.
+
+    Same per-key co-location contract as `sessionize`/`rate_per_key`
+    (one key's rows fit one group); runs are order-dependent across
+    the whole key, so the groupby shuffle is semantically required."""
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        codes, _ = pd.factorize(g[val_col], use_na_sentinel=False)
+        change = np.concatenate([[True], codes[1:] != codes[:-1]])
+        ends = np.append(np.flatnonzero(change), len(codes))
+        lens = np.diff(ends)
+        return pd.DataFrame({key: [g[key].iloc[0]],
+                             max_col: [int(lens.max())],
+                             runs_col: [int(len(lens))]})
+
+    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()

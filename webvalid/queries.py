@@ -1997,3 +1997,61 @@ def sliding_3h_distinct_users_events(sf_dir: str):
     out = windowed_distinct(ds, ts_col="ts", id_col="user_id",
                             bucket_us=3_600_000_000, n_buckets=3)
     return out.rename(columns={"n_ids": "n_users"})
+
+
+# ---------------------------------------------------------------------------
+# Session-6 additions: paragraph dedup, streaks, winsorized mean, trend
+# ---------------------------------------------------------------------------
+
+
+def dedup_paragraphs_documents(sf_dir: str, chunk_tokens: int = 16):
+    """Paragraph(chunk)-level exact dedup with document rebuild
+    (ops/paradedup.chunk_dedup_rebuild): first occurrence of each
+    distinct 16-token chunk wins; docs are rewritten from surviving
+    chunks, batch-locally."""
+    from webvalid.ops.paradedup import chunk_dedup_rebuild
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_dedup_rebuild(ds, chunk_tokens=chunk_tokens).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def streaks_events_users(sf_dir: str):
+    """Gaps-and-islands per user: longest run of equal consecutive
+    event types in (ts, event_id) order + total run count
+    (ops/rank.streaks_per_key)."""
+    from webvalid.ops.rank import streaks_per_key
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+    out = streaks_per_key(ds, "user_id", "ts", "event_id", "event_type")
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def winsorized_mean_price_lineitem(sf_dir: str):
+    """Per-returnflag mean of price winsorized at the global exact
+    [p05, p95] PERCENTILE_CONT fences (ops/agg.winsorized_mean —
+    histogram-bisection quantiles, clip-and-sum two-phase)."""
+    from webvalid.ops.agg import winsorized_mean
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return winsorized_mean(ds, "l_returnflag", "l_extendedprice")
+
+
+_TREND_T0_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+
+
+def trend_value_by_type_events(sf_dir: str):
+    """Per-event-type least-squares trend of value vs integer hours
+    since 2024-01-01 (ops/agg.grouped_regr_slope — mergeable moment
+    partials; x pre-centered to small ints so Σx/Σxx are exact)."""
+    from webvalid.ops.agg import grouped_regr_slope
+
+    def add_x(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        xh = pc.divide(pc.subtract(us, _TREND_T0_US), 3_600_000_000)
+        return t.append_column("xh", xh)
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"]) \
+        .map_batches(add_x, batch_format="pyarrow")
+    return grouped_regr_slope(ds, "event_type", "xh", "value")
