@@ -256,6 +256,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_mean_price_lineitem": q.winsorized_mean_price_lineitem,
         # per-type least-squares trend (mergeable moment partials)
         "trend_value_by_type_events": q.trend_value_by_type_events,
+        # time-RANGE window frame (trailing-hour sum incl. peers)
+        "rolling_1h_sum_value_events": q.rolling_1h_sum_value_events,
+        # cohort retention matrix (first-day partials + broadcast)
+        "retention_cohorts_events": q.retention_cohorts_events,
+        # distributed Lloyd k-means (rows-only: iterative)
+        "kmeans_embeddings": q.kmeans_embeddings,
+        # PSI drift magnitude per source vs pooled rest
+        "psi_lang_by_source_documents": q.psi_lang_by_source_documents,
+        # interval-union coverage (merged 15-min activity windows)
+        "coverage_15min_events_users": q.coverage_15min_events_users,
+        # Benford first-digit profile (exact integer digit extraction)
+        "benford_price_lineitem": q.benford_price_lineitem,
     }
 
 
@@ -1399,5 +1411,104 @@ def oracle_sql() -> dict[str, str]:
                          + 1e-9, 6) AS icept,
                    CAST(n AS BIGINT) AS n
             FROM s ORDER BY event_type
+        """,
+        "rolling_1h_sum_value_events": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                       + 1e-9, 6) AS range_sum
+            FROM events ORDER BY event_id
+        """,
+        "retention_cohorts_events": """
+            WITH d AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id
+            )
+            SELECT f.cohort_day,
+                   d.day - f.cohort_day AS day_offset,
+                   COUNT(DISTINCT d.user_id) AS n_users
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "psi_lang_by_source_documents": """
+            WITH c AS (
+                SELECT source, lang, COUNT(*) AS cnt
+                FROM documents GROUP BY source, lang
+            ),
+            grid AS (
+                SELECT s.source, l.lang
+                FROM (SELECT DISTINCT source FROM documents) s
+                CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+            ),
+            f AS (
+                SELECT g.source, g.lang, COALESCE(c.cnt, 0) AS a
+                FROM grid g LEFT JOIN c USING (source, lang)
+            ),
+            tot AS (SELECT lang, SUM(a) AS t FROM f GROUP BY lang),
+            x AS (
+                SELECT f.source, f.lang, CAST(f.a AS DOUBLE) AS a,
+                       CAST(tot.t - f.a AS DOUBLE) AS r
+                FROM f JOIN tot USING (lang)
+            ),
+            s AS (
+                SELECT source, SUM(a) AS sa, SUM(r) AS sr, COUNT(*) AS k
+                FROM x GROUP BY source
+            )
+            SELECT x.source,
+                   ROUND(SUM(((a + 0.5) / (sa + 0.5 * k)
+                              - (r + 0.5) / (sr + 0.5 * k))
+                             * LN(((a + 0.5) / (sa + 0.5 * k))
+                                  / ((r + 0.5) / (sr + 0.5 * k))))
+                         + 1e-9, 6) AS psi
+            FROM x JOIN s USING (source)
+            GROUP BY x.source ORDER BY x.source
+        """,
+        "coverage_15min_events_users": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 900000000 AS e
+                FROM events
+            ),
+            m AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+                FROM iv
+            ),
+            g AS (
+                SELECT user_id, s, e,
+                       SUM(CASE WHEN pmax IS NULL OR s > pmax
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e) AS grp
+                FROM m
+            ),
+            isl AS (
+                SELECT user_id, grp, MIN(s) AS s0, MAX(e) AS e1
+                FROM g GROUP BY user_id, grp
+            )
+            SELECT user_id, CAST(SUM(e1 - s0) AS BIGINT) AS covered_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "benford_price_lineitem": """
+            WITH d AS (
+                SELECT CAST(LEFT(CAST(CAST(ROUND(l_extendedprice * 100)
+                                           AS BIGINT) AS VARCHAR), 1)
+                            AS BIGINT) AS digit
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND ROUND(l_extendedprice * 100) > 0
+            ),
+            c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+            t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+            SELECT digit, n,
+                   ROUND(n / t.total + 1e-9, 6) AS frac,
+                   ROUND(LOG10(1.0 + 1.0 / digit) + 1e-9, 6) AS expected
+            FROM c, t ORDER BY digit
         """,
     }

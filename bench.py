@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "streaks_events_users",
     "winsorized_mean_price_lineitem",
     "trend_value_by_type_events",
+    "rolling_1h_sum_value_events",
+    "retention_cohorts_events",
+    "kmeans_embeddings",
+    "psi_lang_by_source_documents",
+    "coverage_15min_events_users",
+    "benford_price_lineitem",
 ]
 
 

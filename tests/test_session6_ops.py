@@ -188,3 +188,264 @@ def test_grouped_regr_slope_zero_variance_is_null(ray_session):
                        "y": np.arange(10, dtype=np.float64)})
     got = grouped_regr_slope(_ds(ray_session, df, blocks=2), "k", "x", "y")
     assert np.isnan(got["slope"].iloc[0])
+
+
+# ---------------------------------------------------------------------------
+# real BMP / WAV decoders (multimodal)
+# ---------------------------------------------------------------------------
+
+
+def _make_bmp(width: int, height: int, value: int) -> bytes:
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    need = row_bytes * height
+    header = (b"BM" + struct.pack("<IHHI", 54 + need, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            need, 2835, 2835, 0, 0))
+    rows = np.zeros((height, row_bytes), np.uint8)
+    rows[:, : width * 3] = value
+    return header + rows.tobytes()
+
+
+def _make_wav(rate: int, samples: np.ndarray, channels: int = 1) -> bytes:
+    import struct
+
+    data = (samples * 32767).astype(np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_decode_bmp_real():
+    from webvalid.ops.multimodal import decode_bmp
+
+    assert decode_bmp(_make_bmp(5, 3, 200)) == (5, 3, 200 / 255)
+    assert decode_bmp(b"BM" + b"\x00" * 60) is None  # zero dims
+    assert decode_bmp(_make_bmp(5, 3, 10)[:-4]) is None  # truncated raster
+    assert decode_bmp(b"\x89PNG" + b"\x00" * 60) is None
+
+
+def test_decode_wav_real_and_features(ray_session):
+    import ray.data
+
+    from webvalid.ops.multimodal import audio_features, decode_wav
+
+    t = np.arange(8000, dtype=np.float64) / 8000
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    wav = _make_wav(8000, sine)
+    rate, ch, mono = decode_wav(wav)
+    assert (rate, ch) == (8000, 1)
+    assert len(mono) == 8000
+    assert np.abs(mono - (sine * 32767).astype(np.int16) / 32768.0).max() < 1e-9
+
+    import pandas as pd
+    df = pd.DataFrame({"url": ["a", "b", "c"],
+                       "audio": [wav, None, b"not a wav"]})
+    out = (audio_features(ray.data.from_pandas(df), concurrency=1)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+    assert out.loc[0, "sample_rate"] == 8000
+    assert out.loc[0, "duration_sec"] == pytest.approx(1.0)
+    assert out.loc[0, "rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert out.loc[0, "peak"] == pytest.approx(0.5, rel=1e-3)
+    # 440 Hz sine → ~880 sign flips per second of 8000 samples
+    assert out.loc[0, "zcr"] == pytest.approx(880 / 8000, rel=0.02)
+    assert out.loc[1, "sample_rate"] == 0 and out.loc[2, "sample_rate"] == 0
+
+
+def test_decode_wav_walks_chunk_list():
+    import struct
+
+    from webvalid.ops.multimodal import decode_wav
+
+    x = np.full(100, 0.25)
+    base = _make_wav(4000, x)
+    # splice a LIST chunk between fmt and data (odd size → padding)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = base[:fmt_end] + junk + base[fmt_end:]
+    dec = decode_wav(spliced)
+    assert dec is not None and dec[0] == 4000 and len(dec[2]) == 100
+
+
+# ---------------------------------------------------------------------------
+# rolling_range_sum_per_key / retention_matrix / kmeans_distributed
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_range_sum_matches_duckdb(ray_session):
+    import duckdb
+
+    from webvalid.ops.rank import rolling_range_sum_per_key
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 400),
+        "o": rng.integers(0, 120, 400).astype(np.int64),  # ties => peers
+        "tb": np.arange(400, dtype=np.int64),
+        "v": np.round(rng.normal(10, 3, 400), 2),
+    })
+    got = (rolling_range_sum_per_key(_ds(ray_session, df, blocks=5),
+                                     "k", "o", "v", "tb", span=10)
+           .sort_values("tb").reset_index(drop=True))
+    exp = duckdb.connect().execute("""
+        SELECT k, o, tb, v,
+               ROUND(SUM(v) OVER (PARTITION BY k ORDER BY o
+                     RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+                     + 1e-9, 6) AS range_sum
+        FROM df ORDER BY tb""").df()
+    pd.testing.assert_series_equal(got["range_sum"], exp["range_sum"],
+                                   check_dtype=False)
+
+
+def test_retention_matrix_matches_duckdb(ray_session):
+    import duckdb
+
+    from webvalid.ops.retention import retention_matrix
+
+    rng = np.random.default_rng(19)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, 2000),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 20 * 86_400_000_000, 2000), unit="us"),
+    })
+    got = retention_matrix(_ds(ray_session, df, blocks=6), "user_id", "ts")
+    exp = duckdb.connect().execute("""
+        WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM df),
+        f AS (SELECT user_id, MIN(day) cohort_day FROM d GROUP BY user_id)
+        SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+               COUNT(DISTINCT d.user_id) AS n_users
+        FROM d JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def _naive_lloyd(x: np.ndarray, cent: np.ndarray, iters: int, tol: float):
+    hist = []
+    prev = np.inf
+    for it in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        inertia = float(d2[np.arange(len(x)), assign].sum())
+        cent = cent.copy()
+        for c in range(len(cent)):
+            m = x[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+        hist.append(inertia)
+        if prev < np.inf and prev - inertia <= tol * prev:
+            break
+        prev = inertia
+    return cent, hist, np.bincount(assign, minlength=len(cent))
+
+
+def test_kmeans_distributed_matches_naive(ray_session):
+    from webvalid.ops.kmeans import kmeans_distributed
+
+    rng = np.random.default_rng(23)
+    # three well-separated blobs
+    x = np.concatenate([rng.normal(c, 0.3, (60, 4))
+                        for c in (0.0, 5.0, 10.0)])
+    ids = rng.permutation(len(x)).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
+    cent, hist, sizes = kmeans_distributed(
+        _ds(ray_session, df, blocks=5), k=3, iters=8)
+    order = np.argsort(ids, kind="stable")[:3]
+    ncent, nhist, nsizes = _naive_lloyd(x, x[np.sort(order)], 8, 1e-6)
+    assert len(hist) == len(nhist)
+    np.testing.assert_allclose(hist["inertia"].to_numpy(), nhist, rtol=1e-9)
+    np.testing.assert_allclose(np.sort(cent, axis=0), np.sort(ncent, axis=0),
+                               rtol=1e-9)
+    assert sorted(sizes.tolist()) == sorted(nsizes.tolist()) == [60, 60, 60]
+
+
+# ---------------------------------------------------------------------------
+# PSI / interval coverage / Benford
+# ---------------------------------------------------------------------------
+
+
+def test_psi_two_sample_properties():
+    from webvalid.sketches import psi_two_sample
+
+    same = psi_two_sample(np.array([50, 50]), np.array([500, 500]))
+    assert same == pytest.approx(0.0, abs=1e-6)
+    shifted = psi_two_sample(np.array([50, 50]), np.array([90, 10]))
+    assert shifted > 0.25  # a major shift scores above the threshold
+    # symmetric in (p, q)
+    rev = psi_two_sample(np.array([90, 10]), np.array([50, 50]))
+    assert shifted == pytest.approx(rev)
+    # empty bins stay finite thanks to smoothing
+    assert np.isfinite(psi_two_sample(np.array([100, 0]), np.array([0, 100])))
+
+
+def test_drift_fold_emits_psi_verdicts():
+    import pickle
+
+    from webvalid.checks.base import CheckConfig
+    from webvalid.checks.drift_check import drift_fold
+
+    def st(pid, counts):
+        return {"partition_id": pid, "state": pickle.dumps(
+            {"n": sum(counts.values()), "value_counts": [counts],
+             "pairs": {}})}
+
+    stable = {"en": 90, "de": 10}
+    shifted = {"en": 10, "de": 90}
+    cfg = CheckConfig(drift_columns=("lang",))
+    verdicts, _ = drift_fold(
+        [st(0, stable), st(1, dict(stable)), st(2, shifted)], cfg)
+    psi = [v for v in verdicts if v["check"] == "drift_psi"]
+    assert [v["partition_id"] for v in psi] == [0, 1, 2]
+    assert psi[0]["pass"] and psi[1]["pass"]          # first + unchanged
+    assert not psi[2]["pass"] and psi[2]["metric"] > 0.25
+
+
+def test_interval_coverage_matches_duckdb(ray_session):
+    import duckdb
+
+    from webvalid.ops.windows import interval_coverage_per_key
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, 300),
+        "s": rng.integers(0, 5000, 300).astype(np.int64),
+    })
+    got = interval_coverage_per_key(_ds(ray_session, df, blocks=4),
+                                    "k", "s", dur_us=100) \
+        .sort_values("k").reset_index(drop=True)
+    exp = duckdb.connect().execute("""
+        WITH iv AS (SELECT k, s, s + 100 AS e FROM df),
+        m AS (SELECT k, s, e, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax FROM iv),
+        g AS (SELECT k, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax
+              THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY s, e) grp
+              FROM m),
+        isl AS (SELECT k, grp, MIN(s) s0, MAX(e) e1 FROM g GROUP BY k, grp)
+        SELECT k, SUM(e1 - s0) covered_us, COUNT(*) n_intervals
+        FROM isl GROUP BY k ORDER BY k""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interval_coverage_merges_touching():
+    # touching intervals ([0,10) then start 10) do NOT merge: s > pmax
+    # is strict, [0,10)+[10,20) → islands split only when s > end
+    import ray.data
+
+    from webvalid.ops.windows import interval_coverage_per_key
+
+    df = pd.DataFrame({"k": [1, 1, 1], "s": np.array([0, 10, 25], np.int64)})
+    out = interval_coverage_per_key(ray.data.from_pandas(df), "k", "s", 10)
+    # [0,10) and [10,20) touch (s == pmax → merged), [25,35) separate
+    assert out["covered_us"].iloc[0] == 30
+    assert out["n_intervals"].iloc[0] == 2
+
+
+def test_benford_digits_exact(ray_session):
+    from webvalid.queries import benford_price_lineitem
+
+    out = benford_price_lineitem("/root/testdata/sf0.001")
+    assert out["digit"].tolist() == list(range(1, 10))
+    assert int(out["n"].sum()) > 0
+    assert out["expected"].iloc[0] == pytest.approx(np.log10(2), abs=1e-6)

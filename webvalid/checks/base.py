@@ -91,6 +91,10 @@ class CheckConfig:
     chi2_reference: str = "consecutive"
     chi2_window: int = 5
     ks_alpha: float = 1e-3
+    # PSI drift-magnitude gate per projection column (vs previous
+    # partition); 0.25 is the standard "major shift" threshold
+    psi_max: float = 0.25
+    psi_smooth: float = 0.5
     # uniqueness pass-1 route: below this row count, per-batch uint64
     # key-hash blobs are sorted in bucketed tasks (8 B/row of transient
     # memory); above it, the groupby(key).count() shuffle path is used

@@ -29,7 +29,8 @@ from webvalid.drift.cdcstream import control_chart_fold
 from webvalid.drift.cdda import cdda_fold
 from webvalid.drift.dilca import BlockStatistics, summary_of_stats
 from webvalid.partition import partition_slices
-from webvalid.sketches import NumericHistogram, chi2_two_sample, ks_two_sample_from_hist
+from webvalid.sketches import (NumericHistogram, chi2_two_sample,
+                               ks_two_sample_from_hist, psi_two_sample)
 
 
 # reserved pseudo-category that absorbs the tail of a capped domain
@@ -268,6 +269,29 @@ def drift_fold(merged_states: list[dict], cfg: CheckConfig,
                 ok = not (p == p and p < cfg.chi2_alpha)  # NaN p → pass
                 verdicts.append(
                     verdict_row(pid, "drift_chi2", cname, ok, p, f"stat={stat:.3f},df={df}")
+                )
+            prev = cur
+
+    # PSI (population stability index) per projection column vs the
+    # previous partition — the drift MAGNITUDE score that complements
+    # the chi2 significance test (chi2 flags any significant change at
+    # large n; PSI only fails when the distribution moved by a
+    # practically meaningful amount, cfg.psi_max).
+    for ci, cname in enumerate(cfg.drift_columns):
+        prev = None
+        for pid, s in zip(pids, states):
+            cur = s["value_counts"][ci]
+            if prev is None:
+                verdicts.append(
+                    verdict_row(pid, "drift_psi", cname, True, math.nan, "first")
+                )
+            else:
+                c1, c2 = _aligned_counts(prev, cur)
+                psi = psi_two_sample(c1, c2, smooth=cfg.psi_smooth)
+                ok = not (psi == psi and psi > cfg.psi_max)  # NaN → pass
+                verdicts.append(
+                    verdict_row(pid, "drift_psi", cname, ok, psi,
+                                f"max={cfg.psi_max}")
                 )
             prev = cur
 

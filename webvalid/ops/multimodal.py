@@ -119,6 +119,9 @@ class DecodeImageStub:
         pnm = decode_pnm(payload)
         if pnm is not None:
             return pnm
+        bmp = decode_bmp(payload)
+        if bmp is not None:
+            return bmp
         if self.pil is not None:
             import io
 
@@ -225,6 +228,151 @@ def sample_frames(ds, payload_col: str = "html", id_col: str = "url",
     return ds.select_columns([id_col, payload_col]).map_batches(
         FrameSampleStub,
         fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders #2/#3: uncompressed BMP (image) and RIFF/PCM WAV (audio)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float] | None:
+    """REAL decoder for uncompressed 24-bit BI_RGB Windows BMP — pure
+    struct + numpy. Returns (width, height, mean_intensity in [0,1])
+    or None if the payload is not a well-formed one.
+
+    Bottom-up rows and 4-byte row padding are handled; mean intensity
+    is over all channel bytes (padding excluded)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        data_off, = struct.unpack_from("<I", payload, 10)
+        hdr_size, = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            return None
+        width, height = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression, = struct.unpack_from("<I", payload, 30)
+    except struct.error:
+        return None
+    height = abs(height)
+    if (planes != 1 or bpp != 24 or compression != 0
+            or width <= 0 or height <= 0):
+        return None
+    row_bytes = (width * 3 + 3) & ~3
+    need = row_bytes * height
+    if data_off + need > len(payload):
+        return None
+    rows = np.frombuffer(payload, np.uint8, count=need,
+                         offset=data_off).reshape(height, row_bytes)
+    pix = rows[:, : width * 3]
+    return width, height, float(pix.mean() / 255.0)
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray] | None:
+    """REAL decoder for RIFF/WAVE PCM (8- or 16-bit, any channel
+    count) — pure struct + numpy. Returns (sample_rate, n_channels,
+    float64 mono samples in [-1, 1]) or None.
+
+    Walks the RIFF chunk list properly (fmt may be followed by LIST /
+    fact chunks before data; chunks are word-aligned)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, end = 12, len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos:pos + 4]
+        try:
+            size, = struct.unpack_from("<I", payload, pos + 4)
+        except struct.error:
+            return None
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+        if fmt is not None and data is not None:
+            break
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits, = struct.unpack_from("<H", fmt, 14)
+    if audio_fmt != 1 or n_ch == 0 or rate == 0 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        n = len(data) // 2
+        x = np.frombuffer(data, np.int16, count=n).astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    frames = len(x) // n_ch
+    if frames == 0:
+        return None
+    mono = x[: frames * n_ch].reshape(frames, n_ch).mean(axis=1)
+    return int(rate), int(n_ch), mono
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV payload → (duration_sec, sample_rate,
+    n_channels, rms, peak, zero-crossing rate). Pure-numpy REAL
+    decode via `decode_wav`; non-WAV / malformed payloads yield a row
+    with sample_rate == 0 (the 'not decoded' marker, mirroring
+    DecodeImageStub's width == 0)."""
+
+    def __init__(self, payload_col: str = "audio", id_col: str = "url"):
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        rate = np.zeros(n, np.int32)
+        chans = np.zeros(n, np.int32)
+        dur = np.full(n, np.nan)
+        rms = np.full(n, np.nan)
+        peak = np.full(n, np.nan)
+        zcr = np.full(n, np.nan)
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            dec = decode_wav(p)
+            if dec is None:
+                continue
+            r, c, mono = dec
+            rate[i], chans[i] = r, c
+            dur[i] = len(mono) / r
+            rms[i] = float(np.sqrt(np.mean(mono * mono)))
+            peak[i] = float(np.abs(mono).max())
+            sgn = np.signbit(mono)
+            zcr[i] = float((sgn[1:] != sgn[:-1]).mean()) if len(mono) > 1 else 0.0
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "sample_rate": pa.array(rate, pa.int32()),
+            "n_channels": pa.array(chans, pa.int32()),
+            "duration_sec": pa.array(dur, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "peak": pa.array(peak, pa.float64()),
+            "zcr": pa.array(zcr, pa.float64()),
+        })
+
+
+def audio_features(ds, payload_col: str = "audio", id_col: str = "url",
+                   concurrency=(1, 8), batch_size: int = 64):
+    """Audio feature stage wiring: actor pool, byte-aware small
+    batches (same giant-row contract as decode_images)."""
+    return ds.select_columns([id_col, payload_col]).map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

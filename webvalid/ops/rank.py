@@ -540,3 +540,31 @@ def streaks_per_key(ds, key: str, order_col: str, tiebreak: str,
                              runs_col: [int(len(lens))]})
 
     return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
+
+
+def rolling_range_sum_per_key(ds, key: str, order_col: str, value_col: str,
+                              tiebreak: str, span: int,
+                              out_col: str = "range_sum",
+                              ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key time/RANGE-frame rolling sum: for each row, the sum of
+    `value_col` over rows of the same key with order in
+    [order − span, order] — SQL RANGE BETWEEN span PRECEDING AND
+    CURRENT ROW. Peer rows (equal order values) share one frame, per
+    SQL RANGE semantics, so the result is tie-order independent.
+
+    Vectorized per co-located group: sort, prefix-sum, one
+    searchsorted for the frame starts, one for the peer-group ends.
+    Rounds after a +1e-9 nudge (cross-engine summation order)."""
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        o = g[order_col].to_numpy()
+        v = np.nan_to_num(g[value_col].to_numpy(np.float64))
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        lo = np.searchsorted(o, o - span, side="left")
+        hi = np.searchsorted(o, o, side="right")  # include ALL peers
+        g[out_col] = csum[hi] - csum[lo]
+        if ndigits is not None:
+            g[out_col] = (g[out_col] + 1e-9).round(ndigits)
+        return g
+
+    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()

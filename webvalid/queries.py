@@ -2055,3 +2055,113 @@ def trend_value_by_type_events(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"]) \
         .map_batches(add_x, batch_format="pyarrow")
     return grouped_regr_slope(ds, "event_type", "xh", "value")
+
+
+def rolling_1h_sum_value_events(sf_dir: str):
+    """Per-user RANGE-frame rolling sum: value summed over the
+    trailing hour including peer rows (ops/rank.
+    rolling_range_sum_per_key — SQL RANGE BETWEEN ... PRECEDING)."""
+    from webvalid.ops.rank import rolling_range_sum_per_key
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return t.append_column("ts_us", pc.cast(t["ts"], pa.int64()))
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"]) \
+        .map_batches(add_us, batch_format="pyarrow")
+    out = rolling_range_sum_per_key(ds, "user_id", "ts_us", "value",
+                                    "event_id", 3_600_000_000)
+    return out[["event_id", "user_id", "range_sum"]] \
+        .sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+def retention_cohorts_events(sf_dir: str):
+    """Cohort retention matrix: distinct users per (first-active-day,
+    day-offset) cell (ops/retention.retention_matrix — MIN-partials +
+    zero-copy broadcast + bounded distinct-triple partials)."""
+    from webvalid.ops.retention import retention_matrix
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = retention_matrix(ds, "user_id", "ts")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 6):
+    """Distributed Lloyd k-means over the embedding table
+    (ops/kmeans.kmeans_distributed — one streaming pass per iteration,
+    O(k·d) mergeable partials, deterministic smallest-id init).
+    Rows-only gate: iterative, not SQL-expressible."""
+    from webvalid.ops.kmeans import kmeans_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, hist, sizes = kmeans_distributed(ds, k=k, iters=iters)
+    return pd.DataFrame({
+        "cluster": np.arange(len(sizes), dtype=np.int64),
+        "n": sizes.astype("int64"),
+        "inertia_final": round(float(hist["inertia"].iloc[-1]), 4),
+    })
+
+
+def psi_lang_by_source_documents(sf_dir: str):
+    """Population Stability Index of each source's lang distribution
+    vs the pooled rest of the corpus (sketches.psi_two_sample over
+    two-phase (source, lang) count partials — O(sources × langs)
+    driver math, nothing else moves)."""
+    from webvalid.ops.agg import _keyval_counts
+    from webvalid.sketches import psi_two_sample
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+    counts = _keyval_counts(ds, "source", "lang")
+    pivot = counts.pivot_table(index="source", columns="lang", values="_c",
+                               fill_value=0, aggfunc="sum").sort_index()
+    mat = pivot.to_numpy(np.float64)
+    totals = mat.sum(axis=0)
+    rows = []
+    for i, src in enumerate(pivot.index):
+        psi = psi_two_sample(mat[i], totals - mat[i], smooth=0.5)
+        rows.append({"source": src, "psi": round(psi + 1e-9, 6)})
+    return pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+
+
+def coverage_15min_events_users(sf_dir: str):
+    """Per-user union length of 15-minute activity intervals
+    (ops/windows.interval_coverage_per_key — merged-interval
+    gaps-and-islands, integer-exact)."""
+    from webvalid.ops.windows import interval_coverage_per_key
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return t.append_column("ts_us", pc.cast(t["ts"], pa.int64()))
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"]) \
+        .map_batches(add_us, batch_format="pyarrow")
+    out = interval_coverage_per_key(ds, "user_id", "ts_us",
+                                    dur_us=900_000_000)
+    return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+def benford_price_lineitem(sf_dir: str):
+    """First-significant-digit (Benford) profile of price-in-cents:
+    exact integer digit extraction (repeated integer division — no
+    float log10 edge cases), two-phase digit-count partials, observed
+    vs Benford-expected fractions."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        cents = np.round(x * 100).astype(np.int64)
+        d = cents[cents > 0]
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        cnt = np.bincount(d, minlength=10)[1:]
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(cnt, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby("digit", as_index=False)["n"].sum()
+    total = float(c["n"].sum())
+    c["frac"] = ((c["n"] / total) + 1e-9).round(6)
+    c["expected"] = np.round(np.log10(1.0 + 1.0 / c["digit"].to_numpy())
+                             + 1e-9, 6)
+    return c.sort_values("digit").reset_index(drop=True)

@@ -409,6 +409,26 @@ def chi2_two_sample(counts1: np.ndarray, counts2: np.ndarray) -> tuple[float, in
     return stat, df, chi2_sf(stat, df)
 
 
+def psi_two_sample(counts1: np.ndarray, counts2: np.ndarray,
+                   smooth: float = 0.5) -> float:
+    """Population Stability Index over aligned category counts —
+    the industry-standard drift magnitude (rule of thumb: < 0.1
+    stable, 0.1-0.25 moderate, > 0.25 major shift).
+
+    PSI = sum (p - q) * ln(p / q) with Laplace smoothing `smooth`
+    added per bin so empty bins stay finite; bins empty on BOTH sides
+    still participate (the smoothing makes their term 0), so the
+    result depends only on the aligned bin set, not its order."""
+    c1 = np.asarray(counts1, dtype=np.float64)
+    c2 = np.asarray(counts2, dtype=np.float64)
+    if len(c1) == 0:
+        return math.nan
+    k = len(c1)
+    p = (c1 + smooth) / (c1.sum() + smooth * k)
+    q = (c2 + smooth) / (c2.sum() + smooth * k)
+    return float(((p - q) * np.log(p / q)).sum())
+
+
 def ks_two_sample_from_hist(h1: NumericHistogram, h2: NumericHistogram) -> tuple[float, float]:
     """Approximate two-sample KS over binned CDFs; returns (D, p_value)."""
     # total() already excludes NaNs (counts + underflow + overflow)
