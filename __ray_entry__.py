@@ -268,6 +268,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_15min_events_users": q.coverage_15min_events_users,
         # Benford first-digit profile (exact integer digit extraction)
         "benford_price_lineitem": q.benford_price_lineitem,
+        # per-key exponential moving average (recursive scan)
+        "ewma_value_events": q.ewma_value_events,
+        # deterministic PPS sampling (integer cumulative weights)
+        "weighted_sample_documents": q.weighted_sample_documents,
+        # daily new users + cumulative distinct
+        "new_users_daily_events": q.new_users_daily_events,
+        # chi2 independence + Cramér's V (categorical association)
+        "chi2_lang_source_documents": q.chi2_lang_source_documents,
+        # grouped harmonic mean
+        "hmean_chars_by_lang": q.hmean_chars_by_lang,
     }
 
 
@@ -1510,5 +1520,82 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n / t.total + 1e-9, 6) AS frac,
                    ROUND(LOG10(1.0 + 1.0 / digit) + 1e-9, 6) AS expected
             FROM c, t ORDER BY digit
+        """,
+        "ewma_value_events": """
+            WITH e AS (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            )
+            SELECT a.event_id, a.user_id,
+                   ROUND(SUM(CASE WHEN b.rn = 1
+                                  THEN POWER(0.75, a.rn - 1) * b.value
+                                  ELSE 0.25 * POWER(0.75, a.rn - b.rn)
+                                       * b.value END)
+                         + 1e-9, 6) AS ewma
+            FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn <= a.rn
+            GROUP BY a.event_id, a.user_id ORDER BY a.event_id
+        """,
+        "weighted_sample_documents": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cb
+                FROM documents
+            )
+            SELECT doc_id, n_chars FROM c
+            WHERE cb // 5000 < (cb + n_chars) // 5000
+            ORDER BY doc_id
+        """,
+        "new_users_daily_events": """
+            WITH f AS (
+                SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+                FROM events GROUP BY user_id
+            )
+            SELECT day, COUNT(*) AS n_new,
+                   CAST(SUM(COUNT(*)) OVER (ORDER BY day) AS BIGINT) AS n_cum
+            FROM f GROUP BY day ORDER BY day
+        """,
+        "chi2_lang_source_documents": """
+            WITH c AS (
+                SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS cnt
+                FROM documents GROUP BY lang, source
+            ),
+            grid AS (
+                SELECT l.lang, s.source
+                FROM (SELECT DISTINCT lang FROM documents) l
+                CROSS JOIN (SELECT DISTINCT source FROM documents) s
+            ),
+            f AS (
+                SELECT g.lang, g.source, COALESCE(c.cnt, 0) AS obs
+                FROM grid g LEFT JOIN c USING (lang, source)
+            ),
+            rt AS (SELECT lang, SUM(obs) AS r FROM f GROUP BY lang),
+            ct AS (SELECT source, SUM(obs) AS c2 FROM f GROUP BY source),
+            nn AS (SELECT SUM(obs) AS n FROM f),
+            dims AS (SELECT (SELECT COUNT(*) FROM rt) AS R,
+                            (SELECT COUNT(*) FROM ct) AS C),
+            stat AS (
+                SELECT SUM(CASE WHEN rt.r * ct.c2 > 0
+                                THEN POWER(f.obs - rt.r * ct.c2 / nn.n, 2)
+                                     / (rt.r * ct.c2 / nn.n)
+                                ELSE 0 END) AS chi2
+                FROM f JOIN rt USING (lang) JOIN ct USING (source), nn
+            )
+            SELECT ROUND(stat.chi2 + 1e-9, 6) AS chi2,
+                   CAST((dims.R - 1) * (dims.C - 1) AS BIGINT) AS dof,
+                   ROUND(SQRT(stat.chi2
+                              / (nn.n * LEAST(dims.R - 1, dims.C - 1)))
+                         + 1e-9, 6) AS cramers_v
+            FROM stat, dims, nn
+        """,
+        "hmean_chars_by_lang": """
+            SELECT lang,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(1.0 / n_chars)
+                         + 1e-9, 6) AS hmean
+            FROM documents WHERE n_chars > 0
+            GROUP BY lang ORDER BY lang
         """,
     }

@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "psi_lang_by_source_documents",
     "coverage_15min_events_users",
     "benford_price_lineitem",
+    "ewma_value_events",
+    "weighted_sample_documents",
+    "new_users_daily_events",
+    "chi2_lang_source_documents",
+    "hmean_chars_by_lang",
 ]
 
 

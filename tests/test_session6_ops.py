@@ -449,3 +449,114 @@ def test_benford_digits_exact(ray_session):
     assert out["digit"].tolist() == list(range(1, 10))
     assert int(out["n"].sum()) > 0
     assert out["expected"].iloc[0] == pytest.approx(np.log10(2), abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# EWMA / systematic weighted sampling / new users daily
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_per_key_matches_naive(ray_session):
+    from webvalid.ops.rank import ewma_per_key
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, 300),
+        "o": rng.integers(0, 1000, 300).astype(np.int64),
+        "tb": np.arange(300, dtype=np.int64),
+        "v": rng.normal(50, 10, 300),
+    })
+    a = 0.3
+    got = (ewma_per_key(_ds(ray_session, df, blocks=5), "k", "o", "tb",
+                        "v", alpha=a, ndigits=None)
+           .sort_values("tb").reset_index(drop=True))
+    for k, sub in df.sort_values(["o", "tb"]).groupby("k"):
+        y = None
+        exp = []
+        for x in sub["v"]:
+            y = x if y is None else (1 - a) * y + a * x
+            exp.append(y)
+        g = got[got.k == k].sort_values(["o", "tb"])["ewma"].to_numpy()
+        np.testing.assert_allclose(g, exp, rtol=1e-12)
+
+
+def test_systematic_weighted_sample_exact_and_layout_stable(ray_session):
+    from webvalid.ops.sampling import systematic_weighted_sample
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "w": rng.integers(0, 200, 500).astype(np.int64)})
+    step = 300
+
+    def naive(df):
+        cb = df["w"].cumsum().shift(fill_value=0)
+        keep = (cb // step) < ((cb + df["w"]) // step)
+        return df[keep]["doc_id"].tolist()
+
+    exp = naive(df.sort_values("doc_id"))
+    for blocks in (3, 11):
+        got = systematic_weighted_sample(
+            _ds(ray_session, df.sample(frac=1, random_state=blocks), blocks),
+            "doc_id", "w", step).to_pandas()
+        assert sorted(got["doc_id"].tolist()) == exp
+    # a row heavier than step is always kept
+    big = pd.DataFrame({"doc_id": np.array([0, 1], np.int64),
+                        "w": np.array([1, 10 * step], np.int64)})
+    got = systematic_weighted_sample(_ds(ray_session, big, 2),
+                                     "doc_id", "w", step).to_pandas()
+    assert 1 in got["doc_id"].tolist()
+
+
+def test_new_users_daily_matches_duckdb(ray_session):
+    import duckdb
+
+    from webvalid.ops.retention import new_users_daily
+
+    rng = np.random.default_rng(41)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, 1500),
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 15 * 86_400_000_000, 1500), unit="us"),
+    })
+    got = new_users_daily(_ds(ray_session, df, blocks=5), "user_id", "ts")
+    exp = duckdb.connect().execute("""
+        WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+                   FROM df GROUP BY user_id)
+        SELECT day, COUNT(*) AS n_new,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY day) AS BIGINT) AS n_cum
+        FROM f GROUP BY day ORDER BY day""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_chi2_independence_matches_scipy_formula(ray_session):
+    from webvalid.ops.agg import chi2_independence
+
+    rng = np.random.default_rng(43)
+    df = pd.DataFrame({"a": rng.choice(["x", "y", "z"], 900),
+                       "b": rng.choice(["p", "q"], 900)})
+    got = chi2_independence(_ds(ray_session, df, blocks=5), "a", "b",
+                            ndigits=None)
+    obs = pd.crosstab(df.a, df.b).to_numpy(np.float64)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) @ obs.sum(0, keepdims=True) / n
+    stat = ((obs - exp) ** 2 / exp).sum()
+    assert got["chi2"].iloc[0] == pytest.approx(stat, rel=1e-12)
+    assert int(got["dof"].iloc[0]) == 2
+    assert got["cramers_v"].iloc[0] == pytest.approx(
+        np.sqrt(stat / (n * 1)), rel=1e-12)
+    assert 0.0 <= got["p_value"].iloc[0] <= 1.0
+
+
+def test_grouped_harmonic_mean_matches_naive(ray_session):
+    from webvalid.ops.agg import grouped_harmonic_mean
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 300),
+                       "x": rng.integers(-5, 100, 300).astype(np.float64)})
+    got = grouped_harmonic_mean(_ds(ray_session, df, blocks=4), "k", "x",
+                                ndigits=None)
+    for _, row in got.iterrows():
+        x = df.loc[(df.k == row["k"]) & (df.x > 0), "x"].to_numpy()
+        assert row["hmean"] == pytest.approx(len(x) / (1.0 / x).sum(),
+                                             rel=1e-12)

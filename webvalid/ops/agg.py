@@ -402,3 +402,66 @@ def grouped_regr_slope(ds, key: str, x: str, y: str,
         out[slope_col] = (out[slope_col] + 1e-9).round(ndigits)
         out[icept_col] = (out[icept_col] + 1e-9).round(ndigits)
     return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def chi2_independence(ds, key_a: str, key_b: str,
+                      ndigits: int | None = 6) -> pd.DataFrame:
+    """Chi-squared test of independence on the (key_a × key_b)
+    contingency table, plus Cramér's V — the categorical-association
+    drift primitive (is lang independent of source?). Two-phase
+    (a, b) count partials; the table math is answer-sized driver
+    work. Expected counts row_tot·col_tot/n; dof (R−1)(C−1).
+    SQL twin: the same sums stated explicitly. Rounds after a +1e-9
+    nudge."""
+    comb = _keyval_counts(ds, key_a, key_b)
+    pivot = comb.pivot_table(index=key_a, columns=key_b, values="_c",
+                             fill_value=0, aggfunc="sum")
+    obs = pivot.to_numpy(np.float64)
+    n = obs.sum()
+    row = obs.sum(axis=1, keepdims=True)
+    col = obs.sum(axis=0, keepdims=True)
+    exp = row @ col / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        terms = np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0)
+    stat = float(terms.sum())
+    r, c = obs.shape
+    dof = (r - 1) * (c - 1)
+    v = float(np.sqrt(stat / (n * min(r - 1, c - 1)))) \
+        if min(r, c) > 1 and n > 0 else float("nan")
+    from webvalid.sketches import chi2_sf
+
+    p = chi2_sf(stat, dof)
+    out = pd.DataFrame({"chi2": [stat], "dof": [dof], "cramers_v": [v],
+                        "p_value": [p]})
+    if ndigits is not None:
+        for col_ in ("chi2", "cramers_v"):
+            out[col_] = (out[col_] + 1e-9).round(ndigits)
+        out["p_value"] = (out["p_value"] + 1e-9).round(ndigits)
+    return out
+
+
+def grouped_harmonic_mean(ds, key: str, val: str, out_col: str = "hmean",
+                          ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key harmonic mean of positive `val` rows: n / Σ(1/x), the
+    SQL twin COUNT(x)/SUM(1/x) (non-positive and null rows excluded,
+    matching the geomean contract)."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: t[key].to_numpy(zero_copy_only=False),
+            "_x": t[val].to_numpy(zero_copy_only=False),
+        }).dropna(subset=["_x"])
+        df = df[df["_x"] > 0]
+        df["_inv"] = 1.0 / df["_x"].to_numpy()
+        df["_n"] = 1
+        out = df.groupby(key, as_index=False, sort=False)[["_n", "_inv"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby(key, as_index=False, sort=False)[["_n", "_inv"]].sum()
+    out = pd.DataFrame({
+        key: c[key],
+        out_col: c["_n"].to_numpy(np.float64) / c["_inv"].to_numpy(),
+    })
+    if ndigits is not None:
+        out[out_col] = (out[out_col] + 1e-9).round(ndigits)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)

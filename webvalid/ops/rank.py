@@ -568,3 +568,22 @@ def rolling_range_sum_per_key(ds, key: str, order_col: str, value_col: str,
         return g
 
     return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
+
+
+def ewma_per_key(ds, key: str, order_col: str, tiebreak: str,
+                 value_col: str, alpha: float, out_col: str = "ewma",
+                 ndigits: int | None = 6) -> pd.DataFrame:
+    """Per-key exponential moving average, recursive form
+    y₁ = x₁, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ (pandas ewm(adjust=False) — a
+    C-level scan per co-located group). SQL twin: the closed-form
+    weighted sum Σ wᵢⱼ·xⱼ with w = α(1−α)^(i−j) (j>1) and (1−α)^(i−1)
+    for j=1; the two accumulation orders agree to ~1e-12 relative, so
+    outputs round after a +1e-9 nudge."""
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        g[out_col] = g[value_col].ewm(alpha=alpha, adjust=False).mean()
+        if ndigits is not None:
+            g[out_col] = (g[out_col] + 1e-9).round(ndigits)
+        return g
+
+    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()

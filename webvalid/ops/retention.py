@@ -74,3 +74,15 @@ def retention_matrix(ds, key: str, ts_col: str) -> pd.DataFrame:
                   .size().rename(columns={"size": "n_users"})
     return out.sort_values(["cohort_day", "day_offset"],
                            kind="mergesort").reset_index(drop=True)
+
+
+def new_users_daily(ds, key: str, ts_col: str) -> pd.DataFrame:
+    """(day, n_new, n_cum): users first seen per day + the cumulative
+    distinct-user count over time — answer-sized math on top of the
+    `first_day_per_user` partials."""
+    first = first_day_per_user(ds, key, ts_col)
+    out = first.groupby("cohort_day", as_index=False).size() \
+               .rename(columns={"cohort_day": "day", "size": "n_new"})
+    out = out.sort_values("day", kind="mergesort").reset_index(drop=True)
+    out["n_cum"] = out["n_new"].cumsum()
+    return out

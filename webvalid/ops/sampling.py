@@ -196,3 +196,55 @@ def cap_per_group(ds, group_col: str = "lang", k: int = 50,
                 .groupby(group_col, sort=False).head(k)
     return kept[[group_col, id_col]].sort_values(
         [group_col, id_col], kind="mergesort").reset_index(drop=True)
+
+
+def systematic_weighted_sample(ds, id_col: str, weight_col: str, step: int):
+    """Deterministic probability-proportional-to-size sampling: lay
+    every row's INTEGER weight end-to-end along the id-sorted axis and
+    keep each row whose span crosses a multiple of `step` (selection
+    probability ≈ weight/step, rows with weight ≥ step always kept).
+
+    Same decomposition as `ops/rank.global_row_number`: one sort
+    (range partitioning), per-BLOCK (head key, weight sum) partials,
+    an O(#blocks) driver prefix, and a re-map pass that adds each
+    block's weight offset to its in-block cumulative sum — exact
+    int64 arithmetic throughout, so the selected set is reproducible
+    on any partition layout. SQL twin: the window cumulative weight
+    with integer-division boundary crossing.
+    """
+    import ray as _ray
+
+    sorted_ds = ds.sort(id_col).materialize()
+
+    def head_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col].slice(0, 0),
+                             "_wsum": pa.array([], pa.int64())})
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: t[id_col].slice(0, 1),
+                         "_wsum": pa.array([int(w.sum())], pa.int64())})
+
+    heads = sorted_ds.map_batches(head_partial, batch_size=None,
+                                  batch_format="pyarrow").to_pandas()
+    heads = heads.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    if heads[id_col].duplicated().any():
+        raise ValueError("systematic_weighted_sample needs unique ids "
+                         "(duplicate block heads)")
+    offsets = heads["_wsum"].cumsum().shift(fill_value=0)
+    key_to_off = {k: int(o) for k, o in zip(heads[id_col], offsets)}
+    off_ref = _ray.put(key_to_off)
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() < 0:
+            raise ValueError("weights must be non-negative integers")
+        off = _ray.get(off_ref)[t[id_col][0].as_py()]
+        cum = off + np.cumsum(w)
+        before = cum - w
+        keep = (before // step) < (cum // step)
+        return t.filter(pa.array(keep))
+
+    return sorted_ds.map_batches(pick, batch_size=None,
+                                 batch_format="pyarrow")

@@ -2165,3 +2165,61 @@ def benford_price_lineitem(sf_dir: str):
     c["expected"] = np.round(np.log10(1.0 + 1.0 / c["digit"].to_numpy())
                              + 1e-9, 6)
     return c.sort_values("digit").reset_index(drop=True)
+
+
+def ewma_value_events(sf_dir: str, alpha: float = 0.25):
+    """Per-user EWMA of value in (ts, event_id) order
+    (ops/rank.ewma_per_key — recursive form, C-level scan per key)."""
+    from webvalid.ops.rank import ewma_per_key
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    out = ewma_per_key(ds, "user_id", "ts", "event_id", "value", alpha)
+    return out[["event_id", "user_id", "ewma"]] \
+        .sort_values("event_id", kind="mergesort").reset_index(drop=True)
+
+
+def weighted_sample_documents(sf_dir: str, step: int = 5_000):
+    """Deterministic PPS sampling of documents weighted by n_chars
+    (ops/sampling.systematic_weighted_sample — exact int64 cumulative
+    weights, block-offset stitch, reproducible on any layout)."""
+    from webvalid.ops.sampling import systematic_weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = systematic_weighted_sample(ds, "doc_id", "n_chars", step) \
+        .to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def new_users_daily_events(sf_dir: str):
+    """Daily new-user counts + cumulative distinct users
+    (ops/retention.new_users_daily — first-seen MIN partials)."""
+    from webvalid.ops.retention import new_users_daily
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = new_users_daily(ds, "user_id", "ts")
+    out["n_new"] = out["n_new"].astype("int64")
+    out["n_cum"] = out["n_cum"].astype("int64")
+    return out
+
+
+def chi2_lang_source_documents(sf_dir: str):
+    """Chi-squared independence test + Cramér's V on the
+    lang × source contingency table (ops/agg.chi2_independence —
+    two-phase count partials, answer-sized table math). The p-value
+    (engine-computed incomplete gamma) is excluded from the gate
+    projection — DuckDB has no chi2 SF."""
+    from webvalid.ops.agg import chi2_independence
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    out = chi2_independence(ds, "lang", "source")
+    return out[["chi2", "dof", "cramers_v"]]
+
+
+def hmean_chars_by_lang(sf_dir: str):
+    """Per-lang harmonic mean of document length
+    (ops/agg.grouped_harmonic_mean — COUNT/SUM(1/x))."""
+    from webvalid.ops.agg import grouped_harmonic_mean
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    return grouped_harmonic_mean(ds, "lang", "n_chars")
