@@ -278,6 +278,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_source_documents": q.chi2_lang_source_documents,
         # grouped harmonic mean
         "hmean_chars_by_lang": q.hmean_chars_by_lang,
+        # snapshot regression diff (added/removed/changed keys)
+        "snapshot_diff_documents": q.snapshot_diff_documents,
+        # Mann-Whitney rank-sum drift test (tie-corrected)
+        "ranksum_error_value_events": q.ranksum_error_value_events,
+        # mutual information (categorical association, nats)
+        "mutual_info_lang_source_documents": q.mutual_info_lang_source_documents,
     }
 
 
@@ -1597,5 +1603,77 @@ def oracle_sql() -> dict[str, str]:
                          + 1e-9, 6) AS hmean
             FROM documents WHERE n_chars > 0
             GROUP BY lang ORDER BY lang
+        """,
+        "snapshot_diff_documents": """
+            WITH newt AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 101 = 0 THEN text || ' EDITED'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 97 <> 0
+                UNION ALL
+                SELECT (SELECT MAX(doc_id) FROM documents) + gs, 'new doc'
+                FROM unnest(generate_series(1, 3)) AS t(gs)
+            ),
+            o AS (SELECT doc_id, text FROM documents),
+            j AS (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+                       CASE WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN o.text IS DISTINCT FROM n.text
+                                THEN 'changed'
+                            ELSE '' END AS status
+                FROM o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+            )
+            SELECT key, status FROM j WHERE status <> '' ORDER BY key
+        """,
+        "ranksum_error_value_events": """
+            WITH c AS (
+                SELECT value,
+                       COUNT(*) FILTER (WHERE event_type = 'error') AS n1v,
+                       COUNT(*) AS tv
+                FROM events WHERE value IS NOT NULL GROUP BY value
+            ),
+            r AS (
+                SELECT value, n1v, tv,
+                       COALESCE(SUM(tv) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) + (tv + 1) / 2.0 AS avgrank
+                FROM c
+            ),
+            s AS (
+                SELECT SUM(n1v * avgrank) AS r1,
+                       CAST(SUM(n1v) AS DOUBLE) AS n1,
+                       CAST(SUM(tv) AS DOUBLE) AS n,
+                       SUM(CAST(tv AS DOUBLE) * tv * tv - tv) AS tie
+                FROM r
+            )
+            SELECT ROUND(r1 - n1 * (n1 + 1) / 2.0 + 1e-9, 6) AS u1,
+                   CAST(n1 AS BIGINT) AS n1,
+                   CAST(n - n1 AS BIGINT) AS n2,
+                   ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * (n - n1) / 2.0)
+                         / SQRT(n1 * (n - n1) / 12.0
+                                * ((n + 1) - tie / (n * (n - 1.0))))
+                         + 1e-9, 6) AS z
+            FROM s
+        """,
+        "mutual_info_lang_source_documents": """
+            WITH c AS (
+                SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS cnt
+                FROM documents GROUP BY lang, source
+            ),
+            nn AS (SELECT SUM(cnt) AS n FROM c),
+            pa AS (SELECT lang, SUM(cnt) AS ca FROM c GROUP BY lang),
+            pb AS (SELECT source, SUM(cnt) AS cb FROM c GROUP BY source),
+            mi AS (
+                SELECT SUM((c.cnt / nn.n)
+                           * LN((c.cnt / nn.n)
+                                / ((pa.ca / nn.n) * (pb.cb / nn.n)))) AS mi
+                FROM c JOIN pa USING (lang) JOIN pb USING (source), nn
+            ),
+            ha AS (SELECT -SUM((ca / nn.n) * LN(ca / nn.n)) AS h FROM pa, nn),
+            hb AS (SELECT -SUM((cb / nn.n) * LN(cb / nn.n)) AS h FROM pb, nn)
+            SELECT ROUND(mi.mi + 1e-9, 6) AS mi,
+                   ROUND(mi.mi / SQRT(ha.h * hb.h) + 1e-9, 6) AS nmi
+            FROM mi, ha, hb
         """,
     }

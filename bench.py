@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "new_users_daily_events",
     "chi2_lang_source_documents",
     "hmean_chars_by_lang",
+    "snapshot_diff_documents",
+    "ranksum_error_value_events",
+    "mutual_info_lang_source_documents",
 ]
 
 

@@ -560,3 +560,85 @@ def test_grouped_harmonic_mean_matches_naive(ray_session):
         x = df.loc[(df.k == row["k"]) & (df.x > 0), "x"].to_numpy()
         assert row["hmean"] == pytest.approx(len(x) / (1.0 / x).sum(),
                                              rel=1e-12)
+
+
+def test_snapshot_diff_classifies_all_three(ray_session):
+    import ray.data
+
+    from webvalid.ops.tablediff import snapshot_diff
+
+    old = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                        "text": [f"t{i}" for i in range(10)],
+                        "x": np.arange(10, dtype=np.float64)})
+    new = old[old.k != 3].copy()          # 3 removed
+    new.loc[new.k == 5, "text"] = "edited"  # 5 changed
+    new.loc[new.k == 7, "x"] = 99.5         # 7 changed (float col)
+    new = pd.concat([new, pd.DataFrame(
+        {"k": [100], "text": ["fresh"], "x": [0.0]})], ignore_index=True)
+    got = snapshot_diff(ray.data.from_pandas(old).repartition(3),
+                        ray.data.from_pandas(new).repartition(4),
+                        "k", ["text", "x"])
+    assert got.set_index("key")["status"].to_dict() == {
+        3: "removed", 5: "changed", 7: "changed", 100: "added"}
+
+
+def test_snapshot_diff_rejects_duplicate_keys(ray_session):
+    import ray.data
+
+    from webvalid.ops.tablediff import snapshot_diff
+
+    old = pd.DataFrame({"k": np.array([1, 1], np.int64), "t": ["a", "b"]})
+    new = pd.DataFrame({"k": np.array([1], np.int64), "t": ["a"]})
+    with pytest.raises(ValueError, match="unique keys"):
+        snapshot_diff(ray.data.from_pandas(old), ray.data.from_pandas(new),
+                      "k", ["t"])
+
+
+def test_ranksum_matches_naive_rank_math(ray_session):
+    from webvalid.ops.rank import rank_per_key  # noqa: F401 (module warm)
+    from webvalid.ops.agg import ranksum_test
+
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({
+        "v": np.round(rng.normal(10, 2, 600), 1),  # heavy ties
+        "f": rng.random(600) < 0.3,
+    })
+    df.loc[df.f, "v"] += 1.5  # plant a shift
+    got = ranksum_test(_ds(ray_session, df, blocks=5), "v", "f",
+                       ndigits=None)
+    ranks = pd.Series(df.v).rank(method="average").to_numpy()
+    n1 = int(df.f.sum())
+    n = len(df)
+    n2 = n - n1
+    r1 = ranks[df.f.to_numpy()].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2
+    _, t = np.unique(df.v.to_numpy(), return_counts=True)
+    tie = float((t.astype(np.float64) ** 3 - t).sum())
+    var = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / np.sqrt(var)
+    assert got["u1"].iloc[0] == pytest.approx(u1, rel=1e-12)
+    assert got["z"].iloc[0] == pytest.approx(z, rel=1e-9)
+    assert abs(z) > 3  # the planted shift is detected
+
+
+def test_mutual_information_matches_closed_form(ray_session):
+    from webvalid.ops.agg import mutual_information
+
+    rng = np.random.default_rng(59)
+    # dependent pair: b correlates with a
+    a = rng.choice(["x", "y"], 800)
+    b = np.where(rng.random(800) < 0.8, a, rng.choice(["x", "y"], 800))
+    df = pd.DataFrame({"a": a, "b": np.char.add("b_", b)})
+    got = mutual_information(_ds(ray_session, df, blocks=4), "a", "b",
+                             ndigits=None)
+    p = pd.crosstab(df.a, df.b).to_numpy(np.float64)
+    p = p / p.sum()
+    pa_ = p.sum(1, keepdims=True)
+    pb = p.sum(0, keepdims=True)
+    mi = np.where(p > 0, p * np.log(p / (pa_ * pb)), 0).sum()
+    ha = -(pa_ * np.log(pa_)).sum()
+    hb = -(pb * np.log(pb)).sum()
+    assert got["mi"].iloc[0] == pytest.approx(mi, rel=1e-12)
+    assert got["nmi"].iloc[0] == pytest.approx(mi / np.sqrt(ha * hb),
+                                               rel=1e-12)
+    assert got["mi"].iloc[0] > 0.1  # dependence detected

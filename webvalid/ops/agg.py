@@ -14,6 +14,8 @@ the numeric-pair drift primitive).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -465,3 +467,76 @@ def grouped_harmonic_mean(ds, key: str, val: str, out_col: str = "hmean",
     if ndigits is not None:
         out[out_col] = (out[out_col] + 1e-9).round(ndigits)
     return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
+def ranksum_test(ds, val_col: str, flag_col: str,
+                 ndigits: int | None = 6) -> pd.DataFrame:
+    """Mann-Whitney U (rank-sum) test of the flagged rows' `val_col`
+    distribution vs the rest — the nonparametric numeric-drift
+    primitive. Tie-averaged ranks, tie-corrected normal approximation,
+    no continuity correction (the SQL twin states the identical
+    closed form).
+
+    Two-phase (value, flag) count partials — the usual bounded-domain
+    profile contract — then answer-sized driver rank math: avg rank
+    per distinct value = rows-before + (t+1)/2; U₁ = R₁ − n₁(n₁+1)/2;
+    z = (U₁ − n₁n₂/2) / √(n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))))."""
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "_v": t[val_col].to_numpy(zero_copy_only=False),
+            "_f": t[flag_col].to_numpy(zero_copy_only=False).astype(bool),
+        }).dropna(subset=["_v"])
+        df["_n1"] = df["_f"].astype(np.int64)
+        df["_t"] = 1
+        out = df.groupby("_v", as_index=False, sort=False)[["_n1", "_t"]].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    c = parts.groupby("_v", as_index=False, sort=False)[["_n1", "_t"]].sum() \
+             .sort_values("_v", kind="mergesort")
+    tv = c["_t"].to_numpy(np.float64)
+    n1v = c["_n1"].to_numpy(np.float64)
+    before = np.concatenate([[0.0], np.cumsum(tv)[:-1]])
+    avgrank = before + (tv + 1.0) / 2.0
+    r1 = float((n1v * avgrank).sum())
+    n1 = float(n1v.sum())
+    n = float(tv.sum())
+    n2 = n - n1
+    tie = float((tv * tv * tv - tv).sum())
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    var = n1 * n2 / 12.0 * ((n + 1.0) - tie / (n * (n - 1.0)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else float("nan")
+    out = pd.DataFrame({"u1": [u1], "n1": [int(n1)], "n2": [int(n2)],
+                        "z": [z]})
+    if ndigits is not None:
+        out["u1"] = (out["u1"] + 1e-9).round(ndigits)
+        out["z"] = (out["z"] + 1e-9).round(ndigits)
+    return out
+
+
+def mutual_information(ds, key_a: str, key_b: str,
+                       ndigits: int | None = 6) -> pd.DataFrame:
+    """Mutual information I(A;B) in nats over the (A × B) contingency
+    table, plus the normalized variant I/√(H(A)·H(B)) — the
+    information-theoretic association score next to chi²'s
+    significance. Same two-phase count partials; zero-count cells
+    contribute 0. SQL twin states the identical sum."""
+    comb = _keyval_counts(ds, key_a, key_b)
+    pivot = comb.pivot_table(index=key_a, columns=key_b, values="_c",
+                             fill_value=0, aggfunc="sum")
+    obs = pivot.to_numpy(np.float64)
+    n = obs.sum()
+    p = obs / n
+    pa_ = p.sum(axis=1, keepdims=True)
+    pb = p.sum(axis=0, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        terms = np.where(p > 0, p * np.log(p / (pa_ * pb)), 0.0)
+        mi = float(terms.sum())
+        ha = float(-(pa_[pa_ > 0] * np.log(pa_[pa_ > 0])).sum())
+        hb = float(-(pb[pb > 0] * np.log(pb[pb > 0])).sum())
+    nmi = mi / math.sqrt(ha * hb) if ha > 0 and hb > 0 else float("nan")
+    out = pd.DataFrame({"mi": [mi], "nmi": [nmi]})
+    if ndigits is not None:
+        out["mi"] = (out["mi"] + 1e-9).round(ndigits)
+        out["nmi"] = (out["nmi"] + 1e-9).round(ndigits)
+    return out

@@ -2223,3 +2223,59 @@ def hmean_chars_by_lang(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
     return grouped_harmonic_mean(ds, "lang", "n_chars")
+
+
+def snapshot_diff_documents(sf_dir: str):
+    """Snapshot regression diff (ops/tablediff.snapshot_diff): the NEW
+    side is derived deterministically from documents — doc_id % 97
+    rows removed, doc_id % 101 texts edited, 3 fresh keys appended —
+    and the diff must recover exactly those added/removed/changed
+    sets. Only (key, fingerprint) pairs shuffle."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.tablediff import snapshot_diff
+
+    old_ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    max_id = int(pq.read_table(_t(sf_dir, "documents"),
+                               columns=["doc_id"])["doc_id"].to_numpy().max())
+
+    def mutate(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 97 != 0
+        t = t.filter(pa.array(keep))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        edited = pc.binary_join_element_wise(t["text"], " EDITED", "")
+        text = pc.if_else(pa.array(ids % 101 == 0), edited, t["text"])
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    fresh = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(max_id + 1, max_id + 4, dtype=np.int64),
+        "text": ["new doc"] * 3,
+    }))
+    new_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(mutate, batch_format="pyarrow").union(fresh)
+    return snapshot_diff(old_ds, new_ds, "doc_id", ["text"])
+
+
+def ranksum_error_value_events(sf_dir: str):
+    """Mann-Whitney rank-sum test: do 'error' events draw their value
+    from the same distribution as the rest? (ops/agg.ranksum_test —
+    bounded-domain count partials, tie-corrected z)."""
+    from webvalid.ops.agg import ranksum_test
+
+    def flag(t: pa.Table) -> pa.Table:
+        return t.append_column("is_err",
+                               pc.equal(t["event_type"], "error"))
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]) \
+        .map_batches(flag, batch_format="pyarrow")
+    return ranksum_test(ds, "value", "is_err")
+
+
+def mutual_info_lang_source_documents(sf_dir: str):
+    """Mutual information + normalized MI of (lang, source)
+    (ops/agg.mutual_information — two-phase contingency counts)."""
+    from webvalid.ops.agg import mutual_information
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return mutual_information(ds, "lang", "source")
