@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranksum_error_value_events": q.ranksum_error_value_events,
         # mutual information (categorical association, nats)
         "mutual_info_lang_source_documents": q.mutual_info_lang_source_documents,
+        # storage-partitioned (bucketed-layout) join — no shuffle
+        "storage_join_orders_customer": q.storage_join_orders_customer,
     }
 
 
@@ -1675,5 +1677,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(mi.mi + 1e-9, 6) AS mi,
                    ROUND(mi.mi / SQRT(ha.h * hb.h) + 1e-9, 6) AS nmi
             FROM mi, ha, hb
+        """,
+        "storage_join_orders_customer": """
+            SELECT c.c_mktsegment,
+                   COUNT(o.o_totalprice) AS n_orders,
+                   ROUND(SUM(o.o_totalprice) + 1e-9, 2) AS sum_total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
         """,
     }

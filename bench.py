@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "snapshot_diff_documents",
     "ranksum_error_value_events",
     "mutual_info_lang_source_documents",
+    "storage_join_orders_customer",
 ]
 
 

@@ -642,3 +642,42 @@ def test_mutual_information_matches_closed_form(ray_session):
     assert got["nmi"].iloc[0] == pytest.approx(mi / np.sqrt(ha * hb),
                                                rel=1e-12)
     assert got["mi"].iloc[0] > 0.1  # dependence detected
+
+
+def test_storage_partitioned_join_matches_pandas(ray_session, tmp_path):
+    import ray.data
+
+    from webvalid.ops.joins import storage_partitioned_join, write_bucketed
+
+    rng = np.random.default_rng(61)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 400).astype(np.int64),
+                         "x": rng.normal(0, 1, 400)})
+    right = pd.DataFrame({"k": np.arange(0, 40, dtype=np.int64),
+                          "name": [f"n{i}" for i in range(40)]})
+    write_bucketed(ray.data.from_pandas(left).repartition(4), "k",
+                   str(tmp_path / "l"), 8)
+    write_bucketed(ray.data.from_pandas(right).repartition(2), "k",
+                   str(tmp_path / "r"), 8)
+    got = storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                                   "k").to_pandas() \
+        .sort_values(["k", "x"]).reset_index(drop=True)
+    exp = left.merge(right, on="k").sort_values(["k", "x"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "x", "name"]], exp,
+                                  check_dtype=False)
+
+
+def test_storage_partitioned_join_left_outer(ray_session, tmp_path):
+    import ray.data
+
+    from webvalid.ops.joins import storage_partitioned_join, write_bucketed
+
+    left = pd.DataFrame({"k": np.arange(20, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 6, dtype=np.int64),
+                          "v": np.arange(6, dtype=np.int64)})
+    write_bucketed(ray.data.from_pandas(left), "k", str(tmp_path / "l"), 4)
+    write_bucketed(ray.data.from_pandas(right), "k", str(tmp_path / "r"), 4)
+    got = storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                                   "k", how="left outer").to_pandas()
+    assert len(got) == 20
+    assert got["v"].notna().sum() == 6

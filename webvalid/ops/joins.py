@@ -402,3 +402,62 @@ def broadcast_range_join(left_ds, intervals: pa.Table, ts_col: str,
 
     return left_ds.map_batches(task_callable(_RangeJoin, ref=ref),
                                batch_format="pyarrow")
+
+
+def write_bucketed(ds, key: str, out_dir: str, num_buckets: int):
+    """Materialize a dataset into `out_dir/bucket=<i>/` parquet,
+    bucketed by hash(key) % num_buckets — the storage layout half of
+    the storage-partitioned join. One streaming pass; each task
+    appends only to its rows' bucket directories."""
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    ds.map_batches(tag, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"])
+
+
+@ray.remote
+def _join_bucket(left_files: list, right_files: list, key: str,
+                 how: str, right_schema_file: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    lt = pa.concat_tables([pq.read_table(f) for f in left_files])
+    rt = (pa.concat_tables([pq.read_table(f) for f in right_files])
+          if right_files
+          else pq.read_schema(right_schema_file).empty_table())
+    out = lt.join(rt, keys=key, join_type=how)
+    return out.drop_columns([c for c in ("bucket",) if c in out.column_names])
+
+
+def storage_partitioned_join(left_dir: str, right_dir: str, key: str,
+                             how: str = "inner"):
+    """Join two `write_bucketed` layouts bucket-by-bucket with NO
+    shuffle: co-located buckets ship straight from storage into one
+    Arrow hash join task each — the classic bucketed-table join that
+    turns a repeated 100-TB exchange into a one-time layout cost.
+    Buckets missing on either side contribute nothing for inner joins
+    (and left rows join nothing for left outer). Returns a Dataset
+    over the per-bucket join outputs."""
+    import glob
+    import os
+
+    import ray.data
+
+    def buckets(d: str) -> dict[int, list]:
+        out: dict[int, list] = {}
+        for p in glob.glob(os.path.join(d, "bucket=*")):
+            out[int(os.path.basename(p).split("=")[1])] = sorted(
+                glob.glob(os.path.join(p, "*.parquet")))
+        return out
+
+    lb, rb = buckets(left_dir), buckets(right_dir)
+    if not rb:
+        raise ValueError("right layout has no populated buckets")
+    schema_file = next(iter(rb.values()))[0]
+    ids = sorted(set(lb) & set(rb)) if how == "inner" else sorted(lb)
+    refs = [_join_bucket.remote(lb[i], rb.get(i, []), key, how, schema_file)
+            for i in ids if lb.get(i)]
+    if not refs:
+        raise ValueError("no populated buckets to join")
+    return ray.data.from_arrow_refs(refs)

@@ -2279,3 +2279,38 @@ def mutual_info_lang_source_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["lang", "source"])
     return mutual_information(ds, "lang", "source")
+
+
+def storage_join_orders_customer(sf_dir: str):
+    """Storage-partitioned join (ops/joins.write_bucketed +
+    storage_partitioned_join): both sides laid out as
+    bucket=hash(key)%16 parquet once, then joined bucket-by-bucket
+    with NO shuffle — the bucketed-table join that amortizes a
+    repeated all-to-all into a one-time layout cost. Aggregated per
+    market segment."""
+    import shutil
+    import tempfile
+
+    from webvalid.ops.joins import storage_partitioned_join, write_bucketed
+
+    base = tempfile.mkdtemp(prefix="wv_spj_")
+    try:
+        orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["o_custkey", "c_mktsegment"])
+
+        write_bucketed(orders, "o_custkey", f"{base}/orders", 16)
+        write_bucketed(cust.map_batches(rename, batch_format="pyarrow"),
+                       "o_custkey", f"{base}/customer", 16)
+        joined = storage_partitioned_join(f"{base}/orders",
+                                          f"{base}/customer", "o_custkey")
+        out = twophase_agg(joined, ["c_mktsegment"],
+                           {"n_orders": ("o_totalprice", "count"),
+                            "sum_total": ("o_totalprice", "sum")})
+        out["sum_total"] = (out["sum_total"] + 1e-9).round(2)
+        return out.sort_values("c_mktsegment", kind="mergesort") \
+                  .reset_index(drop=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
