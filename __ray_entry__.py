@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info_lang_source_documents": q.mutual_info_lang_source_documents,
         # storage-partitioned (bucketed-layout) join — no shuffle
         "storage_join_orders_customer": q.storage_join_orders_customer,
+        # REAL WAV decode through the actor pool (rows-only)
+        "audio_features_documents": q.audio_features_documents,
     }
 
 

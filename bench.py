@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "ranksum_error_value_events",
     "mutual_info_lang_source_documents",
     "storage_join_orders_customer",
+    "audio_features_documents",
 ]
 
 

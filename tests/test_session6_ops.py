@@ -681,3 +681,14 @@ def test_storage_partitioned_join_left_outer(ray_session, tmp_path):
                                    "k", how="left outer").to_pandas()
     assert len(got) == 20
     assert got["v"].notna().sum() == 6
+
+
+def test_audio_features_gate_exact_metadata(ray_session):
+    from webvalid.queries import audio_features_documents
+
+    out = audio_features_documents("/root/testdata/sf0.001")
+    assert (out["sample_rate"] == 8000).all()
+    assert (out["n_channels"] == 1).all()
+    assert (out["duration_sec"] == 0.25).all()
+    # 0.4-amplitude sine → RMS ≈ 0.4/√2 ≈ 0.2828 for every doc
+    assert out["rms"].between(0.27, 0.29).all()

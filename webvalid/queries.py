@@ -2314,3 +2314,43 @@ def storage_join_orders_customer(sf_dir: str):
                   .reset_index(drop=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def audio_features_documents(sf_dir: str):
+    """REAL audio decode through the actor pool
+    (ops/multimodal.AudioFeatures): a deterministic PCM WAV payload is
+    synthesized per document (sine at 100 + doc_id % 200 Hz, 0.25 s
+    @ 8 kHz) inside map_batches, then decoded back by the actor-pool
+    stage — rate/duration exact, RMS/ZCR rounded. Rows-only gate (no
+    SQL audio codec); the plumbing contract (binary column, byte-aware
+    batches, null marker) is the point."""
+    import struct
+
+    from webvalid.ops.multimodal import audio_features
+
+    RATE, N = 8_000, 2_000
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        ts = np.arange(N, dtype=np.float64) / RATE
+        fmt = struct.pack("<HHIIHH", 1, 1, RATE, RATE * 2, 2, 16)
+        for d in ids:
+            freq = 100.0 + float(d % 200)
+            data = (0.4 * np.sin(2 * np.pi * freq * ts) * 32767) \
+                .astype(np.int16).tobytes()
+            payloads.append(
+                b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return pa.table({"doc_id": t["doc_id"],
+                         "audio": pa.array(payloads, pa.binary())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = audio_features(ds, payload_col="audio", id_col="doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["rms"] = out["rms"].round(4)
+    out["zcr"] = out["zcr"].round(4)
+    return out[["doc_id", "sample_rate", "n_channels", "duration_sec",
+                "rms", "zcr"]]
