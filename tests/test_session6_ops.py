@@ -692,3 +692,19 @@ def test_audio_features_gate_exact_metadata(ray_session):
     assert (out["duration_sec"] == 0.25).all()
     # 0.4-amplitude sine → RMS ≈ 0.4/√2 ≈ 0.2828 for every doc
     assert out["rms"].between(0.27, 0.29).all()
+
+
+def test_kth_smallest_multi_matches_single(ray_session):
+    from webvalid.ops.selection import kth_smallest, kth_smallest_multi
+
+    rng = np.random.default_rng(67)
+    df = pd.DataFrame({"x": rng.normal(100, 25, 5_000)})
+    df.loc[rng.choice(5_000, 50, replace=False), "x"] = np.nan
+    ds = _ds(ray_session, df, blocks=6)
+    ks = [1, 7, 250, 2475, 2476, 4900, 4950]
+    multi = kth_smallest_multi(ds, "x", ks, collect_limit=256)
+    srt = np.sort(df["x"].dropna().to_numpy())
+    for k, v in zip(ks, multi):
+        assert v == srt[k - 1]
+    # parity with the single-rank path on one of them
+    assert multi[2] == kth_smallest(ds, "x", 250, collect_limit=256)

@@ -112,11 +112,9 @@ def exact_quantile_disc(ds, col: str, qs: list[float],
         lambda t: pa.table({"n": pa.array(
             [len(t[col]) - t[col].null_count], pa.int64())}),
         batch_format="pyarrow").to_pandas()["n"].sum())
-    rows = []
-    for q in qs:
-        k = int(math.floor(q * (n - 1))) + 1
-        rows.append({"q": q, "value": kth_smallest(ds, col, k, **kwargs)})
-    return pd.DataFrame(rows)
+    ks = [int(math.floor(q * (n - 1))) + 1 for q in qs]
+    vals = kth_smallest_multi(ds, col, ks, **kwargs)
+    return pd.DataFrame({"q": qs, "value": vals})
 
 
 def exact_quantile_cont(ds, col: str, qs: list[float],
@@ -132,13 +130,127 @@ def exact_quantile_cont(ds, col: str, qs: list[float],
         lambda t: pa.table({"n": pa.array(
             [len(t[col]) - t[col].null_count], pa.int64())}),
         batch_format="pyarrow").to_pandas()["n"].sum())
-    rows = []
+    ks: list[int] = []
+    spec = []  # (k_lo index into ks, k_hi index or None, frac)
     for q in qs:
         h = q * (n - 1)
         lo = int(math.floor(h))
         frac = h - lo
-        v_lo = kth_smallest(ds, col, lo + 1, **kwargs)
-        v = v_lo if frac == 0.0 else \
-            v_lo + frac * (kth_smallest(ds, col, lo + 2, **kwargs) - v_lo)
+        i_lo = len(ks)
+        ks.append(lo + 1)
+        if frac == 0.0:
+            spec.append((i_lo, None, 0.0))
+        else:
+            ks.append(lo + 2)
+            spec.append((i_lo, i_lo + 1, frac))
+    vals = kth_smallest_multi(ds, col, ks, **kwargs)
+    rows = []
+    for q, (i_lo, i_hi, frac) in zip(qs, spec):
+        v = vals[i_lo] if i_hi is None else \
+            vals[i_lo] + frac * (vals[i_hi] - vals[i_lo])
         rows.append({"q": q, "value": round(v, ndigits) if ndigits else v})
     return pd.DataFrame(rows)
+
+
+def kth_smallest_multi(ds, col: str, ks: list[int], bins: int = 2048,
+                       collect_limit: int = 65536,
+                       max_rounds: int = 12) -> list[float]:
+    """Exact k-th smallest for SEVERAL ranks in shared passes: every
+    bisection round is ONE `map_batches` pass that histograms all the
+    distinct surviving ranges at once (ranks start from the same
+    global range, so early rounds cost exactly one histogram), and the
+    exact finish is one pass collecting every final range. A caller
+    needing Q interpolated quantiles pays O(rounds + 1) passes instead
+    of O(2·Q·rounds) individual `kth_smallest` calls."""
+    stats = ds.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([len(t[col]) - t[col].null_count], pa.int64()),
+            "lo": pa.array([pc.min(t[col]).as_py()], pa.float64()),
+            "hi": pa.array([pc.max(t[col]).as_py()], pa.float64()),
+        }),
+        batch_format="pyarrow").to_pandas()
+    n = int(stats["n"].sum())
+    for k in ks:
+        if not (1 <= k <= n):
+            raise ValueError(f"k={k} out of range for {n} non-null rows")
+    lo0, hi0 = float(stats["lo"].min()), float(stats["hi"].max())
+    state = [{"lo": lo0, "hi": hi0, "rem": n} for _ in ks]
+
+    def _hist_pass(intervals: list[tuple[float, float]]) -> list:
+        def partial(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False)
+            v = v[~np.isnan(v)]
+            rows_b, rows_c = [], []
+            for (ilo, ihi) in intervals:
+                width = ihi - ilo
+                rows_b.append(int((v < ilo).sum()))
+                inr = v[(v >= ilo) & (v <= ihi)]
+                if width > 0:
+                    b = np.clip(((inr - ilo) / width * bins).astype(np.int64),
+                                0, bins - 1)
+                    rows_c.append(np.bincount(b, minlength=bins).tolist())
+                else:
+                    c = np.zeros(bins, dtype=np.int64)
+                    c[0] = len(inr)
+                    rows_c.append(c.tolist())
+            return pa.table({"iv": pa.array(range(len(intervals)), pa.int64()),
+                             "below": pa.array(rows_b, pa.int64()),
+                             "counts": pa.array(rows_c,
+                                                pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = []
+        for iv in range(len(intervals)):
+            sub = parts[parts["iv"] == iv]
+            below = int(sub["below"].sum())
+            counts = np.sum(np.stack(sub["counts"].to_numpy()), axis=0)
+            out.append((below, counts))
+        return out
+
+    for _ in range(max_rounds):
+        active = [i for i, s in enumerate(state)
+                  if s["lo"] != s["hi"] and s["rem"] > collect_limit]
+        if not active:
+            break
+        dedup: dict[tuple[float, float], list[int]] = {}
+        for i in active:
+            dedup.setdefault((state[i]["lo"], state[i]["hi"]), []).append(i)
+        intervals = list(dedup.keys())
+        hists = _hist_pass(intervals)
+        for (ilo, ihi), (below, counts) in zip(intervals, hists):
+            cum = np.cumsum(counts)
+            width = (ihi - ilo) / bins
+            eps = width * 1e-9
+            for i in dedup[(ilo, ihi)]:
+                b = int(np.searchsorted(cum, ks[i] - below))
+                state[i]["rem"] = int(counts[b])
+                state[i]["lo"] = max(ilo, ilo + b * width - eps)
+                state[i]["hi"] = (ilo + (b + 1) * width + eps
+                                  if b < bins - 1 else ihi)
+
+    # one exact finish pass over the union of distinct final ranges
+    dedup2: dict[tuple[float, float], list[int]] = {}
+    for i, s in enumerate(state):
+        dedup2.setdefault((s["lo"], s["hi"]), []).append(i)
+    finals = list(dedup2.keys())
+
+    def final(t: pa.Table) -> pa.Table:
+        v = pc.drop_null(t[col]).to_numpy(zero_copy_only=False)
+        rows_b, rows_v = [], []
+        for (flo, fhi) in finals:
+            rows_b.append(int((v < flo).sum()))
+            rows_v.append(v[(v >= flo) & (v <= fhi)].tolist())
+        return pa.table({"iv": pa.array(range(len(finals)), pa.int64()),
+                         "below": pa.array(rows_b, pa.int64()),
+                         "vals": pa.array(rows_v, pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    answers: list[float] = [math.nan] * len(ks)
+    for iv, (flo, fhi) in enumerate(finals):
+        sub = parts[parts["iv"] == iv]
+        below = int(sub["below"].sum())
+        vals = np.concatenate(sub["vals"].to_numpy())
+        vals.sort(kind="mergesort")
+        for i in dedup2[(flo, fhi)]:
+            answers[i] = float(vals[ks[i] - below - 1])
+    return answers
