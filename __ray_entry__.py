@@ -288,6 +288,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "storage_join_orders_customer": q.storage_join_orders_customer,
         # REAL WAV decode through the actor pool (rows-only)
         "audio_features_documents": q.audio_features_documents,
+        # HLL audience overlap via inclusion-exclusion (rows-only)
+        "overlap_users_click_purchase": q.overlap_users_click_purchase,
+        # zlib compression-ratio quality signal (rows-only)
+        "compression_ratio_documents": q.compression_ratio_documents,
     }
 
 

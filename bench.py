@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "mutual_info_lang_source_documents",
     "storage_join_orders_customer",
     "audio_features_documents",
+    "overlap_users_click_purchase",
+    "compression_ratio_documents",
 ]
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -708,3 +709,43 @@ def test_kth_smallest_multi_matches_single(ray_session):
         assert v == srt[k - 1]
     # parity with the single-rank path on one of them
     assert multi[2] == kth_smallest(ds, "x", 250, collect_limit=256)
+
+
+def test_hll_overlap_inclusion_exclusion(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webvalid.queries import overlap_users_click_purchase
+
+    rng = np.random.default_rng(71)
+    # 3000 click-only users, 2000 purchase-only, 1000 doing both
+    uid = np.concatenate([np.arange(0, 3000), np.arange(5000, 7000),
+                          np.arange(9000, 10000), np.arange(9000, 10000)])
+    et = np.array(["click"] * 3000 + ["purchase"] * 2000
+                  + ["click"] * 1000 + ["purchase"] * 1000)
+    order = rng.permutation(len(uid))
+    pq.write_table(pa.table({"user_id": pa.array(uid[order], pa.int64()),
+                             "event_type": pa.array(et[order])}),
+                   str(tmp_path / "events.parquet"))
+    out = overlap_users_click_purchase(str(tmp_path))
+    assert out["n_click_est"].iloc[0] == pytest.approx(4000, rel=0.03)
+    assert out["n_purchase_est"].iloc[0] == pytest.approx(3000, rel=0.03)
+    assert out["n_union_est"].iloc[0] == pytest.approx(6000, rel=0.03)
+    assert out["n_overlap_est"].iloc[0] == pytest.approx(1000, rel=0.15)
+
+
+def test_compression_ratio_detects_repetition(ray_session):
+    import zlib
+
+    from webvalid.ops.textstats import compression_ratio_batch
+
+    rng = np.random.default_rng(73)
+    rand = " ".join(rng.choice([f"w{i}" for i in range(5000)], 400))
+    rep = "spam ham " * 200
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": [rand, rep, None]})
+    out = compression_ratio_batch(t).to_pandas()
+    # exact pinning against direct zlib
+    assert out.loc[0, "compressed_bytes"] == len(zlib.compress(rand.encode(), 6))
+    assert out.loc[1, "compression_ratio"] < 0.1 < out.loc[0, "compression_ratio"]
+    assert np.isnan(out.loc[2, "compression_ratio"])
+    assert out.loc[2, "raw_bytes"] == 0

@@ -319,3 +319,31 @@ def repetition_filter(ds, text_col: str = "text",
         return batch.filter(pa.array(ok_mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def compression_ratio_batch(t: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    classic repetitive-boilerplate signal (highly repetitive docs
+    compress far below ~0.4; random text sits near 0.7+). Null/empty
+    texts yield a null ratio. Deterministic (fixed zlib level), so
+    tests pin exact values; rows-only gate (no SQL codec)."""
+    import zlib
+
+    texts = t[text_col].to_pylist()
+    raw = np.zeros(len(texts), np.int64)
+    comp = np.zeros(len(texts), np.int64)
+    for i, s in enumerate(texts):
+        if s:
+            b = s.encode()
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), np.nan)
+    return pa.table({
+        id_col: t[id_col],
+        "raw_bytes": pa.array(raw, pa.int64()),
+        "compressed_bytes": pa.array(comp, pa.int64()),
+        "compression_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+    })

@@ -2354,3 +2354,55 @@ def audio_features_documents(sf_dir: str):
     out["zcr"] = out["zcr"].round(4)
     return out[["doc_id", "sample_rate", "n_channels", "duration_sec",
                 "rms", "zcr"]]
+
+
+def overlap_users_click_purchase(sf_dir: str, p: int = 14):
+    """HLL audience overlap: distinct users who click, who purchase,
+    and the inclusion–exclusion estimate of the intersection
+    (|A| + |B| − |A∪B|) from three mergeable sketches built in ONE
+    pass — the sketch path for set overlap when exact
+    COUNT(DISTINCT) can't be co-located. Rows-only gate
+    (estimates); the pytest pins tolerance vs exact."""
+    import pickle as _pickle
+
+    from webvalid.sketches import HyperLogLog
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sks = []
+        for mask in (et == "click", et == "purchase",
+                     (et == "click") | (et == "purchase")):
+            h = HyperLogLog(p)
+            h.add(uid[mask])
+            sks.append(_pickle.dumps(h))
+        return pa.table({"which": pa.array([0, 1, 2], pa.int64()),
+                         "sk": pa.array(sks, pa.binary())})
+
+    parts = _read(sf_dir, "events", columns=["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = []
+    for w in (0, 1, 2):
+        blobs = parts.loc[parts["which"] == w, "sk"].tolist()
+        acc = _pickle.loads(blobs[0])
+        for b in blobs[1:]:
+            acc.merge(_pickle.loads(b))
+        merged.append(acc.estimate())
+    a, b, u = merged
+    return pd.DataFrame({
+        "n_click_est": [round(a, 1)], "n_purchase_est": [round(b, 1)],
+        "n_union_est": [round(u, 1)],
+        "n_overlap_est": [round(a + b - u, 1)],
+    })
+
+
+def compression_ratio_documents(sf_dir: str):
+    """Per-doc zlib compression ratio (ops/textstats.
+    compression_ratio_batch) — rows-only gate (no SQL codec);
+    deterministic at fixed zlib level."""
+    from webvalid.ops.textstats import compression_ratio_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(compression_ratio_batch, batch_format="pyarrow")
+    return ds.to_pandas().sort_values("doc_id", kind="mergesort") \
+        .reset_index(drop=True)
