@@ -45,7 +45,9 @@ def _init_centroids(ds, vec_col: str, id_col: str, k: int) -> np.ndarray:
 def _assign_partials(cent_ref, vec_col: str):
     def partial(t: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
-        x = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        from webvalid.ops.similarity import vecs_from_list_column
+
+        x = vecs_from_list_column(t[vec_col])
         kk = cent.shape[0]
         if len(x) == 0:
             z = np.zeros(kk)

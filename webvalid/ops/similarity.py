@@ -25,6 +25,32 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def vecs_from_list_column(col) -> np.ndarray:
+    """Zero-copy (n, d) float64 matrix from an Arrow list<float>
+    column: one list_flatten + reshape instead of a Python list per
+    row (to_pylist costs ~20x on wide embedding batches). Requires
+    non-null, equal-length lists (asserted)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray tensor-extension columns (from_pandas of ndarray cells)
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object:
+            arr = np.stack(arr)
+        return arr.astype(np.float64, copy=False)
+    lens = pc.list_value_length(col)
+    if col.null_count or pc.min(lens).as_py() != pc.max(lens).as_py():
+        raise ValueError("embedding column must be non-null fixed-length lists")
+    d = int(lens[0].as_py())
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64, copy=False).reshape(n, d)
+
+
 class BruteForceScorer:
     """map_batches callable: cosine of batch vectors vs broadcast queries,
     emitting each batch's local top-k rows per query."""
@@ -39,8 +65,8 @@ class BruteForceScorer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(vecs_from_list_column(batch[self.vec_col]))
         sims = self.queries @ vecs.T  # (n_queries, n_batch)
         k = min(self.k, sims.shape[1])
         top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
@@ -129,8 +155,8 @@ class IVFScorer:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        vecs = _normalize(np.array(batch[self.vec_col].to_pylist(), dtype=np.float64))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(vecs_from_list_column(batch[self.vec_col]))
         assign = np.argmax(vecs @ self.centroids.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(self.query_ids)):
