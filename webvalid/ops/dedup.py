@@ -60,9 +60,34 @@ def md5_hex(texts: list) -> list:
     return [None if t is None else hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
+def md5_hex_from_column(col) -> list:
+    """md5 hex per row straight off the Arrow string buffers
+    (memoryview slices — no Python string is ever materialized;
+    identical to md5(row.encode()) since Arrow strings ARE UTF-8).
+    Same trick as `checks/text_parity._md5_digest8_per_row`, full
+    digest instead of an 8-byte prefix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return []
+    import numpy as _np
+
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    dt = _np.int64 if pa.types.is_large_string(col.type) else _np.int32
+    bufs = col.buffers()
+    offs = _np.frombuffer(bufs[1], dtype=dt, count=n + 1,
+                          offset=col.offset * dt().itemsize).tolist()
+    mv = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    _md5 = hashlib.md5
+    return [_md5(mv[offs[i]:offs[i + 1]]).hexdigest() if valid[i] else None
+            for i in range(n)]
+
+
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "text_md5") -> pa.Table:
-    return batch.append_column(out_col, pa.array(md5_hex(batch[text_col].to_pylist()), pa.string()))
+    return batch.append_column(
+        out_col, pa.array(md5_hex_from_column(batch[text_col]), pa.string()))
 
 
 def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
