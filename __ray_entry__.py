@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overlap_users_click_purchase": q.overlap_users_click_purchase,
         # zlib compression-ratio quality signal (rows-only)
         "compression_ratio_documents": q.compression_ratio_documents,
+        # declarative expectation suite (config-driven checks)
+        "expectations_lineitem": q.expectations_lineitem,
     }
 
 
@@ -1690,5 +1692,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice) + 1e-9, 2) AS sum_total
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "expectations_lineitem": """
+            WITH rows_ AS (
+                SELECT 'null_frac_le' AS expectation,
+                       'l_discount' AS "column",
+                       ROUND(CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE)
+                             / COUNT(*) + 1e-9, 6) AS metric,
+                       0.5 AS threshold,
+                       (CAST(COUNT(*) - COUNT(l_discount) AS DOUBLE)
+                        / COUNT(*)) <= 0.5 AS pass
+                FROM lineitem
+                UNION ALL
+                SELECT 'min_ge', 'l_extendedprice',
+                       ROUND(MIN(l_extendedprice) + 1e-9, 6), 0.0,
+                       MIN(l_extendedprice) >= 0.0
+                FROM lineitem
+                UNION ALL
+                SELECT 'max_le', 'l_quantity',
+                       ROUND(MAX(l_quantity) + 1e-9, 6), 100.0,
+                       MAX(l_quantity) <= 100.0
+                FROM lineitem
+                UNION ALL
+                SELECT 'mean_between', 'l_extendedprice',
+                       ROUND(AVG(l_extendedprice) + 1e-9, 6), 1e6,
+                       AVG(l_extendedprice) BETWEEN 1.0 AND 1e6
+                FROM lineitem
+                UNION ALL
+                SELECT 'in_set', 'l_returnflag',
+                       ROUND(SUM(CASE WHEN l_returnflag IS NOT NULL
+                                       AND l_returnflag NOT IN ('A','N','R')
+                                      THEN 1 ELSE 0 END) + 1e-9, 6), 0.0,
+                       SUM(CASE WHEN l_returnflag IS NOT NULL
+                                 AND l_returnflag NOT IN ('A','N','R')
+                                THEN 1 ELSE 0 END) = 0
+                FROM lineitem
+                UNION ALL
+                SELECT 'match_frac_ge', 'l_returnflag',
+                       ROUND(CAST(SUM(CASE WHEN regexp_matches(
+                                       l_returnflag, '^[ANR]$')
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                             / COUNT(l_returnflag) + 1e-9, 6), 0.99,
+                       CAST(SUM(CASE WHEN regexp_matches(
+                                    l_returnflag, '^[ANR]$')
+                                THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(l_returnflag) >= 0.99
+                FROM lineitem
+            )
+            SELECT * FROM rows_ ORDER BY expectation, "column"
         """,
     }

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "audio_features_documents",
     "overlap_users_click_purchase",
     "compression_ratio_documents",
+    "expectations_lineitem",
 ]
 
 

@@ -749,3 +749,36 @@ def test_compression_ratio_detects_repetition(ray_session):
     assert out.loc[1, "compression_ratio"] < 0.1 < out.loc[0, "compression_ratio"]
     assert np.isnan(out.loc[2, "compression_ratio"])
     assert out.loc[2, "raw_bytes"] == 0
+
+
+def test_run_expectations_kinds_and_failures(ray_session):
+    from webvalid.checks.expectations import run_expectations
+
+    df = pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, np.nan, 100.0],
+        "s": ["a", "b", "a", "zz", None],
+    })
+    out = run_expectations(_ds(ray_session, df, blocks=2), [
+        {"kind": "null_frac_le", "column": "x", "value": 0.1},   # fails: 0.2
+        {"kind": "min_ge", "column": "x", "value": 0.0},         # passes
+        {"kind": "max_le", "column": "x", "value": 50.0},        # fails: 100
+        {"kind": "mean_between", "column": "x", "value": [0, 30]},  # 26.5 ok
+        {"kind": "in_set", "column": "s", "value": ["a", "b"]},  # fails: zz
+        {"kind": "match_frac_ge", "column": "s", "pattern": "^[ab]$",
+         "value": 0.9},                                          # fails: 3/4
+    ])
+    got = dict(zip(out["expectation"], out["pass"]))
+    assert got == {"null_frac_le": False, "min_ge": True, "max_le": False,
+                   "mean_between": True, "in_set": False,
+                   "match_frac_ge": False}
+    m = dict(zip(out["expectation"], out["metric"]))
+    assert m["null_frac_le"] == pytest.approx(0.2)
+    assert m["in_set"] == 1.0
+    assert m["match_frac_ge"] == pytest.approx(0.75)
+
+
+def test_run_expectations_rejects_unknown_kind(ray_session):
+    from webvalid.checks.expectations import run_expectations
+
+    with pytest.raises(ValueError, match="unknown expectation"):
+        run_expectations(None, [{"kind": "nope", "column": "x"}])

@@ -2406,3 +2406,27 @@ def compression_ratio_documents(sf_dir: str):
         .map_batches(compression_ratio_batch, batch_format="pyarrow")
     return ds.to_pandas().sort_values("doc_id", kind="mergesort") \
         .reset_index(drop=True)
+
+
+def expectations_lineitem(sf_dir: str):
+    """Declarative expectation suite over lineitem
+    (checks/expectations.run_expectations — six kinds, ONE streaming
+    pass for all metrics)."""
+    from webvalid.checks.expectations import run_expectations
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_extendedprice", "l_quantity",
+                        "l_returnflag"])
+    out = run_expectations(ds, [
+        {"kind": "null_frac_le", "column": "l_discount", "value": 0.5},
+        {"kind": "min_ge", "column": "l_extendedprice", "value": 0.0},
+        {"kind": "max_le", "column": "l_quantity", "value": 100.0},
+        {"kind": "mean_between", "column": "l_extendedprice",
+         "value": [1.0, 1e6]},
+        {"kind": "in_set", "column": "l_returnflag",
+         "value": ["A", "N", "R"]},
+        {"kind": "match_frac_ge", "column": "l_returnflag",
+         "pattern": "^[ANR]$", "value": 0.99},
+    ])
+    return out.sort_values(["expectation", "column"],
+                           kind="mergesort").reset_index(drop=True)
