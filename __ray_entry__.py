@@ -294,6 +294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio_documents": q.compression_ratio_documents,
         # declarative expectation suite (config-driven checks)
         "expectations_lineitem": q.expectations_lineitem,
+        # rolling z-score anomaly scan on the hourly series
+        "anomalous_hours_events": q.anomalous_hours_events,
     }
 
 
@@ -1740,5 +1742,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM lineitem
             )
             SELECT * FROM rows_ ORDER BY expectation, "column"
+        """,
+        "anomalous_hours_events": """
+            WITH h AS (
+                SELECT epoch_us(ts) // 3600000000 AS hb, COUNT(*) AS c
+                FROM events GROUP BY hb
+            ),
+            grid AS (
+                SELECT unnest(generate_series((SELECT MIN(hb) FROM h),
+                                              (SELECT MAX(hb) FROM h))) AS hb
+            ),
+            f AS (
+                SELECT g.hb, COALESCE(h.c, 0) AS cnt
+                FROM grid g LEFT JOIN h USING (hb)
+            ),
+            w AS (
+                SELECT hb, cnt,
+                       AVG(cnt) OVER (ORDER BY hb
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS m,
+                       STDDEV_SAMP(cnt) OVER (ORDER BY hb
+                           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s
+                FROM f
+            )
+            SELECT hb * 3600000000 AS window_start, cnt,
+                   ROUND((cnt - m) / NULLIF(s, 0) + 1e-9, 6) AS zscore,
+                   COALESCE(ABS((cnt - m) / NULLIF(s, 0)) > 3, FALSE)
+                       AS is_anomaly
+            FROM w ORDER BY window_start
         """,
     }

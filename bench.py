@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "overlap_users_click_purchase",
     "compression_ratio_documents",
     "expectations_lineitem",
+    "anomalous_hours_events",
 ]
 
 

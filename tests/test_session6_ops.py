@@ -782,3 +782,26 @@ def test_run_expectations_rejects_unknown_kind(ray_session):
 
     with pytest.raises(ValueError, match="unknown expectation"):
         run_expectations(None, [{"kind": "nope", "column": "x"}])
+
+
+def test_anomalous_hours_flags_planted_spike(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webvalid.queries import anomalous_hours_events
+
+    rng = np.random.default_rng(79)
+    base = pd.Timestamp("2024-01-01").value // 1000
+    HOUR = 3_600_000_000
+    # steady ~50 events/hour for 72 hours, then a 20x spike in hour 60
+    ts = []
+    for h in range(72):
+        n = 1000 if h == 60 else rng.integers(45, 55)
+        ts.extend(base + h * HOUR + rng.integers(0, HOUR, n))
+    pq.write_table(pa.table({"ts": pa.array(np.array(ts, np.int64),
+                                            pa.timestamp("us"))}),
+                   str(tmp_path / "events.parquet"))
+    out = anomalous_hours_events(str(tmp_path))
+    spike = out[out["window_start"] == base + 60 * HOUR]
+    assert bool(spike["is_anomaly"].iloc[0])
+    assert float(spike["zscore"].iloc[0]) > 10
+    assert out["is_anomaly"].sum() <= 3  # quiet hours stay quiet

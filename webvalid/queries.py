@@ -2430,3 +2430,31 @@ def expectations_lineitem(sf_dir: str):
     ])
     return out.sort_values(["expectation", "column"],
                            kind="mergesort").reset_index(drop=True)
+
+
+def anomalous_hours_events(sf_dir: str, window: int = 24):
+    """Rolling z-score anomaly scan over the gap-filled hourly event
+    series: each hour scored against the mean/σ (sample) of its
+    trailing `window` hours (current hour excluded). The hourly series
+    is answer-sized (densify_hourly partials), so the scoring is
+    driver math; SQL twin uses the identical ROWS frame."""
+    from webvalid.ops.windows import densify_hourly
+
+    def add_us(t: pa.Table) -> pa.Table:
+        return t.append_column("ts_us", pc.cast(t["ts"], pa.int64()))
+
+    ds = _read(sf_dir, "events", columns=["ts"]) \
+        .map_batches(add_us, batch_format="pyarrow")
+    hourly = densify_hourly(ds)
+    prev = hourly["cnt"].shift(1)
+    roll = prev.rolling(window, min_periods=1)
+    mean, std = roll.mean(), roll.std(ddof=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (hourly["cnt"] - mean) / std.replace(0.0, np.nan)
+    out = pd.DataFrame({
+        "window_start": hourly["window_start"],
+        "cnt": hourly["cnt"].astype("int64"),
+        "zscore": (z + 1e-9).round(6),
+        "is_anomaly": (z.abs() > 3).fillna(False),
+    })
+    return out.reset_index(drop=True)
