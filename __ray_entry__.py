@@ -296,6 +296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations_lineitem": q.expectations_lineitem,
         # rolling z-score anomaly scan on the hourly series
         "anomalous_hours_events": q.anomalous_hours_events,
+        # distributed full-batch logistic regression (rows-only)
+        "logreg_error_events": q.logreg_error_events,
     }
 
 

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "compression_ratio_documents",
     "expectations_lineitem",
     "anomalous_hours_events",
+    "logreg_error_events",
 ]
 
 

@@ -805,3 +805,31 @@ def test_anomalous_hours_flags_planted_spike(ray_session, tmp_path):
     assert bool(spike["is_anomaly"].iloc[0])
     assert float(spike["zscore"].iloc[0]) > 10
     assert out["is_anomaly"].sum() <= 3  # quiet hours stay quiet
+
+
+def test_logreg_fit_matches_local_gd_and_separates(ray_session):
+    from webvalid.ops.sgd import logreg_fit
+
+    rng = np.random.default_rng(83)
+    n = 2000
+    x1 = rng.normal(0, 1, n)
+    x2 = rng.normal(0, 1, n)
+    # separable-ish: label depends on x1 strongly
+    y = (x1 + 0.2 * rng.normal(0, 1, n) > 0).astype(np.float64)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    w, b, hist = logreg_fit(_ds(ray_session, df, blocks=5),
+                            ["x1", "x2"], "y", iters=25, lr=0.5)
+    # local replica of the SAME algorithm (standardize, full-batch GD)
+    m = np.array([x1.mean(), x2.mean()])
+    s = np.array([x1.std(), x2.std()])
+    X = (np.stack([x1, x2], 1) - m) / s
+    ww = np.zeros(2); bb = 0.0
+    for _ in range(25):
+        p = 1 / (1 + np.exp(-(X @ ww + bb)))
+        err = p - y
+        ww = ww - 0.5 * (X * err[:, None]).mean(axis=0)
+        bb = bb - 0.5 * err.mean()
+    np.testing.assert_allclose(w, ww, rtol=1e-9)
+    assert b == pytest.approx(bb, rel=1e-9)
+    assert w[0] > 5 * abs(w[1])  # x1 dominates
+    assert hist["log_loss"].iloc[-1] < hist["log_loss"].iloc[0]

@@ -2458,3 +2458,32 @@ def anomalous_hours_events(sf_dir: str, window: int = 24):
         "is_anomaly": (z.abs() > 3).fillna(False),
     })
     return out.reset_index(drop=True)
+
+
+def logreg_error_events(sf_dir: str, iters: int = 15):
+    """Distributed full-batch logistic regression (ops/sgd.logreg_fit):
+    P(event_type == 'error') from (value, hour-of-day) — one exact
+    gradient pass per iteration, O(d) mergeable partials. Rows-only
+    gate (iterative, not SQL-expressible); deterministic on any
+    partition layout, coefficients rounded."""
+    from webvalid.ops.sgd import logreg_fit
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = pa.array((us % 86_400_000_000) // 3_600_000_000,
+                        pa.int64()).cast(pa.float64())
+        return pa.table({
+            "value": t["value"],
+            "hour": hour,
+            "is_err": pc.cast(pc.equal(t["event_type"], "error"),
+                              pa.float64()),
+        })
+
+    ds = _read(sf_dir, "events", columns=["ts", "value", "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow")
+    w, b, hist = logreg_fit(ds, ["value", "hour"], "is_err", iters=iters)
+    return pd.DataFrame({
+        "feature": ["value", "hour", "_intercept"],
+        "coef": np.round(np.append(w, b) + 1e-9, 6),
+        "final_log_loss": round(float(hist["log_loss"].iloc[-1]), 6),
+    })
