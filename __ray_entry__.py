@@ -1546,7 +1546,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, event_id, value,
                        ROW_NUMBER() OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id) AS rn
-                FROM events
+                FROM events WHERE value IS NOT NULL
             )
             SELECT a.event_id, a.user_id,
                    ROUND(SUM(CASE WHEN b.rn = 1

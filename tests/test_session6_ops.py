@@ -833,3 +833,84 @@ def test_logreg_fit_matches_local_gd_and_separates(ray_session):
     assert b == pytest.approx(bb, rel=1e-9)
     assert w[0] > 5 * abs(w[1])  # x1 dominates
     assert hist["log_loss"].iloc[-1] < hist["log_loss"].iloc[0]
+
+
+def test_ewma_drops_nulls_to_match_closed_form(ray_session):
+    import duckdb
+
+    from webvalid.ops.rank import ewma_per_key
+
+    df = pd.DataFrame({
+        "k": [1] * 6, "o": np.arange(6, dtype=np.int64),
+        "tb": np.arange(6, dtype=np.int64),
+        "v": [10.0, np.nan, 20.0, 30.0, np.nan, 40.0],
+    })
+    got = (ewma_per_key(_ds(ray_session, df, blocks=2), "k", "o", "tb",
+                        "v", alpha=0.25)
+           .sort_values("o").reset_index(drop=True))
+    exp = duckdb.connect().execute("""
+        WITH e AS (SELECT o, v,
+                   ROW_NUMBER() OVER (ORDER BY o, tb) rn
+                   FROM df WHERE v IS NOT NULL)
+        SELECT a.o, ROUND(SUM(CASE WHEN b.rn = 1
+                    THEN POWER(0.75, a.rn - 1) * b.v
+                    ELSE 0.25 * POWER(0.75, a.rn - b.rn) * b.v END)
+                    + 1e-9, 6) ewma
+        FROM e a JOIN e b ON b.rn <= a.rn GROUP BY a.o ORDER BY a.o""").df()
+    assert len(got) == 4  # null rows dropped
+    np.testing.assert_allclose(got["ewma"].to_numpy(),
+                               exp["ewma"].to_numpy())
+
+
+def test_rolling_range_sum_all_null_frame_is_null(ray_session):
+    from webvalid.ops.rank import rolling_range_sum_per_key
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1], "o": np.array([0, 5, 100], np.int64),
+        "tb": np.arange(3, dtype=np.int64),
+        "v": [np.nan, np.nan, 7.0],
+    })
+    got = (rolling_range_sum_per_key(_ds(ray_session, df, blocks=1),
+                                     "k", "o", "v", "tb", span=10)
+           .sort_values("o").reset_index(drop=True))
+    assert np.isnan(got["range_sum"].iloc[0])  # frame = {NULL}
+    assert np.isnan(got["range_sum"].iloc[1])  # frame = {NULL, NULL}
+    assert got["range_sum"].iloc[2] == 7.0
+
+
+def test_benford_omits_zero_count_digits(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webvalid.queries import benford_price_lineitem
+
+    # prices only start with digits 1-3
+    pq.write_table(pa.table({"l_extendedprice": pa.array(
+        [1.11, 2.22, 3.33, 10.0, 25.5, 31.4], pa.float64())}),
+        str(tmp_path / "lineitem.parquet"))
+    out = benford_price_lineitem(str(tmp_path))
+    assert out["digit"].tolist() == [1, 2, 3]
+    assert (out["n"] > 0).all()
+
+
+def test_pipeline_expectations_per_partition(ray_session, tmp_path):
+    from webvalid.checks.base import CheckConfig
+    from webvalid.gen import generate_webpages
+    from webvalid.pipeline import run_validation
+
+    info = generate_webpages(str(tmp_path / "fix"), n_rows=2_000,
+                             block_size=500, seed=11)
+    cfg = CheckConfig(block_size=500, ts_range=info["ts_window"],
+                      expectations=(
+                          {"kind": "null_frac_le", "column": "text",
+                           "value": 0.5},          # passes everywhere
+                          {"kind": "min_ge", "column": "warc_ts",
+                           "value": float("inf")},  # fails everywhere
+                      ))
+    res = run_validation(info["pages_dir"], str(tmp_path / "out"), cfg=cfg,
+                         ref_langs=info["ref_langs"],
+                         text_hashes=info["text_hashes"])
+    v = res["verdicts"]
+    nf = v[v["check"] == "expect_null_frac_le"]
+    mg = v[v["check"] == "expect_min_ge"]
+    assert len(nf) == 4 and nf["pass"].all()
+    assert len(mg) == 4 and not mg["pass"].any()

@@ -108,5 +108,9 @@ class CheckConfig:
     # straddle a partition boundary; "scan" always reads the bytes and
     # additionally yields exact n_bytes/max_bytes
     binary_stats: str = "metadata"
+    # user-declared per-partition expectations evaluated from the
+    # stats pass (kinds: null_frac_le / min_ge / max_le); the full
+    # six-kind global runner is checks/expectations.run_expectations
+    expectations: tuple = ()
     # violations
     max_violations_per_check: int = 10_000

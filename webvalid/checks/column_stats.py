@@ -288,6 +288,30 @@ def stats_verdicts(stats: list[dict], cfg: CheckConfig) -> list[dict]:
                     "HLL distinct / non-null rows >= 0.5",
                 )
             )
+        # user-declared expectations evaluated per partition straight
+        # from the stats the suite already computed — no extra pass
+        # (kinds limited to stats-derivable ones; the richer global
+        # runner is checks/expectations.run_expectations)
+        for e in cfg.expectations:
+            if e["column"] != col:
+                continue
+            kind, val = e["kind"], e["value"]
+            if kind == "null_frac_le":
+                metric, ok = s["null_frac"], s["null_frac"] <= val
+            elif kind == "min_ge":
+                metric = s["min_num"]
+                ok = not (metric == metric and metric < val)
+            elif kind == "max_le":
+                metric = s["max_num"]
+                ok = not (metric == metric and metric > val)
+            else:
+                raise ValueError(
+                    f"per-partition expectation kind {kind!r} not "
+                    "stats-derivable (use checks/expectations for the "
+                    "full set)")
+            verdicts.append(verdict_row(
+                s["partition_id"], f"expect_{kind}", col, ok,
+                float(metric), f"value={val}"))
     return verdicts
 
 

@@ -451,6 +451,10 @@ def storage_partitioned_join(left_dir: str, right_dir: str, key: str,
                 glob.glob(os.path.join(p, "*.parquet")))
         return out
 
+    if how not in ("inner", "left outer"):
+        raise ValueError("storage_partitioned_join supports 'inner' and "
+                         "'left outer' only (right/full outer would need "
+                         "right-only buckets scheduled too)")
     lb, rb = buckets(left_dir), buckets(right_dir)
     if not rb:
         raise ValueError("right layout has no populated buckets")

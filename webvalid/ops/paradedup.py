@@ -39,7 +39,7 @@ import ray
 
 from webvalid.checks.text_parity import _md5_digest8_per_row
 from webvalid.ops.chunking import token_chunks_batch
-from webvalid.ops.dedup import md5_hex
+from webvalid.ops.dedup import md5_hex_from_column
 
 _CHUNK_SPAN = 1 << 20  # chunk_idx packs into the low 20 bits
 _ID_MAX = 1 << 43      # doc_id packs into the next 43 (packed stays int64)
@@ -70,7 +70,7 @@ def _dup_winner_arrays(ds, text_col: str, id_col: str, chunk_tokens: int):
     def fp(t: pa.Table) -> pa.Table:
         c = _chunk_rows(t, text_col, id_col, chunk_tokens)
         return pa.table({
-            "chunk_md5": pa.array(md5_hex(c["chunk_text"].to_pylist()),
+            "chunk_md5": pa.array(md5_hex_from_column(c["chunk_text"]),
                                   pa.string()),
             "_packed": pa.array(_packed(c, id_col), pa.int64()),
         })

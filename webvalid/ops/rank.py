@@ -558,11 +558,16 @@ def rolling_range_sum_per_key(ds, key: str, order_col: str, value_col: str,
     def f(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([order_col, tiebreak], kind="mergesort")
         o = g[order_col].to_numpy()
-        v = np.nan_to_num(g[value_col].to_numpy(np.float64))
+        raw = g[value_col].to_numpy(np.float64)
+        valid = ~np.isnan(raw)
+        v = np.where(valid, raw, 0.0)
         csum = np.concatenate([[0.0], np.cumsum(v)])
+        ccnt = np.concatenate([[0], np.cumsum(valid)])
         lo = np.searchsorted(o, o - span, side="left")
         hi = np.searchsorted(o, o, side="right")  # include ALL peers
-        g[out_col] = csum[hi] - csum[lo]
+        s = csum[hi] - csum[lo]
+        # SQL SUM over an all-NULL frame is NULL, not 0
+        g[out_col] = np.where(ccnt[hi] - ccnt[lo] == 0, np.nan, s)
         if ndigits is not None:
             g[out_col] = (g[out_col] + 1e-9).round(ndigits)
         return g
@@ -578,9 +583,15 @@ def ewma_per_key(ds, key: str, order_col: str, tiebreak: str,
     C-level scan per co-located group). SQL twin: the closed-form
     weighted sum Σ wᵢⱼ·xⱼ with w = α(1−α)^(i−j) (j>1) and (1−α)^(i−1)
     for j=1; the two accumulation orders agree to ~1e-12 relative, so
-    outputs round after a +1e-9 nudge."""
+    outputs round after a +1e-9 nudge.
+
+    NULL values are DROPPED before the scan (the recursion is defined
+    over observed values only) — the SQL twin must filter the same
+    way; pandas' NaN renormalization would otherwise diverge from the
+    closed form after the first missing value."""
     def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
+        g = g.dropna(subset=[value_col]) \
+             .sort_values([order_col, tiebreak], kind="mergesort")
         g[out_col] = g[value_col].ewm(alpha=alpha, adjust=False).mean()
         if ndigits is not None:
             g[out_col] = (g[out_col] + 1e-9).round(ndigits)

@@ -18,35 +18,30 @@ No reference analogue; north-rule / validation addition.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
 def _row_fingerprints(t: pa.Table, key_col: str, cols: list[str]) -> pa.Table:
-    """(key, uint64 fingerprint) — md5 over '\\x1f'-joined canonical
-    string forms of `cols` (None → '\\x00'); floats via repr so equal
-    doubles hash equal."""
-    n = t.num_rows
-    parts = []
-    for c in cols:
-        col = t[c]
-        if pa.types.is_floating(col.type):
-            vals = [("\x00" if v is None else repr(v))
-                    for v in col.to_pylist()]
-        else:
-            vals = [("\x00" if v is None else str(v)) for v in col.to_pylist()]
-        parts.append(vals)
-    fps = np.empty(n, dtype=np.uint64)
-    for i in range(n):
-        h = hashlib.md5("\x1f".join(p[i] for p in parts).encode()).digest()
-        fps[i] = np.frombuffer(h[:8], dtype=np.uint64)[0]
-    # int64 view: only EQUALITY of fingerprints matters downstream, and
-    # Ray/pandas aggregate int64 natively
+    """(key, int64 fingerprint) — 8-byte md5 prefix over the
+    '\\x1f'-joined canonical string forms of `cols` (NULL → '\\x00').
+    Fully Arrow-side: cast-to-string + one binary_join_element_wise,
+    then buffer-level hashing (`_md5_digest8_per_row` — no Python
+    strings). Arrow's cast renders equal values identically on both
+    snapshots, which is the only property the diff needs; only
+    EQUALITY of fingerprints matters downstream, and Ray aggregates
+    int64 natively."""
+    import pyarrow.compute as pc
+
+    from webvalid.checks.text_parity import _md5_digest8_per_row
+
+    parts = [pc.fill_null(pc.cast(t[c], pa.string()), "\x00") for c in cols]
+    joined = parts[0] if len(parts) == 1 else \
+        pc.binary_join_element_wise(*parts, "\x1f")
+    _, d8 = _md5_digest8_per_row(joined)
     return pa.table({"key": t[key_col].cast(pa.int64()),
-                     "fp": pa.array(fps.view(np.int64), pa.int64())})
+                     "fp": pa.array(d8.view(np.int64), pa.int64())})
 
 
 def snapshot_diff(old_ds, new_ds, key_col: str, cols: list[str]):

@@ -2160,6 +2160,9 @@ def benford_price_lineitem(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     c = parts.groupby("digit", as_index=False)["n"].sum()
+    # GROUP BY semantics: a digit no price starts with has no row
+    # (the SQL twin can't emit zero-count groups)
+    c = c[c["n"] > 0].reset_index(drop=True)
     total = float(c["n"].sum())
     c["frac"] = ((c["n"] / total) + 1e-9).round(6)
     c["expected"] = np.round(np.log10(1.0 + 1.0 / c["digit"].to_numpy())
@@ -2236,8 +2239,17 @@ def snapshot_diff_documents(sf_dir: str):
     from webvalid.ops.tablediff import snapshot_diff
 
     old_ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    max_id = int(pq.read_table(_t(sf_dir, "documents"),
-                               columns=["doc_id"])["doc_id"].to_numpy().max())
+    # answer-sized: max(doc_id) from parquet row-group statistics
+    # (fallback: distributed max — never a driver-side column read)
+    pf = pq.ParquetFile(_t(sf_dir, "documents"))
+    ci = pf.schema_arrow.get_field_index("doc_id")
+    stats = [pf.metadata.row_group(i).column(ci).statistics
+             for i in range(pf.metadata.num_row_groups)]
+    if stats and all(s is not None and s.has_min_max for s in stats):
+        max_id = max(s.max for s in stats)
+    else:
+        max_id = int(_read(sf_dir, "documents",
+                           columns=["doc_id"]).max("doc_id"))
 
     def mutate(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
@@ -2371,24 +2383,28 @@ def overlap_users_click_purchase(sf_dir: str, p: int = 14):
         et = t["event_type"].to_numpy(zero_copy_only=False)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
         sks = []
-        for mask in (et == "click", et == "purchase",
-                     (et == "click") | (et == "purchase")):
+        for mask in (et == "click", et == "purchase"):
             h = HyperLogLog(p)
             h.add(uid[mask])
             sks.append(_pickle.dumps(h))
-        return pa.table({"which": pa.array([0, 1, 2], pa.int64()),
+        return pa.table({"which": pa.array([0, 1], pa.int64()),
                          "sk": pa.array(sks, pa.binary())})
 
     parts = _read(sf_dir, "events", columns=["user_id", "event_type"]) \
         .map_batches(partial, batch_format="pyarrow").to_pandas()
     merged = []
-    for w in (0, 1, 2):
+    for w in (0, 1):
         blobs = parts.loc[parts["which"] == w, "sk"].tolist()
         acc = _pickle.loads(blobs[0])
         for b in blobs[1:]:
             acc.merge(_pickle.loads(b))
-        merged.append(acc.estimate())
-    a, b, u = merged
+        merged.append(acc)
+    # the union sketch is register-wise max of the two — merging the
+    # per-class sketches is bit-identical to hashing the union rows,
+    # so no third per-batch sketch is ever built
+    a = merged[0].estimate()
+    b = merged[1].estimate()
+    u = merged[0].merge(merged[1]).estimate()
     return pd.DataFrame({
         "n_click_est": [round(a, 1)], "n_purchase_est": [round(b, 1)],
         "n_union_est": [round(u, 1)],
