@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomalous_hours_events": q.anomalous_hours_events,
         # distributed full-batch logistic regression (rows-only)
         "logreg_error_events": q.logreg_error_events,
+        # schema-evolution-tolerant parquet read (union schema)
+        "schema_evolution_documents": q.schema_evolution_documents,
+        # CSV + JSONL sink round-trip
+        "sink_roundtrip_events": q.sink_roundtrip_events,
     }
 
 
@@ -1771,5 +1775,16 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ABS((cnt - m) / NULLIF(s, 0)) > 3, FALSE)
                        AS is_anomaly
             FROM w ORDER BY window_start
+        """,
+        "schema_evolution_documents": """
+            SELECT CASE WHEN doc_id % 2 = 1 THEN '__none__'
+                        ELSE source END AS source,
+                   COUNT(*) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "sink_roundtrip_events": """
+            SELECT fmt, event_type, COUNT(*) AS n
+            FROM events, (SELECT unnest(['csv', 'jsonl']) AS fmt)
+            GROUP BY fmt, event_type ORDER BY fmt, event_type
         """,
     }

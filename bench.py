@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "expectations_lineitem",
     "anomalous_hours_events",
     "logreg_error_events",
+    "schema_evolution_documents",
+    "sink_roundtrip_events",
 ]
 
 

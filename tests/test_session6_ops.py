@@ -914,3 +914,26 @@ def test_pipeline_expectations_per_partition(ray_session, tmp_path):
     mg = v[v["check"] == "expect_min_ge"]
     assert len(nf) == 4 and nf["pass"].all()
     assert len(mg) == 4 and not mg["pass"].any()
+
+
+def test_read_parquet_evolving_union_and_mismatch(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from webvalid.sources import read_parquet_evolving
+
+    a = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array(["x", "y"])})
+    b = pa.table({"k": pa.array([3], pa.int64())})  # v missing
+    pq.write_table(a, str(tmp_path / "a.parquet"))
+    pq.write_table(b, str(tmp_path / "b.parquet"))
+    got = read_parquet_evolving([str(tmp_path / "a.parquet"),
+                                 str(tmp_path / "b.parquet")]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [1, 2, 3]
+    assert got["v"].tolist()[:2] == ["x", "y"] and pd.isna(got["v"].iloc[2])
+    # overlapping column with a different type must refuse loudly
+    c = pa.table({"k": pa.array(["oops"])})
+    pq.write_table(c, str(tmp_path / "c.parquet"))
+    with pytest.raises(ValueError, match="type mismatch"):
+        read_parquet_evolving([str(tmp_path / "a.parquet"),
+                               str(tmp_path / "c.parquet")])

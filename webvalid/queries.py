@@ -2503,3 +2503,73 @@ def logreg_error_events(sf_dir: str, iters: int = 15):
         "coef": np.round(np.append(w, b) + 1e-9, 6),
         "final_log_loss": round(float(hist["log_loss"].iloc[-1]), 6),
     })
+
+
+def schema_evolution_documents(sf_dir: str):
+    """Schema-evolution-tolerant read (sources.read_parquet_evolving):
+    documents are re-laid-out as two files — odd doc_ids written
+    WITHOUT the `source` column (the pre-evolution layout) — and read
+    back under the union schema with typed nulls, then counted per
+    source. NULL source is reported as '__none__' (deterministic
+    ordering on both sides)."""
+    import pyarrow.parquet as pq
+    import shutil
+    import tempfile
+
+    from webvalid.sources import read_parquet_evolving
+
+    base = tempfile.mkdtemp(prefix="wv_evo_")
+    try:
+        t = pq.read_table(_t(sf_dir, "documents"),
+                          columns=["doc_id", "source"])
+        odd = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1)
+        pq.write_table(t.filter(pc.invert(odd)), f"{base}/even.parquet")
+        pq.write_table(t.filter(odd).drop_columns(["source"]),
+                       f"{base}/odd_nosource.parquet")
+        ds = read_parquet_evolving([f"{base}/even.parquet",
+                                    f"{base}/odd_nosource.parquet"])
+
+        def partial(tt: pa.Table) -> pa.Table:
+            src = pc.fill_null(tt["source"], "__none__")
+            df = pd.DataFrame({"source": src.to_numpy(zero_copy_only=False)})
+            out = df.groupby("source", as_index=False).size() \
+                    .rename(columns={"size": "n"})
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = parts.groupby("source", as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values("source", kind="mergesort") \
+                  .reset_index(drop=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def sink_roundtrip_events(sf_dir: str):
+    """CSV + JSONL sink round-trip: the (event_id, event_type) slice is
+    written with ray.data write_csv / write_json, read back with the
+    matching readers, and counted per (format, event_type) — proving
+    both sinks preserve the data exactly."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="wv_sink_")
+    try:
+        ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+        ds.write_csv(f"{base}/csv")
+        ds.write_json(f"{base}/jsonl")
+        frames = []
+        for fmt, rd in (("csv", ray.data.read_csv(f"{base}/csv")),
+                        ("jsonl", ray.data.read_json(f"{base}/jsonl"))):
+            out = twophase_agg(rd.select_columns(["event_type"]),
+                               ["event_type"],
+                               {"n": ("event_type", "count")})
+            out["fmt"] = fmt
+            frames.append(out)
+        out = pd.concat(frames, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out[["fmt", "event_type", "n"]] \
+            .sort_values(["fmt", "event_type"], kind="mergesort") \
+            .reset_index(drop=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

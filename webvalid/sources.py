@@ -96,3 +96,44 @@ def csv_drift_segments(path: str, block_size: int, has_header: bool = False,
     histograms = [s["value_counts"] for s in states]
     cdda_segments, _, _ = cdda_fold(histograms, sizes, min_change_degree)
     return {"cdcstream": cdc_segments, "cdda": cdda_segments}
+
+
+def read_parquet_evolving(paths: list):
+    """Schema-evolution-tolerant parquet read: files may be missing
+    columns added later (or carry extras). The union schema is taken
+    over the FOOTERS only (no data IO), and each file's Dataset is
+    mapped through a batch transform that appends the missing columns
+    as typed nulls — the explicit Ray-side version of DuckDB's
+    union_by_name. Column order follows the union of first
+    appearance; types must agree where columns overlap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    schemas = [pq.read_schema(p) for p in paths]
+    union: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for f in s:
+            if f.name in union:
+                if union[f.name] != f.type:
+                    raise ValueError(
+                        f"column {f.name!r} type mismatch across files: "
+                        f"{union[f.name]} vs {f.type}")
+            else:
+                union[f.name] = f.type
+    names = list(union)
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for name in names:
+            if name in t.column_names:
+                cols.append(t[name])
+            else:
+                cols.append(pa.nulls(t.num_rows, union[name]))
+        return pa.table(dict(zip(names, cols)))
+
+    parts = [ray.data.read_parquet(p).map_batches(align,
+                                                  batch_format="pyarrow")
+             for p in paths]
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
