@@ -937,3 +937,27 @@ def test_read_parquet_evolving_union_and_mismatch(ray_session, tmp_path):
     with pytest.raises(ValueError, match="type mismatch"):
         read_parquet_evolving([str(tmp_path / "a.parquet"),
                                str(tmp_path / "c.parquet")])
+
+
+def test_pipeline_expectations_distinct_and_quantile(ray_session, tmp_path):
+    from webvalid.checks.base import CheckConfig
+    from webvalid.gen import generate_webpages
+    from webvalid.pipeline import run_validation
+
+    info = generate_webpages(str(tmp_path / "fix"), n_rows=2_000,
+                             block_size=1_000, seed=13)
+    cfg = CheckConfig(block_size=1_000, ts_range=info["ts_window"],
+                      expectations=(
+                          {"kind": "distinct_frac_ge", "column": "url",
+                           "value": 0.5},           # urls are ~unique
+                          {"kind": "q50_between", "column": "warc_ts",
+                           "value": [0.0, 1.0]},    # ts median >> 1 → fails
+                      ))
+    res = run_validation(info["pages_dir"], str(tmp_path / "out"), cfg=cfg,
+                         ref_langs=info["ref_langs"],
+                         text_hashes=info["text_hashes"])
+    v = res["verdicts"]
+    df = v[v["check"] == "expect_distinct_frac_ge"]
+    qb = v[v["check"] == "expect_q50_between"]
+    assert len(df) == 2 and df["pass"].all()
+    assert len(qb) == 2 and not qb["pass"].any()

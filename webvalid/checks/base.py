@@ -109,7 +109,8 @@ class CheckConfig:
     # additionally yields exact n_bytes/max_bytes
     binary_stats: str = "metadata"
     # user-declared per-partition expectations evaluated from the
-    # stats pass (kinds: null_frac_le / min_ge / max_le); the full
+    # stats pass (kinds: null_frac_le / min_ge / max_le /
+    # distinct_frac_ge / q50_between); the full
     # six-kind global runner is checks/expectations.run_expectations
     expectations: tuple = ()
     # violations

@@ -290,8 +290,9 @@ def stats_verdicts(stats: list[dict], cfg: CheckConfig) -> list[dict]:
             )
         # user-declared expectations evaluated per partition straight
         # from the stats the suite already computed — no extra pass
-        # (kinds limited to stats-derivable ones; the richer global
-        # runner is checks/expectations.run_expectations)
+        # (kinds: null_frac_le / min_ge / max_le / distinct_frac_ge /
+        # q50_between — all stats-derivable; the richer global runner
+        # is checks/expectations.run_expectations)
         for e in cfg.expectations:
             if e["column"] != col:
                 continue
@@ -304,6 +305,16 @@ def stats_verdicts(stats: list[dict], cfg: CheckConfig) -> list[dict]:
             elif kind == "max_le":
                 metric = s["max_num"]
                 ok = not (metric == metric and metric > val)
+            elif kind == "distinct_frac_ge":
+                # HLL estimate / non-null rows (approximate by nature)
+                nn = s["n"] - s["nulls"]
+                metric = s["distinct_hll"] / nn if nn else math.nan
+                ok = not (metric == metric and metric < val)
+            elif kind == "q50_between":
+                metric = s.get("q50", math.nan)
+                lo_, hi_ = val
+                ok = not (metric == metric and not (lo_ <= metric <= hi_))
+                val = hi_
             else:
                 raise ValueError(
                     f"per-partition expectation kind {kind!r} not "
