@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_documents": q.schema_evolution_documents,
         # CSV + JSONL sink round-trip
         "sink_roundtrip_events": q.sink_roundtrip_events,
+        # corpus bigram-LM quality scores (perplexity filter)
+        "lm_scores_documents": q.lm_scores_documents,
     }
 
 
@@ -1786,5 +1788,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT fmt, event_type, COUNT(*) AS n
             FROM events, (SELECT unnest(['csv', 'jsonl']) AS fmt)
             GROUP BY fmt, event_type ORDER BY fmt, event_type
+        """,
+        "lm_scores_documents": """
+            WITH toks AS (
+                SELECT doc_id, str_split(text, ' ') AS w FROM documents
+            ),
+            uni AS (
+                SELECT t, COUNT(*) AS cu
+                FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+            ),
+            vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+            big AS (
+                SELECT doc_id, w[gs] AS w1, w[gs] || ' ' || w[gs + 1] AS bg
+                FROM toks,
+                     unnest(generate_series(1, len(w) - 1)) AS s(gs)
+            ),
+            bigc AS (SELECT bg, COUNT(*) AS cb FROM big GROUP BY bg)
+            SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(AVG(LN((bigc.cb + 1.0) / (uni.cu + vv.v)))
+                         + 1e-9, 6) AS avg_logp
+            FROM big b JOIN bigc USING (bg) JOIN uni ON uni.t = b.w1, vv
+            GROUP BY b.doc_id ORDER BY b.doc_id
         """,
     }

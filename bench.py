@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "logreg_error_events",
     "schema_evolution_documents",
     "sink_roundtrip_events",
+    "lm_scores_documents",
 ]
 
 

@@ -961,3 +961,39 @@ def test_pipeline_expectations_distinct_and_quantile(ray_session, tmp_path):
     qb = v[v["check"] == "expect_q50_between"]
     assert len(df) == 2 and df["pass"].all()
     assert len(qb) == 2 and not qb["pass"].any()
+
+
+def test_bigram_lm_flags_gibberish(ray_session):
+    from webvalid.ops.lm import bigram_lm_scores
+
+    rng = np.random.default_rng(89)
+    vocab = [f"w{i}" for i in range(30)]
+    # fluent docs: markov chain favoring w_{i+1 mod 30} after w_i
+    fluent = []
+    for _ in range(40):
+        cur = int(rng.integers(0, 30))
+        words = []
+        for _ in range(60):
+            words.append(vocab[cur])
+            cur = (cur + 1) % 30 if rng.random() < 0.9 \
+                else int(rng.integers(0, 30))
+        fluent.append(" ".join(words))
+    # gibberish: uniform random tokens
+    gib = [" ".join(rng.choice(vocab, 60)) for _ in range(5)]
+    df = pd.DataFrame({"doc_id": np.arange(45, dtype=np.int64),
+                       "text": fluent + gib})
+    out = bigram_lm_scores(_ds(ray_session, df, blocks=4))
+    f = out[out.doc_id < 40]["avg_logp"]
+    g = out[out.doc_id >= 40]["avg_logp"]
+    assert g.mean() < f.mean() - 0.5  # gibberish scores clearly lower
+    assert (out["n_bigrams"] == 59).all()
+
+
+def test_bigram_lm_drops_short_docs(ray_session):
+    from webvalid.ops.lm import bigram_lm_scores
+
+    df = pd.DataFrame({"doc_id": pd.array([0, 1, 2], dtype="int64"),
+                       "text": ["only", "two words", "a b c"]})
+    out = bigram_lm_scores(_ds(ray_session, df, blocks=2))
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_bigrams"].tolist() == [1, 2]

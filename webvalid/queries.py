@@ -2573,3 +2573,13 @@ def sink_roundtrip_events(sf_dir: str):
             .reset_index(drop=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def lm_scores_documents(sf_dir: str):
+    """Corpus bigram-LM quality scores (ops/lm.bigram_lm_scores —
+    add-one smoothed, trained on the corpus itself; docs with < 2
+    tokens define no bigram and drop)."""
+    from webvalid.ops.lm import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_scores(ds)
