@@ -348,3 +348,53 @@ def test_rewrite_without_hot_matches_naive(texts, hot_tokens):
         if kept:
             expect[i] = " ".join(kept)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Session-6 kernel properties (pure-function parts, no Ray needed)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=200), min_size=1,
+                max_size=120),
+       st.integers(min_value=1, max_value=50))
+def test_interval_island_math_matches_bruteforce(starts, dur):
+    """The gaps-and-islands covered-length arithmetic used by
+    interval_coverage_per_key, replicated on raw numpy vs a brute
+    boolean-line oracle."""
+    s = np.sort(np.asarray(starts, dtype=np.int64), kind="mergesort")
+    e = s + dur
+    pmax = np.maximum.accumulate(e)
+    new = np.concatenate([[True], s[1:] > pmax[:-1]])
+    islands_start = s[new]
+    islands_end = np.maximum.reduceat(e, np.flatnonzero(new))
+    covered = int((islands_end - islands_start).sum())
+    line = np.zeros(int(e.max()) + 1, dtype=bool)
+    for a in s:
+        line[a:a + dur] = True
+    assert covered == int(line.sum())
+    assert int(new.sum()) >= 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1,
+                max_size=200),
+       st.integers(min_value=1, max_value=300))
+def test_systematic_weight_selection_matches_bruteforce(weights, step):
+    """Boundary-crossing selection = 'which rows own a multiple of
+    step laid along the cumulative weight axis'."""
+    w = np.asarray(weights, dtype=np.int64)
+    cum = np.cumsum(w)
+    before = cum - w
+    keep = (before // step) < (cum // step)
+    # oracle: multiples of step in (0, total] land in exactly one row's
+    # (before, cum] span
+    total = int(cum[-1]) if len(cum) else 0
+    marks = list(range(step, total + 1, step))
+    owner = set()
+    for m in marks:
+        owner.add(int(np.searchsorted(cum, m, side="left")))
+    assert set(np.flatnonzero(keep)) == owner
+    # zero-weight rows are never selected
+    assert not keep[w == 0].any()
