@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_roundtrip_events": q.sink_roundtrip_events,
         # corpus bigram-LM quality scores (perplexity filter)
         "lm_scores_documents": q.lm_scores_documents,
+        # winnowing-fingerprint containment pairs (rows-only)
+        "containment_documents": q.containment_documents,
     }
 
 

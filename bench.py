@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "schema_evolution_documents",
     "sink_roundtrip_events",
     "lm_scores_documents",
+    "containment_documents",
 ]
 
 

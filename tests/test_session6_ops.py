@@ -997,3 +997,23 @@ def test_bigram_lm_drops_short_docs(ray_session):
     out = bigram_lm_scores(_ds(ray_session, df, blocks=2))
     assert out["doc_id"].tolist() == [1, 2]
     assert out["n_bigrams"].tolist() == [1, 2]
+
+
+def test_containment_pairs_finds_planted_subdoc(ray_session):
+    from webvalid.ops.dedup import containment_pairs
+
+    rng = np.random.default_rng(97)
+    vocab = [f"t{i}" for i in range(4000)]
+    texts = [" ".join(rng.choice(vocab, 120)) for _ in range(60)]
+    texts.append(" ".join(texts[3].split(" ")[:60]))   # doc 60 ⊂ doc 3
+    texts.append(texts[7])                             # doc 61 == doc 7
+    df = pd.DataFrame({"doc_id": np.arange(62, dtype=np.int64),
+                       "text": texts})
+    got = containment_pairs(_ds(ray_session, df, blocks=4), theta=0.8)
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (3, 60) in pairs and (7, 61) in pairs
+    byp = got.set_index(["id_a", "id_b"])
+    assert byp.loc[(7, 61), "containment"] == 1.0
+    assert byp.loc[(3, 60), "containment"] >= 0.8
+    # random docs don't collide
+    assert len(got) <= 4

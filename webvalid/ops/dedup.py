@@ -946,3 +946,90 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return grouped.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Containment detection (winnowing-fingerprint overlap)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      theta: float = 0.8, ngram: int = 4, window: int = 8,
+                      max_bucket: int = 256) -> "pd.DataFrame":
+    """Near-containment pairs: documents whose winnowing-fingerprint
+    sets overlap by ≥ theta of the SMALLER set — catches doc-inside-doc
+    (quote inflation / page-wrapping) that whole-doc Jaccard misses.
+
+    Scale shape (mirrors the MinHash shuffle path): explode
+    (fingerprint, doc_id) rows — 8+8 bytes each, never text — through
+    ONE Ray hash groupby on the fingerprint; each bucket emits its doc
+    pairs (buckets above `max_bucket` docs are star-capped to pairs
+    with the smallest id, the documented giant-bucket bound); a pair
+    count groupby then yields overlap sizes, and per-doc fingerprint
+    counts (answer-sized) close containment = |A∩B| / min(|A|,|B|).
+    Returns (id_a, id_b, overlap, containment) sorted, id_a < id_b.
+    """
+    import pandas as pd
+
+    from webvalid.ops.textstats import Fingerprinter
+
+    fper = Fingerprinter(text_col=text_col, id_col=id_col,
+                         ngram=ngram, window=window)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        fp_parts, id_parts = [], []
+        for i, txt in enumerate(t[text_col].to_pylist()):
+            fps = fper.fingerprints(txt) if txt else np.empty(0, np.uint64)
+            fp_parts.append(fps.view(np.int64))
+            id_parts.append(np.full(len(fps), ids[i], np.int64))
+        fp = np.concatenate(fp_parts) if fp_parts else np.empty(0, np.int64)
+        di = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
+        return pa.table({"fp": pa.array(fp, pa.int64()),
+                         "doc": pa.array(di, pa.int64())})
+
+    def nfp_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ns = [len(fper.fingerprints(txt)) if txt else 0
+              for txt in t[text_col].to_pylist()]
+        return pa.table({"doc": pa.array(ids, pa.int64()),
+                         "n_fp": pa.array(ns, pa.int64())})
+
+    def bucket_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        docs = np.unique(g["doc"].to_numpy())
+        if len(docs) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        if len(docs) > max_bucket:
+            # star-cap: giant buckets pair every doc with the smallest
+            # only (bounds quadratic blowup; transitive pairs surface
+            # through other fingerprints)
+            a = np.full(len(docs) - 1, docs[0], np.int64)
+            b = docs[1:]
+        else:
+            ii, jj = np.triu_indices(len(docs), k=1)
+            a, b = docs[ii], docs[jj]
+        return pd.DataFrame({"a": a, "b": b})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    pair_counts = exploded.groupby("fp").map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).groupby(["a", "b"]).count().to_pandas() \
+        .rename(columns={"count()": "overlap"})
+    if len(pair_counts) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "overlap": pd.Series([], dtype="int64"),
+                             "containment": pd.Series([], dtype=float)})
+    nfp = ds.map_batches(nfp_partial, batch_format="pyarrow").to_pandas() \
+        .drop_duplicates("doc").set_index("doc")["n_fp"]
+    amin = np.minimum(nfp.reindex(pair_counts["a"]).to_numpy(),
+                      nfp.reindex(pair_counts["b"]).to_numpy())
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cont = pair_counts["overlap"].to_numpy() / amin
+    out = pd.DataFrame({"id_a": pair_counts["a"].astype("int64"),
+                        "id_b": pair_counts["b"].astype("int64"),
+                        "overlap": pair_counts["overlap"].astype("int64"),
+                        "containment": np.round(cont, 6)})
+    out = out[out["containment"] >= theta]
+    return out.sort_values(["id_a", "id_b"], kind="mergesort") \
+              .reset_index(drop=True)

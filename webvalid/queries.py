@@ -2583,3 +2583,15 @@ def lm_scores_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return bigram_lm_scores(ds)
+
+
+def containment_documents(sf_dir: str, theta: float = 0.9):
+    """Near-containment pairs via winnowing-fingerprint overlap
+    (ops/dedup.containment_pairs) — catches doc-inside-doc that
+    whole-document Jaccard misses. Rows-only gate (winnowing is not
+    SQL-expressible); exact duplicate docs surface at containment
+    1.0, so the result set is stable."""
+    from webvalid.ops.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(ds, theta=theta)
