@@ -221,9 +221,28 @@ def run_bench() -> dict:
         "rows": rows,
         "rows_per_sec": round(rows / headline, 1),
         "n_partitions": info["n_partitions"],
+        # host-state context: this shared box swings 0.02-15 GB/s
+        # (see BASELINE.md); absolute wall times are only comparable
+        # across runs with similar membw_gbps
+        "membw_gbps": _membw_single(),
     }
     ray.shutdown()
     return result
+
+
+def _membw_single() -> float:
+    """Single-thread memcpy bandwidth (GB/s) — the host-state marker
+    embedded in every bench JSON line (healthy: >5; this shared box
+    has been observed as low as 0.02)."""
+    import numpy as _np
+    import time as _time
+
+    a = _np.empty(1 << 27, _np.uint8)
+    b = _np.empty_like(a)
+    t0 = _time.perf_counter()
+    for _ in range(4):
+        _np.copyto(b, a)
+    return round(4 * a.nbytes / (_time.perf_counter() - t0) / 1e9, 2)
 
 
 def _steal_jiffies() -> int:
