@@ -466,20 +466,31 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS rolling_avg
             FROM events ORDER BY event_id
         """,
+        # Deterministic as-of oracle: DuckDB's ASOF JOIN tie-pick among
+        # right rows with equal (user_id, ts) is unspecified, so spell
+        # out the engine's tie-break (max event_id among max-ts rows).
         "asof_clicks_purchases_events": """
             SELECT l.event_id AS click_id, epoch_us(l.ts) AS ts_us, l.user_id,
                    r.event_id AS purchase_id, r.value AS purchase_value
             FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY l.event_id
+                ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST
+            ) = 1
             ORDER BY click_id
         """,
         "asof_partitioned_clicks_purchases": """
             SELECT l.event_id AS click_id, epoch_us(l.ts) AS ts_us, l.user_id,
                    r.event_id AS purchase_id, r.value AS purchase_value
             FROM (SELECT * FROM events WHERE event_type = 'click') l
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY l.event_id
+                ORDER BY r.ts DESC NULLS LAST, r.event_id DESC NULLS LAST
+            ) = 1
             ORDER BY click_id
         """,
         "dedup_exact_documents": """

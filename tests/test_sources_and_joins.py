@@ -164,6 +164,48 @@ def test_asof_partitioned_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(bcast[cols], part[cols], check_dtype=False)
 
 
+def test_asof_tie_break_is_block_order_independent(ray_session):
+    """Equal-(key, ts) right rows must resolve to the SAME match no
+    matter how the right side's rows are ordered/partitioned (Ray's
+    union block order varies across sessions — CORRECTNESS_r02's one
+    hash mismatch). The winner is the max tiebreak-column row."""
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    left_rows = [{"id": i, "ts": 100 + 10 * (i % 5), "k": i % 3} for i in range(60)]
+    # many exact (k, ts) ties on the right, distinguished only by rid
+    right_rows = [{"ts": 100 + 10 * (j % 5), "k": j % 3, "rid": j}
+                  for j in range(45)]
+    left = ray.data.from_items(left_rows).repartition(4)
+
+    outs = []
+    for perm_seed in (1, 2, 3):
+        import random
+        shuffled = list(right_rows)
+        random.Random(perm_seed).shuffle(shuffled)
+        right = ray.data.from_items(shuffled).repartition(perm_seed + 2)
+        part = asof_join_partitioned(
+            left, right, on="ts", by="k", num_buckets=5
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        bcast = asof_join_broadcast(
+            left, pd.DataFrame(shuffled), on="ts", by="k"
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            part[["id", "ts", "k", "rid"]], bcast[["id", "ts", "k", "rid"]],
+            check_dtype=False)
+        outs.append(part[["id", "ts", "k", "rid"]])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+    # winner among ties is the max rid for that (k, ts)
+    exp = {(k, ts): max(r["rid"] for r in right_rows
+                        if r["k"] == k and r["ts"] == ts)
+           for k in range(3) for ts in {r["ts"] for r in right_rows}}
+    for _, row in outs[0].iterrows():
+        assert row["rid"] == exp[(row["k"], row["ts"])]
+
+
 def test_asof_partitioned_normalizes_ns_timestamps(ray_session):
     """timestamp[ns] inputs must come out in epoch MICROseconds from
     both as-of paths (a raw int64 cast would be 1000x off)."""

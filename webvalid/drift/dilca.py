@@ -35,9 +35,25 @@ in the same places Java rounds (entropy logs, the final sqrt/divide).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
-_LOG2 = np.log(2.0)
+_LOG2 = math.log(2.0)
+
+
+def _seq_log(p: np.ndarray) -> np.ndarray:
+    """Elementwise libm log (math.log), vectorized via a unique-value cache.
+
+    np.log's SIMD kernel differs from math.log by 1 ulp on ~20% of
+    inputs; the reference's tie decisions (FCBF drop, signum sort) flip
+    on exactly those ulps, so every log here must be the scalar libm
+    one. Probabilities repeat heavily (count ratios), so computing
+    math.log once per unique value keeps this effectively vectorized.
+    """
+    uniq, inv = np.unique(p, return_inverse=True)
+    logs = np.array([math.log(x) for x in uniq.tolist()], dtype=np.float64)
+    return logs[inv]
 
 
 def encode_columns(columns) -> tuple[list[np.ndarray], list[int]]:
@@ -64,14 +80,21 @@ def encode_columns(columns) -> tuple[list[np.ndarray], list[int]]:
 
 
 def _entropy(freq: np.ndarray) -> float:
-    """Shannon entropy (base 2) of a positive count vector.
+    """Shannon entropy (base 2) of a count vector.
 
-    Mirrors DILCA.java:137-150: p*log(p)/log(2) accumulated in index
-    order; zero counts are impossible for block-local domains.
+    Bit-exact mirror of DILCA.java:137-150: terms are (p*log(p))/log(2)
+    (that association order), accumulated term-by-term in index order.
+    np.cumsum is a sequential scan, and round-to-nearest is symmetric
+    under negation, so -cumsum(terms)[-1] is bit-identical to Java's
+    `entropy -= term` loop. Zero counts contribute an exact 0.0 term,
+    which is an identity add, matching Java's `continue`.
     """
-    total = float(freq.sum())
+    total = float(freq.sum())  # integer-valued: exact in any order
+    mask = freq > 0
     p = freq / total
-    return float(-(p * (np.log(p) / _LOG2)).sum())
+    terms = np.zeros_like(p)
+    terms[mask] = (p[mask] * _seq_log(p[mask])) / _LOG2
+    return float(-np.cumsum(terms)[-1])
 
 
 def _cooccurrence(ci: np.ndarray, cj: np.ndarray, di: int, dj: int) -> np.ndarray:
@@ -87,15 +110,21 @@ def _cooccurrence(ci: np.ndarray, cj: np.ndarray, di: int, dj: int) -> np.ndarra
 def _conditional_entropy(c_at: np.ndarray, freq_a: np.ndarray) -> float:
     """H(target | attribute) from the (attr x target) count matrix.
 
-    Mirrors DILCA.java:167-181: per attribute-value row, entropy over
-    target values; weighted by the attribute value's relative frequency.
+    Bit-exact mirror of DILCA.java:167-181: per attribute-value row,
+    `current -= (p*log(p))/log(2)` term-by-term over target values in
+    index order, then `conditional += (row_total/total)*current` in row
+    order. Sequential order is reproduced with cumsum scans (see
+    _entropy for why that is bit-identical).
     """
-    total_a = float(freq_a.sum())
+    total_a = float(freq_a.sum())  # integer-valued: exact
+    mask = c_at > 0
     with np.errstate(divide="ignore", invalid="ignore"):
         p = c_at / freq_a[:, None]
-        logp = np.where(p > 0, np.log(np.where(p > 0, p, 1.0)) / _LOG2, 0.0)
-    row_entropy = -(p * logp).sum(axis=1)
-    return float(((freq_a / total_a) * row_entropy).sum())
+    terms = np.zeros_like(p)
+    terms[mask] = (p[mask] * _seq_log(p[mask])) / _LOG2
+    row_entropy = -np.cumsum(terms, axis=1)[:, -1]
+    contrib = (freq_a / total_a) * row_entropy
+    return float(np.cumsum(contrib)[-1])
 
 
 class BlockStatistics:

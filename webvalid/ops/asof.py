@@ -43,7 +43,14 @@ class _AsofBatcher:
 
     def __init__(self, right_ref, on: str, by: str, suffix: str):
         right = ray.get(right_ref)
-        self.right = right.sort_values([on]).reset_index(drop=True)
+        # Secondary sort on every other column: merge_asof picks the LAST
+        # tied right row, so equal-(by, on) rows must have a deterministic
+        # order independent of arrival/block order (Ray union block order
+        # varies across sessions — this was CORRECTNESS_r02's one hash
+        # mismatch).
+        tiebreak = [c for c in right.columns if c != on]
+        self.right = right.sort_values([on] + tiebreak,
+                                       kind="stable").reset_index(drop=True)
         self.on = on
         self.by = by
         self.suffix = suffix
@@ -153,7 +160,11 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
         left = g[g["_side"] == 0].drop(columns=rvals + ["_bucket", "_side"])
         right = g[g["_side"] == 1][[on, by] + rvals]
         left = left.sort_values(on, kind="stable").reset_index(drop=True)
-        right = right.sort_values(on, kind="stable").reset_index(drop=True)
+        # Deterministic tie order for equal-(by, on) right rows — see
+        # _AsofBatcher.__init__; without this, merge_asof's last-tied-row
+        # pick depends on Ray's session-varying union block order.
+        right = right.sort_values([on, by] + rvals,
+                                  kind="stable").reset_index(drop=True)
         if len(left) == 0:
             return left.assign(**{c: pd.Series([], dtype=right[c].dtype)
                                   for c in rvals})
