@@ -953,68 +953,162 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
+def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray,
+                    star_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered id pairs within equal-key runs, WITH multiplicity,
+    fully vectorized (no Python per run).
+
+    `keys` must be sorted and `ids` sorted within each run (so ids are
+    strictly increasing inside a run — callers guarantee per-run-unique
+    ids). Runs longer than `star_cap` emit a star around the run-min id
+    (same giant-bucket bound as _pairs_in_sorted_runs). Full runs are
+    bucketed BY LENGTH so each distinct length costs one broadcast
+    gather against a precomputed triu index — exact and loop-free.
+    """
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    boundary = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate([[0], boundary]).astype(np.int64)
+    lens = np.diff(np.concatenate([starts, [n]]))
+    a_parts, b_parts = [], []
+
+    full = (lens >= 2) & (lens <= star_cap)
+    if full.any():
+        fs, fl = starts[full], lens[full]
+        for L in np.unique(fl):
+            ii, jj = np.triu_indices(int(L), k=1)
+            s = fs[fl == L]
+            a_parts.append(ids[(s[:, None] + ii[None, :]).ravel()])
+            b_parts.append(ids[(s[:, None] + jj[None, :]).ravel()])
+
+    star = lens > star_cap
+    if star.any():
+        ss, sl = starts[star], lens[star]
+        tot = int((sl - 1).sum())
+        run_of = np.repeat(np.arange(len(ss)), sl - 1)
+        excl = np.concatenate([[0], np.cumsum(sl - 1)[:-1]])
+        loc = np.arange(tot, dtype=np.int64) - excl[run_of]
+        a_parts.append(ids[ss[run_of]])          # run min (sorted by id)
+        b_parts.append(ids[ss[run_of] + 1 + loc])
+
+    if not a_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _pair_overlap_counts(a: np.ndarray, b: np.ndarray) -> "pd.DataFrame":
+    """(a, b, overlap) from a multiset of pair rows — one lexsort."""
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "overlap": pd.Series([], dtype="int64")})
+    order = np.lexsort((b, a))
+    av, bv = a[order], b[order]
+    new = np.ones(len(av), dtype=bool)
+    new[1:] = (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.concatenate([starts, [len(av)]]))
+    return pd.DataFrame({"a": av[starts], "b": bv[starts],
+                         "overlap": counts.astype(np.int64)})
+
+
 def containment_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       theta: float = 0.8, ngram: int = 4, window: int = 8,
-                      max_bucket: int = 256) -> "pd.DataFrame":
+                      max_bucket: int = 256, strategy: str = "auto",
+                      driver_max_docs: int = 1_000_000) -> "pd.DataFrame":
     """Near-containment pairs: documents whose winnowing-fingerprint
     sets overlap by ≥ theta of the SMALLER set — catches doc-inside-doc
     (quote inflation / page-wrapping) that whole-doc Jaccard misses.
 
-    Scale shape (mirrors the MinHash shuffle path): explode
-    (fingerprint, doc_id) rows — 8+8 bytes each, never text — through
-    ONE Ray hash groupby on the fingerprint; each bucket emits its doc
-    pairs (buckets above `max_bucket` docs are star-capped to pairs
-    with the smallest id, the documented giant-bucket bound); a pair
-    count groupby then yields overlap sizes, and per-doc fingerprint
+    Scale shape (mirrors the MinHash strategy split): explode
+    (fingerprint, doc_id) rows — 8+8 bytes each, never text — then find
+    equal-fingerprint doc groups by `strategy`:
+    - "driver": collect the 16 B rows, ONE lexsort, vectorized run-pair
+      emission — cheapest below `driver_max_docs` documents;
+    - "shuffle": ONE Ray range sort on the fingerprint, then a
+      vectorized per-block pair kernel (`_emit_run_pairs` — no Python
+      per fingerprint group, unlike map_groups); runs touching a block
+      edge are deferred as (fp, doc) rows and stitched on the driver
+      (≤ 2 runs per block — O(#blocks), the dense_rank pattern);
+    - "auto": pick by document count (parquet metadata — cheap).
+    Buckets above `max_bucket` docs are star-capped to pairs with the
+    smallest id (documented giant-bucket bound). Per-doc fingerprint
     counts (answer-sized) close containment = |A∩B| / min(|A|,|B|).
     Returns (id_a, id_b, overlap, containment) sorted, id_a < id_b.
     """
     import pandas as pd
 
-    from webvalid.ops.textstats import Fingerprinter
-
-    fper = Fingerprinter(text_col=text_col, id_col=id_col,
-                         ngram=ngram, window=window)
+    from webvalid.ops.textstats import batch_winnow_fingerprints
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        fp_parts, id_parts = [], []
-        for i, txt in enumerate(t[text_col].to_pylist()):
-            fps = fper.fingerprints(txt) if txt else np.empty(0, np.uint64)
-            fp_parts.append(fps.view(np.int64))
-            id_parts.append(np.full(len(fps), ids[i], np.int64))
-        fp = np.concatenate(fp_parts) if fp_parts else np.empty(0, np.int64)
-        di = np.concatenate(id_parts) if id_parts else np.empty(0, np.int64)
-        return pa.table({"fp": pa.array(fp, pa.int64()),
+        counts, fps = batch_winnow_fingerprints(
+            t[text_col].to_pylist(), ngram, window)
+        di = np.repeat(ids.astype(np.int64), counts)
+        return pa.table({"fp": pa.array(fps.view(np.int64), pa.int64()),
                          "doc": pa.array(di, pa.int64())})
 
     def nfp_partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        ns = [len(fper.fingerprints(txt)) if txt else 0
-              for txt in t[text_col].to_pylist()]
+        counts, _ = batch_winnow_fingerprints(
+            t[text_col].to_pylist(), ngram, window)
         return pa.table({"doc": pa.array(ids, pa.int64()),
-                         "n_fp": pa.array(ns, pa.int64())})
-
-    def bucket_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
-        docs = np.unique(g["doc"].to_numpy())
-        if len(docs) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        if len(docs) > max_bucket:
-            # star-cap: giant buckets pair every doc with the smallest
-            # only (bounds quadratic blowup; transitive pairs surface
-            # through other fingerprints)
-            a = np.full(len(docs) - 1, docs[0], np.int64)
-            b = docs[1:]
-        else:
-            ii, jj = np.triu_indices(len(docs), k=1)
-            a, b = docs[ii], docs[jj]
-        return pd.DataFrame({"a": a, "b": b})
+                         "n_fp": pa.array(counts, pa.int64())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    pair_counts = exploded.groupby("fp").map_groups(
-        bucket_pairs, batch_format="pandas"
-    ).groupby(["a", "b"]).count().to_pandas() \
-        .rename(columns={"count()": "overlap"})
+    strategy = _resolve_strategy(strategy, ds, driver_max_docs)
+    if strategy == "driver":
+        fp_parts, doc_parts = [], []
+        for t in exploded.iter_batches(batch_format="pyarrow",
+                                       batch_size=262144):
+            fp_parts.append(t["fp"].to_numpy(zero_copy_only=False))
+            doc_parts.append(t["doc"].to_numpy(zero_copy_only=False))
+        fp = np.concatenate(fp_parts) if fp_parts else np.empty(0, np.int64)
+        doc = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
+        order = np.lexsort((doc, fp))
+        pa_, pb_ = _emit_run_pairs(fp[order], doc[order], max_bucket)
+        pair_counts = _pair_overlap_counts(pa_, pb_)
+    else:
+        # distributed: range-sort by fp, vectorized pair kernel per
+        # sorted block; a block's first/last runs may continue in a
+        # neighbor block, so defer them as (fp, doc) rows (kind=1) and
+        # stitch on the driver — O(#blocks) rows, never corpus-sized.
+        def block_pairs(t: pa.Table) -> pa.Table:
+            fp = t["fp"].to_numpy(zero_copy_only=False)
+            doc = t["doc"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((doc, fp))
+            fp, doc = fp[order], doc[order]
+            n = len(fp)
+            if n == 0:
+                return pa.table({"kind": pa.array([], pa.int8()),
+                                 "a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            edge = (fp == fp[0]) | (fp == fp[-1])
+            pa_, pb_ = _emit_run_pairs(fp[~edge], doc[~edge], max_bucket)
+            kind = np.concatenate([np.zeros(len(pa_), np.int8),
+                                   np.ones(int(edge.sum()), np.int8)])
+            a = np.concatenate([pa_, fp[edge]])
+            b = np.concatenate([pb_, doc[edge]])
+            return pa.table({"kind": pa.array(kind),
+                             "a": pa.array(a, pa.int64()),
+                             "b": pa.array(b, pa.int64())})
+
+        mixed = exploded.sort("fp").map_batches(
+            block_pairs, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ).to_pandas()  # pairs are answer-sized; edges are O(#blocks)
+        inner = mixed[mixed["kind"] == 0]
+        edges = mixed[mixed["kind"] == 1]
+        efp = edges["a"].to_numpy()
+        edoc = edges["b"].to_numpy()
+        order = np.lexsort((edoc, efp))
+        ea, eb = _emit_run_pairs(efp[order], edoc[order], max_bucket)
+        pair_counts = _pair_overlap_counts(
+            np.concatenate([inner["a"].to_numpy(), ea]),
+            np.concatenate([inner["b"].to_numpy(), eb]))
     if len(pair_counts) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
