@@ -463,7 +463,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id
                        ORDER BY epoch_us(ts), event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-                   ), 6) AS rolling_avg
+                   ) + 1e-9, 6) AS rolling_avg
             FROM events ORDER BY event_id
         """,
         # Deterministic as-of oracle: DuckDB's ASOF JOIN tie-pick among
@@ -765,7 +765,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value) OVER (
                        PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                        ROWS UNBOUNDED PRECEDING
-                   ), 6) AS cum_value
+                   ) + 1e-9, 6) AS cum_value
             FROM events ORDER BY event_id
         """,
         "row_number_orders": """
@@ -984,9 +984,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_minmax_value_events": """
             SELECT event_id, user_id,
-                   ROUND(MIN(value) OVER w, 6) AS roll_min,
-                   ROUND(MAX(value) OVER w, 6) AS roll_max,
-                   ROUND(SUM(value) OVER w, 6) AS roll_sum
+                   ROUND(MIN(value) OVER w + 1e-9, 6) AS roll_min,
+                   ROUND(MAX(value) OVER w + 1e-9, 6) AS roll_max,
+                   ROUND(SUM(value) OVER w + 1e-9, 6) AS roll_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY epoch_us(ts), event_id

@@ -1,0 +1,204 @@
+"""Carry-threading stress tests for ops/keyscan.py.
+
+Tiny blocks (many more blocks than keys) force every key to span
+several blocks, exercising the fold's carry logic: rolling windows
+crossing edges, sessions straddling blocks, open-run merges, reverse
+(lead) carries, and RANGE-frame peer groups split across blocks.
+Every op is checked against a single-frame pandas oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df: pd.DataFrame, blocks: int):
+    import ray.data
+
+    # shuffle rows so sorted runs never align with input blocks
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+@pytest.fixture()
+def frame():
+    rng = np.random.default_rng(42)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),             # 4 keys over ~20 blocks
+        "o": rng.integers(0, 50, n).astype(np.int64),   # heavy order ties
+        "tb": np.arange(n, dtype=np.int64),
+        "v": np.round(rng.normal(10, 3, n), 2),
+    })
+    df.loc[rng.random(n) < 0.15, "v"] = np.nan   # nulls in the value col
+    return df
+
+
+def _sorted(df):
+    return df.sort_values(["k", "o", "tb"], kind="mergesort")
+
+
+def test_rolling_agg_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import rolling_agg_scan
+
+    got = rolling_agg_scan(_ds(frame, 20), "k", "o", "tb", "v", 4,
+                           {"rmean": "mean", "rsum": "sum", "rmin": "min"}) \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = _sorted(frame).copy()
+    g = exp.groupby("k")["v"]
+    exp["rmean"] = g.transform(lambda s: s.rolling(4, min_periods=1).mean())
+    exp["rsum"] = g.transform(lambda s: s.rolling(4, min_periods=1).sum())
+    exp["rmin"] = g.transform(lambda s: s.rolling(4, min_periods=1).min())
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    for c in ("rmean", "rsum", "rmin"):
+        assert np.allclose(got[c], exp[c], atol=1e-9, equal_nan=True), c
+
+
+def test_lag_lead_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import lag_scan, lead_scan
+
+    for n in (1, 3):
+        got = lag_scan(_ds(frame, 20), "k", "o", "tb", "v", n=n) \
+            .to_pandas().sort_values("tb").reset_index(drop=True)
+        exp = _sorted(frame).copy()
+        exp["lagged"] = exp.groupby("k")["v"].shift(n)
+        exp = exp.sort_values("tb").reset_index(drop=True)
+        assert np.allclose(got["lagged"], exp["lagged"],
+                           atol=0, equal_nan=True), f"lag {n}"
+
+        got = lead_scan(_ds(frame, 20), "k", "o", "tb", "v", n=n) \
+            .to_pandas().sort_values("tb").reset_index(drop=True)
+        exp = _sorted(frame).copy()
+        exp["led"] = exp.groupby("k")["v"].shift(-n)
+        exp = exp.sort_values("tb").reset_index(drop=True)
+        assert np.allclose(got["led"], exp["led"],
+                           atol=0, equal_nan=True), f"lead {n}"
+
+
+def test_cumsum_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import cumsum_scan
+
+    got = cumsum_scan(_ds(frame, 20), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = _sorted(frame).copy()
+    exp["cum_sum"] = exp.groupby("k")["v"].cumsum()
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    assert np.allclose(got["cum_sum"], exp["cum_sum"],
+                       atol=1e-8, equal_nan=True)
+
+
+def test_rate_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import rate_scan
+
+    got = rate_scan(_ds(frame, 20), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = _sorted(frame).copy()
+    dv = exp.groupby("k")["v"].diff()
+    dt = exp.groupby("k")["o"].diff().astype(float)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        exp["rate"] = np.where(dt == 0, np.nan, dv / dt)
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    assert np.allclose(got["rate"], exp["rate"], atol=0, equal_nan=True)
+
+
+def test_ewma_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import ewma_scan
+
+    got = ewma_scan(_ds(frame, 20), "k", "o", "tb", "v", alpha=0.3,
+                    ndigits=None).to_pandas() \
+        .sort_values("tb").reset_index(drop=True)
+    exp = _sorted(frame).dropna(subset=["v"]).copy()
+    exp["ewma"] = exp.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["ewma"], exp["ewma"], rtol=1e-9)
+
+
+def test_fill_forward_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import fill_forward_scan
+
+    got = fill_forward_scan(_ds(frame, 20), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = _sorted(frame).copy()
+    exp["filled"] = exp.groupby("k")["v"].ffill()
+    exp = exp.sort_values("tb").reset_index(drop=True)
+    assert np.allclose(got["filled"], exp["filled"], atol=0, equal_nan=True)
+
+
+def test_rolling_range_sum_scan_peer_groups_across_blocks(ray_session, frame):
+    import duckdb
+
+    from webvalid.ops.keyscan import rolling_range_sum_scan
+
+    df = frame
+    got = rolling_range_sum_scan(_ds(df, 20), "k", "o", "tb", "v", span=7) \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = duckdb.connect().execute("""
+        SELECT tb, ROUND(SUM(v) OVER (PARTITION BY k ORDER BY o
+                    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) + 1e-9, 6)
+               AS range_sum
+        FROM df ORDER BY tb""").df()
+    assert np.allclose(got["range_sum"], exp["range_sum"],
+                       atol=1e-9, equal_nan=True)
+
+
+def test_streaks_scan_spanning_keys(ray_session):
+    from webvalid.ops.keyscan import streaks_scan
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "o": np.arange(n, dtype=np.int64),
+        "v": rng.choice(list("ab"), n),        # long runs likely
+    })
+    got = streaks_scan(_ds(df, 25), "k", "o", "o", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    rows = []
+    for k, sub in df.sort_values(["k", "o"]).groupby("k"):
+        v = sub["v"].to_numpy()
+        change = np.concatenate([[True], v[1:] != v[:-1]])
+        lens = np.diff(np.append(np.flatnonzero(change), len(v)))
+        rows.append({"k": k, "max_streak": int(lens.max()),
+                     "n_runs": int(len(lens))})
+    exp = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(
+        got[["k", "max_streak", "n_runs"]].astype({"k": np.int64}),
+        exp.astype({"k": np.int64}), check_dtype=False)
+
+
+def test_sessionize_scan_sessions_across_blocks(ray_session):
+    from webvalid.ops.keyscan import sessionize_scan
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "u": rng.integers(0, 3, n),
+        "ts": rng.integers(0, 2000, n).astype(np.int64),  # us; gaps common
+        "eid": np.arange(n, dtype=np.int64),
+    })
+    ds = ray.data.from_pandas(
+        df.sample(frac=1.0, random_state=2).reset_index(drop=True)
+    ).repartition(25)
+    got = sessionize_scan(ds, "u", "ts", gap_us=50, tiebreak="eid") \
+        .to_pandas().sort_values(["u", "session_id"]).reset_index(drop=True)
+    rows = []
+    for u, sub in df.sort_values(["u", "ts"]).groupby("u"):
+        ts = sub["ts"].to_numpy()
+        brk = np.concatenate([[True], np.diff(ts) > 50])
+        sid = np.cumsum(brk) - 1
+        for s in np.unique(sid):
+            m = sid == s
+            rows.append({"u": u, "session_id": int(s),
+                         "session_start": int(ts[m].min()),
+                         "session_end": int(ts[m].max()),
+                         "n_events": int(m.sum())})
+    exp = pd.DataFrame(rows).sort_values(["u", "session_id"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["u", "session_id", "session_start", "session_end", "n_events"]]
+        .astype(np.int64), exp.astype(np.int64))

@@ -152,7 +152,7 @@ def test_lag_per_key_matches_pandas(keyed_events):
     ds, df = keyed_events
     got = lag_per_key(ds, key="u", order_col="t", value_col="v",
                       tiebreak="eid", n=1, out_col="lagged") \
-        .sort_values("eid").reset_index(drop=True)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
     exp = df.sort_values(["t", "eid"]).groupby("u")["v"].shift(1)
     exp = df.assign(lagged=exp).sort_values("eid").reset_index(drop=True)
     pd.testing.assert_series_equal(got["lagged"], exp["lagged"])
@@ -164,7 +164,7 @@ def test_cumsum_per_key_matches_pandas(keyed_events):
     ds, df = keyed_events
     got = cumsum_per_key(ds, key="u", order_col="t", value_col="v",
                          tiebreak="eid", out_col="cs") \
-        .sort_values("eid").reset_index(drop=True)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
     exp = df.sort_values(["t", "eid"]).groupby("u")["v"].cumsum()
     exp = df.assign(cs=exp).sort_values("eid").reset_index(drop=True)
     pd.testing.assert_series_equal(got["cs"], exp["cs"])
@@ -299,7 +299,7 @@ def test_lead_per_key_matches_pandas(keyed_events):
     ds, df = keyed_events
     got = lead_per_key(ds, key="u", order_col="t", value_col="v",
                        tiebreak="eid", n=1, out_col="led") \
-        .sort_values("eid").reset_index(drop=True)
+        .to_pandas().sort_values("eid").reset_index(drop=True)
     exp = df.sort_values(["t", "eid"]).groupby("u")["v"].shift(-1)
     exp = df.assign(led=exp).sort_values("eid").reset_index(drop=True)
     pd.testing.assert_series_equal(got["led"], exp["led"])

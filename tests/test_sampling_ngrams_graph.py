@@ -150,6 +150,34 @@ def test_ngram_shuffle_strategy_matches_driver(ray_session):
     a = ngram_counts(ds, n=2, strategy="driver")
     b = ngram_counts(ds, n=2, strategy="shuffle")
     assert dict(zip(a["ngram"], a["cnt"])) == dict(zip(b["ngram"], b["cnt"]))
+    # top-k through the shuffle path (local-topk cut per combined
+    # block) must equal the driver path's global cut
+    ta = ngram_counts(ds, n=2, top_k=5, strategy="driver")
+    tb = ngram_counts(ds, n=2, top_k=5, strategy="shuffle")
+    pd.testing.assert_frame_equal(ta, tb)
+
+
+def test_bigram_lm_min_count_prunes_to_laplace_floor(ray_session):
+    import ray.data
+
+    from webvalid.ops.lm import bigram_lm_scores
+
+    rows = [{"doc_id": i, "text": "a b a b"} for i in range(20)]
+    rows.append({"doc_id": 99, "text": "a z"})  # 'a z' occurs once
+    ds = ray.data.from_items(rows).repartition(3)
+    full = bigram_lm_scores(ds, ndigits=None)
+    pruned = bigram_lm_scores(ds, ndigits=None, min_count=2)
+    # frequent docs: every bigram survives the prune → identical score
+    f = full.set_index("doc_id")["avg_logp"]
+    p = pruned.set_index("doc_id")["avg_logp"]
+    assert abs(f.loc[0] - p.loc[0]) < 1e-12
+    # the rare 'a z' bigram drops to the Laplace floor count 0:
+    # logp = ln(1 / (c(a) + V)) < its unpruned score
+    assert p.loc[99] < f.loc[99]
+    import math
+    v = 3.0  # vocabulary: a, b, z
+    c_a = 41.0  # 'a' occurs 2x in 20 docs + once
+    assert abs(p.loc[99] - math.log(1.0 / (c_a + v))) < 1e-12
 
 
 # ---------- connected components ----------

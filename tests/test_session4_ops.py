@@ -76,7 +76,7 @@ def test_rolling_agg_per_key_matches_pandas(keyed):
     got = rolling_agg_per_key(ds, key="k", order_col="v", value_col="v",
                               window=3, tiebreak="tb",
                               aggs={"rmin": "min", "rmax": "max",
-                                    "rsum": "sum"}) \
+                                    "rsum": "sum"}).to_pandas() \
         .sort_values("tb").reset_index(drop=True)
     exp = df.sort_values(["k", "v", "tb"], kind="mergesort").copy()
     r = exp.groupby("k")["v"].rolling(3, min_periods=1)

@@ -166,7 +166,8 @@ def test_fill_forward_per_key_matches_pandas(ray_session):
     })
     df.loc[rng.choice(400, 150, replace=False), "v"] = np.nan
     got = fill_forward_per_key(_ds(ray_session, df, blocks=5), key="k",
-                               order_col="o", tiebreak="o", value_col="v")
+                               order_col="o", tiebreak="o",
+                               value_col="v").to_pandas()
     exp = df.sort_values(["k", "o"], kind="mergesort")
     exp["filled"] = exp.groupby("k")["v"].ffill()
     g = got.sort_values(["k", "o"], kind="mergesort").reset_index(drop=True)
@@ -281,7 +282,8 @@ def test_rate_per_key_matches_pandas(ray_session):
         "v": rng.normal(0, 10, 300),
     })
     got = rate_per_key(_ds(ray_session, df, blocks=4), key="k",
-                       order_col="o", value_col="v", tiebreak="tb")
+                       order_col="o", value_col="v",
+                       tiebreak="tb").to_pandas()
     exp = df.sort_values(["k", "o", "tb"], kind="mergesort").copy()
     dv = exp.groupby("k")["v"].diff()
     dt = exp.groupby("k")["o"].diff()

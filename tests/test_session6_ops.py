@@ -108,7 +108,7 @@ def test_streaks_matches_duckdb(ray_session):
         "v": rng.choice(["x", "y", "z"], 500),
     })
     got = (streaks_per_key(_ds(ray_session, df, blocks=5), "k", "o", "tb", "v")
-           .sort_values("k").reset_index(drop=True))
+           .to_pandas().sort_values("k").reset_index(drop=True))
     exp = duckdb.connect().execute("""
         WITH e AS (
             SELECT k, v,
@@ -290,7 +290,7 @@ def test_rolling_range_sum_matches_duckdb(ray_session):
     })
     got = (rolling_range_sum_per_key(_ds(ray_session, df, blocks=5),
                                      "k", "o", "v", "tb", span=10)
-           .sort_values("tb").reset_index(drop=True))
+           .to_pandas().sort_values("tb").reset_index(drop=True))
     exp = duckdb.connect().execute("""
         SELECT k, o, tb, v,
                ROUND(SUM(v) OVER (PARTITION BY k ORDER BY o
@@ -470,7 +470,7 @@ def test_ewma_per_key_matches_naive(ray_session):
     a = 0.3
     got = (ewma_per_key(_ds(ray_session, df, blocks=5), "k", "o", "tb",
                         "v", alpha=a, ndigits=None)
-           .sort_values("tb").reset_index(drop=True))
+           .to_pandas().sort_values("tb").reset_index(drop=True))
     for k, sub in df.sort_values(["o", "tb"]).groupby("k"):
         y = None
         exp = []
@@ -847,7 +847,7 @@ def test_ewma_drops_nulls_to_match_closed_form(ray_session):
     })
     got = (ewma_per_key(_ds(ray_session, df, blocks=2), "k", "o", "tb",
                         "v", alpha=0.25)
-           .sort_values("o").reset_index(drop=True))
+           .to_pandas().sort_values("o").reset_index(drop=True))
     exp = duckdb.connect().execute("""
         WITH e AS (SELECT o, v,
                    ROW_NUMBER() OVER (ORDER BY o, tb) rn
@@ -872,7 +872,7 @@ def test_rolling_range_sum_all_null_frame_is_null(ray_session):
     })
     got = (rolling_range_sum_per_key(_ds(ray_session, df, blocks=1),
                                      "k", "o", "v", "tb", span=10)
-           .sort_values("o").reset_index(drop=True))
+           .to_pandas().sort_values("o").reset_index(drop=True))
     assert np.isnan(got["range_sum"].iloc[0])  # frame = {NULL}
     assert np.isnan(got["range_sum"].iloc[1])  # frame = {NULL, NULL}
     assert got["range_sum"].iloc[2] == 7.0

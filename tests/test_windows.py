@@ -103,7 +103,7 @@ def test_rolling_mean_per_key_matches_pandas(ray_session):
     ds = ray.data.from_items(rows).repartition(5)
     got = rolling_mean_per_key(ds, key="user_id", order_col="ts_us",
                                value_col="value", window=3, tiebreak="event_id")
-    got = got.sort_values("event_id").reset_index(drop=True)
+    got = got.to_pandas().sort_values("event_id").reset_index(drop=True)
 
     pdf = pd.DataFrame(rows).sort_values(["user_id", "ts_us", "event_id"])
     pdf["expect"] = (

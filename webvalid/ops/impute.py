@@ -27,16 +27,17 @@ import pyarrow as pa
 
 
 def fill_forward_per_key(ds, key: str, order_col: str, tiebreak: str,
-                         value_col: str, out_col: str = "filled"
-                         ) -> pd.DataFrame:
+                         value_col: str, out_col: str = "filled"):
     """Per-key fill-forward of `value_col` nulls in (order, tiebreak)
-    order. Leading nulls (no prior observation) stay null."""
-    def ffill(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        g[out_col] = g[value_col].ffill()
-        return g
+    order. Leading nulls (no prior observation) stay null.
 
-    return ds.groupby(key).map_groups(ffill, batch_format="pandas").to_pandas()
+    Distributed via ops/keyscan.py (carry = the open key's last
+    non-null value — one scalar per block boundary); returns a
+    Dataset."""
+    from webvalid.ops.keyscan import fill_forward_scan
+
+    return fill_forward_scan(ds, key, order_col, tiebreak, value_col,
+                             out_col=out_col)
 
 
 def fill_group_mean(ds, key: str, value_col: str,

@@ -12,12 +12,12 @@ has a value-exact oracle (``unnest`` + GROUP BY).
 Scale notes:
 - Partial counting is vectorized Arrow end to end: split → flatten →
   (join for n>1) → value_counts. No Python loop over rows or tokens.
-- The combine is O(#batches × batch-vocab). For natural-language
-  vocabularies (≤ tens of millions of n-grams) the driver/pandas
-  combine holds; for unbounded vocab pass ``strategy="shuffle"`` to
-  combine via `Dataset.groupby(ngram).sum` instead (all-to-all on the
-  distinct-ngram table, not the corpus), or cap with ``min_count``
-  pruning per partial (documented approximation for the tail).
+- The combine is O(#batches × batch-vocab). ``strategy="auto"``
+  (default) picks the driver/pandas combine below 1M documents and the
+  `Dataset.groupby(ngram).sum` shuffle (all-to-all on the
+  distinct-ngram table, not the corpus) above; with ``top_k`` the
+  shuffle path also cuts each combined block to its local top-k, so
+  the driver never sees the vocabulary.
 
 No reference analogue; north-rule/training-data addition.
 """
@@ -71,17 +71,44 @@ def _batch_ngram_counts(batch: pa.Table, text_col: str, n: int) -> pa.Table:
 
 
 def ngram_counts(ds, text_col: str = "text", n: int = 1, top_k: int | None = None,
-                 strategy: str = "driver") -> pd.DataFrame:
+                 strategy: str = "auto",
+                 driver_max_docs: int = 1_000_000) -> pd.DataFrame:
     """Corpus-wide n-gram counts, optionally top-k (ties broken by
     ngram asc — deterministic and matching the SQL oracle's
     ``ORDER BY cnt DESC, ngram``).
+
+    strategy:
+    - "driver": concatenate the per-batch partials on the driver —
+      cheapest below `driver_max_docs` documents;
+    - "shuffle": combine via `groupby(ngram).sum` (all-to-all on the
+      distinct-ngram table, not the corpus) — the 100-TB path. With
+      `top_k`, each combined block keeps only its local top-k before
+      the driver's final cut, so the driver sees O(#blocks · k) rows,
+      never the vocabulary;
+    - "auto" (default): pick by document count (parquet metadata).
+    Results are strategy-independent.
     """
+    from webvalid.ops.dedup import _resolve_strategy
+
     partials = ds.map_batches(
         lambda t: _batch_ngram_counts(t, text_col, n), batch_format="pyarrow"
     )
+    strategy = _resolve_strategy(strategy, ds, driver_max_docs)
     if strategy == "shuffle":
         combined = partials.groupby("ngram").sum("cnt").rename_columns(["ngram", "cnt"])
+        if top_k is not None:
+            def local_topk(t: pa.Table) -> pa.Table:
+                d = t.to_pandas().sort_values(
+                    ["cnt", "ngram"], ascending=[False, True])
+                return pa.Table.from_pandas(d.head(top_k),
+                                            preserve_index=False)
+
+            combined = combined.map_batches(local_topk, batch_size=None,
+                                            batch_format="pyarrow")
         pdf = combined.to_pandas()
+        if len(pdf) == 0:
+            return pd.DataFrame({"ngram": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
     else:
         pdf = partials.to_pandas()
         if len(pdf) == 0:  # all-empty blocks lose their columns in to_pandas

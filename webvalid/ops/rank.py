@@ -51,53 +51,46 @@ def top_n_per_key(ds, key: str, order_col: str, n: int,
 
 def rolling_mean_per_key(ds, key: str, order_col: str, value_col: str,
                          window: int, tiebreak: str,
-                         out_col: str = "rolling_avg") -> pd.DataFrame:
+                         out_col: str = "rolling_avg"):
     """Per-key rolling mean over the trailing `window` rows (ROWS
     BETWEEN window-1 PRECEDING AND CURRENT ROW), ordered by
     (order_col, tiebreak).
 
-    A rolling frame needs each key's rows co-located and ordered, so
-    this uses the real `groupby(key).map_groups` shuffle — the same
-    partitioning assumption as sessionization (one key fits one
-    group). Inside a group the computation is C-level pandas
-    `rolling(...).mean()`. SQL twin: AVG(v) OVER (PARTITION BY key
-    ORDER BY order_col, tiebreak ROWS BETWEEN n-1 PRECEDING AND
-    CURRENT ROW).
-    """
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        g[out_col] = g[value_col].rolling(window, min_periods=1).mean()
-        return g
+    Distributed via ops/keyscan.py (ONE range sort + vectorized
+    per-block kernels + O(#blocks) driver carry of each open key's
+    last window-1 values) — no per-group Python, no driver
+    materialization. Returns a Dataset. SQL twin: AVG(v) OVER
+    (PARTITION BY key ORDER BY order_col, tiebreak ROWS BETWEEN n-1
+    PRECEDING AND CURRENT ROW)."""
+    from webvalid.ops.keyscan import rolling_agg_scan
 
-    return ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()
-
+    return rolling_agg_scan(ds, key, order_col, tiebreak, value_col,
+                            window, {out_col: "mean"})
 
 def lag_per_key(ds, key: str, order_col: str, value_col: str,
                 tiebreak: str, n: int = 1,
-                out_col: str = "lagged") -> pd.DataFrame:
+                out_col: str = "lagged"):
     """Per-key LAG(value, n): the value n rows earlier in (order_col,
-    tiebreak) order, null for the first n rows of each key. Same
-    co-location contract as the rolling frame (one key per group);
-    inside a group the shift is C-level pandas."""
-    def shift(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        g[out_col] = g[value_col].shift(n)
-        return g
+    tiebreak) order, null for the first n rows of each key.
+    Distributed via ops/keyscan.py (carry = open key's last n values);
+    returns a Dataset."""
+    from webvalid.ops.keyscan import lag_scan
 
-    return ds.groupby(key).map_groups(shift, batch_format="pandas").to_pandas()
-
+    return lag_scan(ds, key, order_col, tiebreak, value_col, n=n,
+                    out_col=out_col)
 
 def cumsum_per_key(ds, key: str, order_col: str, value_col: str,
-                   tiebreak: str, out_col: str = "cum_sum") -> pd.DataFrame:
+                   tiebreak: str, out_col: str = "cum_sum"):
     """Per-key running total (SUM ... OVER (PARTITION BY key ORDER BY
-    order_col, tiebreak ROWS UNBOUNDED PRECEDING))."""
-    def csum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        g[out_col] = g[value_col].cumsum()
-        return g
+    order_col, tiebreak ROWS UNBOUNDED PRECEDING)). Distributed via
+    ops/keyscan.py: carry = one float per open key, folded with one
+    add per block — cross-block accumulation groups differently than a
+    single scan, so callers compare with the repo's +1e-9 nudged round.
+    Returns a Dataset."""
+    from webvalid.ops.keyscan import cumsum_scan
 
-    return ds.groupby(key).map_groups(csum, batch_format="pandas").to_pandas()
-
+    return cumsum_scan(ds, key, order_col, tiebreak, value_col,
+                       out_col=out_col)
 
 def global_row_number(ds, by: list[str], descending: list[bool] | bool,
                       rank_col: str = "rn"):
@@ -182,17 +175,15 @@ def global_ntile(ds, by: list[str], descending: list[bool] | bool,
 
 def lead_per_key(ds, key: str, order_col: str, value_col: str,
                  tiebreak: str, n: int = 1,
-                 out_col: str = "led") -> pd.DataFrame:
+                 out_col: str = "led"):
     """Per-key LEAD(value, n) — the value n rows LATER in (order_col,
-    tiebreak) order, null for each key's last n rows (lag with a
-    negative shift; same one-key-per-group contract)."""
-    def shift(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        g[out_col] = g[value_col].shift(-n)
-        return g
+    tiebreak) order, null for each key's last n rows. Distributed via
+    ops/keyscan.py with a REVERSE fold (carry flows from each block's
+    head into the previous block's tail); returns a Dataset."""
+    from webvalid.ops.keyscan import lead_scan
 
-    return ds.groupby(key).map_groups(shift, batch_format="pandas").to_pandas()
-
+    return lead_scan(ds, key, order_col, tiebreak, value_col, n=n,
+                     out_col=out_col)
 
 def dense_rank_per_key(ds, key: str, order_col: str, tiebreak: str,
                        descending: bool = False, out_col: str = "drank"):
@@ -434,21 +425,15 @@ def global_cume_dist(ds, by: list[str], descending: list[bool] | bool,
 
 def rolling_agg_per_key(ds, key: str, order_col: str, value_col: str,
                         window: int, tiebreak: str,
-                        aggs: dict[str, str]) -> pd.DataFrame:
+                        aggs: dict[str, str]):
     """Per-key trailing-window aggregates (ROWS BETWEEN window-1
     PRECEDING AND CURRENT ROW) for several reducers at once —
-    `aggs` = {out_col: how} with how in mean/sum/min/max. Same
-    one-key-per-group co-location contract as rolling_mean_per_key;
-    inside a group each reducer is C-level pandas rolling."""
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        r = g[value_col].rolling(window, min_periods=1)
-        for out, how in aggs.items():
-            g[out] = getattr(r, how)()
-        return g
+    `aggs` = {out_col: how} with how in mean/sum/min/max. Distributed
+    via ops/keyscan.py; returns a Dataset."""
+    from webvalid.ops.keyscan import rolling_agg_scan
 
-    return ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()
-
+    return rolling_agg_scan(ds, key, order_col, tiebreak, value_col,
+                            window, aggs)
 
 def global_percent_rank(ds, by: list[str], descending: list[bool] | bool,
                         out_col: str = "pr"):
@@ -499,102 +484,69 @@ def first_last_value_per_key(ds, key: str, order_col: str, value_col: str,
 
 
 def rate_per_key(ds, key: str, order_col: str, value_col: str,
-                 tiebreak: str, out_col: str = "rate") -> pd.DataFrame:
+                 tiebreak: str, out_col: str = "rate"):
     """Per-key rate of change: (value − LAG(value)) / (order −
     LAG(order)), null on the first row of each key and wherever the
-    order delta is zero (SQL NULLIF semantics). One sorted diff pass
-    per co-located group; both deltas and the division are the same
-    IEEE ops SQL performs on the same inputs, so results are
-    bit-identical — no rounding needed."""
-    def r(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        dv = g[value_col].diff().to_numpy()
-        dt = g[order_col].diff().to_numpy(dtype=np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            g[out_col] = np.where(dt == 0, np.nan, dv / dt)
-        return g
+    order delta is zero (SQL NULLIF semantics). Deltas are row-local
+    pairs, so the keyscan block decomposition is bit-identical to a
+    single-series scan. Returns a Dataset."""
+    from webvalid.ops.keyscan import rate_scan
 
-    return ds.groupby(key).map_groups(r, batch_format="pandas").to_pandas()
-
+    return rate_scan(ds, key, order_col, tiebreak, value_col,
+                     out_col=out_col)
 
 def streaks_per_key(ds, key: str, order_col: str, tiebreak: str,
                     val_col: str, max_col: str = "max_streak",
-                    runs_col: str = "n_runs") -> pd.DataFrame:
+                    runs_col: str = "n_runs"):
     """Per-key gaps-and-islands run stats over `val_col` in
     (order_col, tiebreak) order: length of the longest run of equal
     consecutive values plus the total number of runs. SQL twin: the
     classic ROW_NUMBER() − ROW_NUMBER() OVER (PARTITION BY key, val)
     island construction. Integer outputs — exact, no rounding.
 
-    Same per-key co-location contract as `sessionize`/`rate_per_key`
-    (one key's rows fit one group); runs are order-dependent across
-    the whole key, so the groupby shuffle is semantically required."""
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        codes, _ = pd.factorize(g[val_col], use_na_sentinel=False)
-        change = np.concatenate([[True], codes[1:] != codes[:-1]])
-        ends = np.append(np.flatnonzero(change), len(codes))
-        lens = np.diff(ends)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             max_col: [int(lens.max())],
-                             runs_col: [int(len(lens))]})
+    Distributed via ops/keyscan.py: keys interior to a block emit
+    their row from a vectorized reduceat kernel; keys whose runs touch
+    a block edge merge through the O(#blocks) driver fold. Returns a
+    Dataset."""
+    from webvalid.ops.keyscan import streaks_scan
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
-
+    return streaks_scan(ds, key, order_col, tiebreak, val_col,
+                        max_col=max_col, runs_col=runs_col)
 
 def rolling_range_sum_per_key(ds, key: str, order_col: str, value_col: str,
                               tiebreak: str, span: int,
                               out_col: str = "range_sum",
-                              ndigits: int | None = 6) -> pd.DataFrame:
+                              ndigits: int | None = 6):
     """Per-key time/RANGE-frame rolling sum: for each row, the sum of
     `value_col` over rows of the same key with order in
     [order − span, order] — SQL RANGE BETWEEN span PRECEDING AND
     CURRENT ROW. Peer rows (equal order values) share one frame, per
     SQL RANGE semantics, so the result is tie-order independent.
+    Rounds after a +1e-9 nudge (cross-engine summation order).
 
-    Vectorized per co-located group: sort, prefix-sum, one
-    searchsorted for the frame starts, one for the peer-group ends.
-    Rounds after a +1e-9 nudge (cross-engine summation order)."""
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([order_col, tiebreak], kind="mergesort")
-        o = g[order_col].to_numpy()
-        raw = g[value_col].to_numpy(np.float64)
-        valid = ~np.isnan(raw)
-        v = np.where(valid, raw, 0.0)
-        csum = np.concatenate([[0.0], np.cumsum(v)])
-        ccnt = np.concatenate([[0], np.cumsum(valid)])
-        lo = np.searchsorted(o, o - span, side="left")
-        hi = np.searchsorted(o, o, side="right")  # include ALL peers
-        s = csum[hi] - csum[lo]
-        # SQL SUM over an all-NULL frame is NULL, not 0
-        g[out_col] = np.where(ccnt[hi] - ccnt[lo] == 0, np.nan, s)
-        if ndigits is not None:
-            g[out_col] = (g[out_col] + 1e-9).round(ndigits)
-        return g
+    Distributed via ops/keyscan.py: carry = the open key's rows within
+    `span` of its tail (bounded by the frame, not the key); in-block
+    frames are resolved with ONE searchsorted over a monotonic remap
+    of every run. Returns a Dataset."""
+    from webvalid.ops.keyscan import rolling_range_sum_scan
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
-
+    return rolling_range_sum_scan(ds, key, order_col, tiebreak, value_col,
+                                  span, out_col=out_col, ndigits=ndigits)
 
 def ewma_per_key(ds, key: str, order_col: str, tiebreak: str,
                  value_col: str, alpha: float, out_col: str = "ewma",
-                 ndigits: int | None = 6) -> pd.DataFrame:
+                 ndigits: int | None = 6):
     """Per-key exponential moving average, recursive form
-    y₁ = x₁, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ (pandas ewm(adjust=False) — a
-    C-level scan per co-located group). SQL twin: the closed-form
-    weighted sum Σ wᵢⱼ·xⱼ with w = α(1−α)^(i−j) (j>1) and (1−α)^(i−1)
-    for j=1; the two accumulation orders agree to ~1e-12 relative, so
-    outputs round after a +1e-9 nudge.
+    y₁ = x₁, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ (pandas ewm(adjust=False)). SQL
+    twin: the closed-form weighted sum Σ wᵢⱼ·xⱼ with w = α(1−α)^(i−j)
+    (j>1) and (1−α)^(i−1) for j=1; accumulation orders agree to ~1e-12
+    relative, so outputs round after a +1e-9 nudge.
 
     NULL values are DROPPED before the scan (the recursion is defined
-    over observed values only) — the SQL twin must filter the same
-    way; pandas' NaN renormalization would otherwise diverge from the
-    closed form after the first missing value."""
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.dropna(subset=[value_col]) \
-             .sort_values([order_col, tiebreak], kind="mergesort")
-        g[out_col] = g[value_col].ewm(alpha=alpha, adjust=False).mean()
-        if ndigits is not None:
-            g[out_col] = (g[out_col] + 1e-9).round(ndigits)
-        return g
+    over observed values only) — the SQL twin must filter the same way.
+    Distributed via ops/keyscan.py (carry = one float per open key,
+    advanced with the closed-form decay). Returns a Dataset."""
+    from webvalid.ops.keyscan import ewma_scan
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
+    return ewma_scan(ds, key, order_col, tiebreak, value_col, alpha,
+                     out_col=out_col, ndigits=ndigits)

@@ -85,27 +85,23 @@ def sliding_aggregate(ds, ts_col: str, size_us: int, step_us: int,
                         ["window_start"] + keys, spec)
 
 
-def sessionize(ds, key: str, ts_col: str, gap_us: int):
-    """Session windows per key: sorted-by-ts gap splitting inside
-    map_groups. Returns a Dataset of
-    (key, session_id, session_start, session_end, n_events)."""
+def sessionize(ds, key: str, ts_col: str, gap_us: int,
+               tiebreak: str | None = None):
+    """Session windows per key: gap splitting over (key, ts)-sorted
+    blocks. Returns a Dataset of
+    (key, session_id, session_start, session_end, n_events).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame({key: g[key].to_numpy(), "session_id": sid, "ts": ts})
-            .groupby([key, "session_id"], as_index=False)
-            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
-                 n_events=("ts", "size"))
-        )
-        return out
+    Distributed via ops/keyscan.py: ONE range sort, vectorized
+    per-block session extraction, and an O(#blocks) driver fold that
+    chains each block's open tail session into the next block (a
+    session spanning blocks is merged there). Session membership is
+    tie-order independent; pass `tiebreak` when (key, ts) can repeat
+    so block order is recoverable."""
+    from webvalid.ops.keyscan import sessionize_scan
 
-    return ds.select_columns([key, ts_col]).groupby(key).map_groups(
-        per_key, batch_format="pandas"
-    )
+    cols = [key, ts_col] + ([tiebreak] if tiebreak is not None else [])
+    return sessionize_scan(ds.select_columns(cols), key, ts_col, gap_us,
+                           tiebreak=tiebreak)
 
 
 def densify_hourly(ds, ts_us_col: str = "ts_us",

@@ -305,8 +305,9 @@ def sessionize_events_users(sf_dir: str, gap_minutes: int = 60):
     """Session windows per user (rows-only: gap-based splitting)."""
     from webvalid.ops.windows import sessionize
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-    out = sessionize(ds, "user_id", "ts", gap_us=gap_minutes * 60_000_000).to_pandas()
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    out = sessionize(ds, "user_id", "ts", gap_us=gap_minutes * 60_000_000,
+                     tiebreak="event_id").to_pandas()
     return out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
@@ -1030,8 +1031,8 @@ def rolling_avg_value_events(sf_dir: str, window: int = 3):
         ds.map_batches(ts_us, batch_format="pyarrow"),
         key="user_id", order_col="ts_us", value_col="value",
         window=window, tiebreak="event_id",
-    )
-    out["rolling_avg"] = out["rolling_avg"].round(6)
+    ).to_pandas()
+    out["rolling_avg"] = (out["rolling_avg"] + 1e-9).round(6)
     return out[["event_id", "user_id", "rolling_avg"]] \
         .sort_values("event_id").reset_index(drop=True)
 
@@ -1194,7 +1195,7 @@ def lag_value_events(sf_dir: str):
 
     out = lag_per_key(_events_ts_us(sf_dir), key="user_id", order_col="ts_us",
                       value_col="value", tiebreak="event_id", n=1,
-                      out_col="lagged")
+                      out_col="lagged").to_pandas()
     out["lagged"] = out["lagged"].round(6)
     return out[["event_id", "user_id", "lagged"]] \
         .sort_values("event_id").reset_index(drop=True)
@@ -1208,8 +1209,8 @@ def cumsum_value_events(sf_dir: str):
 
     out = cumsum_per_key(_events_ts_us(sf_dir), key="user_id",
                          order_col="ts_us", value_col="value",
-                         tiebreak="event_id", out_col="cum_value")
-    out["cum_value"] = out["cum_value"].round(6)
+                         tiebreak="event_id", out_col="cum_value").to_pandas()
+    out["cum_value"] = (out["cum_value"] + 1e-9).round(6)
     return out[["event_id", "user_id", "cum_value"]] \
         .sort_values("event_id").reset_index(drop=True)
 
@@ -1302,7 +1303,7 @@ def lead_value_events(sf_dir: str):
 
     out = lead_per_key(_events_ts_us(sf_dir), key="user_id", order_col="ts_us",
                        value_col="value", tiebreak="event_id", n=1,
-                       out_col="led")
+                       out_col="led").to_pandas()
     out["led"] = out["led"].round(6)
     return out[["event_id", "user_id", "led"]] \
         .sort_values("event_id").reset_index(drop=True)
@@ -1454,9 +1455,9 @@ def rolling_minmax_value_events(sf_dir: str):
                               order_col="ts_us", value_col="value",
                               window=5, tiebreak="event_id",
                               aggs={"roll_min": "min", "roll_max": "max",
-                                    "roll_sum": "sum"})
+                                    "roll_sum": "sum"}).to_pandas()
     for c in ["roll_min", "roll_max", "roll_sum"]:
-        out[c] = out[c].round(6)
+        out[c] = (out[c] + 1e-9).round(6)
     return out[["event_id", "user_id", "roll_min", "roll_max", "roll_sum"]] \
         .sort_values("event_id").reset_index(drop=True)
 
@@ -1896,7 +1897,7 @@ def fill_forward_value_events(sf_dir: str):
 
     out = fill_forward_per_key(_masked_events(sf_dir), key="user_id",
                                order_col="event_id", tiebreak="event_id",
-                               value_col="value")
+                               value_col="value").to_pandas()
     out = out[["event_id", "user_id", "filled"]]
     return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
 
@@ -1981,7 +1982,7 @@ def rate_value_events(sf_dir: str):
 
     out = rate_per_key(ds.map_batches(ts_us, batch_format="pyarrow"),
                        key="user_id", order_col="ts_us",
-                       value_col="value", tiebreak="event_id")
+                       value_col="value", tiebreak="event_id").to_pandas()
     out = out[["event_id", "user_id", "rate"]]
     return out.sort_values("event_id", kind="mergesort").reset_index(drop=True)
 
@@ -2024,7 +2025,8 @@ def streaks_events_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
                                           "event_type"])
-    out = streaks_per_key(ds, "user_id", "ts", "event_id", "event_type")
+    out = streaks_per_key(ds, "user_id", "ts", "event_id",
+                          "event_type").to_pandas()
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
@@ -2070,7 +2072,7 @@ def rolling_1h_sum_value_events(sf_dir: str):
                columns=["user_id", "ts", "event_id", "value"]) \
         .map_batches(add_us, batch_format="pyarrow")
     out = rolling_range_sum_per_key(ds, "user_id", "ts_us", "value",
-                                    "event_id", 3_600_000_000)
+                                    "event_id", 3_600_000_000).to_pandas()
     return out[["event_id", "user_id", "range_sum"]] \
         .sort_values("event_id", kind="mergesort").reset_index(drop=True)
 
@@ -2177,7 +2179,8 @@ def ewma_value_events(sf_dir: str, alpha: float = 0.25):
 
     ds = _read(sf_dir, "events",
                columns=["user_id", "ts", "event_id", "value"])
-    out = ewma_per_key(ds, "user_id", "ts", "event_id", "value", alpha)
+    out = ewma_per_key(ds, "user_id", "ts", "event_id", "value",
+                       alpha).to_pandas()
     return out[["event_id", "user_id", "ewma"]] \
         .sort_values("event_id", kind="mergesort").reset_index(drop=True)
 
