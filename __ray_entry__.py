@@ -306,11 +306,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scores_documents": q.lm_scores_documents,
         # winnowing-fingerprint containment pairs (rows-only)
         "containment_documents": q.containment_documents,
+        # checked twins: approximate/iterative ops asserted against
+        # exact answers computed in the same run (flags must be TRUE)
+        "distinct_hll_checked_documents": q.distinct_hll_checked_documents,
+        "quantiles_tdigest_checked_lineitem": q.quantiles_tdigest_checked_lineitem,
+        "overlap_users_checked_events": q.overlap_users_checked_events,
+        "kmeans_checked_embeddings": q.kmeans_checked_embeddings,
+        "logreg_separable_events": q.logreg_separable_events,
+        "jaccard_pairs_exact_documents": q.jaccard_pairs_exact_documents,
+        "webpages_verdicts_sql_subset": q.webpages_verdicts_sql_subset,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the SQL-expressible queries (same column names)."""
+    from webvalid import queries as q
+
+    # the suite-verdict twin's SQL reads the fixture parquet by path —
+    # make sure it exists even if the driver evaluates oracles first
+    fixture_base = q.ensure_suite_fixture()
     return {
         "column_stats_lineitem": """
             SELECT "column", n_rows, n_nulls, min_val, max_val FROM (
@@ -1822,5 +1836,134 @@ def oracle_sql() -> dict[str, str]:
                          + 1e-9, 6) AS avg_logp
             FROM big b JOIN bigc USING (bg) JOIN uni ON uni.t = b.w1, vv
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "distinct_hll_checked_documents": """
+            SELECT col AS column, dce AS distinct_exact, TRUE AS hll_in_bound
+            FROM (
+                SELECT 'lang' AS col, COUNT(DISTINCT lang) AS dce, 1 AS o
+                FROM documents
+                UNION ALL SELECT 'source', COUNT(DISTINCT source), 2
+                FROM documents
+                UNION ALL SELECT 'text', COUNT(DISTINCT text), 3
+                FROM documents
+            ) ORDER BY o
+        """,
+        "quantiles_tdigest_checked_lineitem": """
+            SELECT q, ROUND(value, 6) AS value, TRUE AS rank_err_ok FROM (
+                SELECT 0.01 AS q,
+                       quantile_cont(l_extendedprice, 0.01) AS value
+                FROM lineitem
+                UNION ALL SELECT 0.25,
+                       quantile_cont(l_extendedprice, 0.25) FROM lineitem
+                UNION ALL SELECT 0.5,
+                       quantile_cont(l_extendedprice, 0.5) FROM lineitem
+                UNION ALL SELECT 0.75,
+                       quantile_cont(l_extendedprice, 0.75) FROM lineitem
+                UNION ALL SELECT 0.99,
+                       quantile_cont(l_extendedprice, 0.99) FROM lineitem
+            ) ORDER BY q
+        """,
+        "overlap_users_checked_events": """
+            SELECT
+                (SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type = 'click') AS n_click,
+                (SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type = 'purchase') AS n_purchase,
+                (SELECT COUNT(*) FROM (
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'click'
+                    INTERSECT
+                    SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase')) AS n_overlap,
+                TRUE AS hll_in_bound
+        """,
+        "kmeans_checked_embeddings": """
+            SELECT COUNT(*) AS n_points, 8 AS k_nonempty,
+                   TRUE AS inertia_monotone
+            FROM embeddings
+        """,
+        "logreg_separable_events": """
+            SELECT COUNT(*) AS n_points, 0 AS n_errors
+            FROM events WHERE value IS NOT NULL AND ABS(value - 35) >= 15
+        """,
+        "jaccard_pairs_exact_documents": """
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id < 400 AND text IS NOT NULL AND length(text) >= 5
+            ), pos AS (
+                SELECT doc_id, text,
+                       unnest(range(1, length(text) - 3)) AS i
+                FROM d
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       substring(text, CAST(i AS INT), 5) AS gram
+                FROM pos
+            ), sz AS (
+                SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+                FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                GROUP BY da, db
+            )
+            SELECT da AS doc_a, db AS doc_b,
+                   ROUND(c / (sa.n + sb.n - c) + 1e-9, 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = da
+            JOIN sz sb ON sb.doc_id = db
+            WHERE c / (sa.n + sb.n - c) >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "webpages_verdicts_sql_subset": f"""
+            WITH w AS (
+                SELECT *, CAST(row_index // 800 AS BIGINT) AS pid
+                FROM read_parquet('{fixture_base}/webpages/*.parquet')
+            ), refs AS (
+                SELECT lang FROM read_parquet('{fixture_base}/ref_langs.parquet')
+            ), dup_urls AS (
+                SELECT url FROM w GROUP BY url HAVING COUNT(*) > 1
+            ), nf AS (
+                SELECT pid AS partition_id, 'null_frac' AS "check",
+                       'html' AS "column",
+                       (COUNT(*) FILTER (html IS NULL))
+                           / CAST(COUNT(*) AS DOUBLE) <= 0.05 AS pass,
+                       (COUNT(*) FILTER (html IS NULL))
+                           / CAST(COUNT(*) AS DOUBLE) AS metric,
+                       'limit=0.05' AS detail
+                FROM w GROUP BY pid
+                UNION ALL
+                SELECT pid, 'null_frac', 'text',
+                       (COUNT(*) FILTER (text IS NULL))
+                           / CAST(COUNT(*) AS DOUBLE) <= 0.06,
+                       (COUNT(*) FILTER (text IS NULL))
+                           / CAST(COUNT(*) AS DOUBLE),
+                       'limit=0.06'
+                FROM w GROUP BY pid
+            ), tr AS (
+                SELECT pid, 'ts_range', 'warc_ts',
+                       MIN(epoch_us(warc_ts)) >= 1704067200000000
+                           AND MAX(epoch_us(warc_ts)) < 1706659200000000,
+                       CAST(MIN(epoch_us(warc_ts)) AS DOUBLE),
+                       'window=[1704067200000000,1706659200000000)'
+                FROM w GROUP BY pid
+            ), rl AS (
+                SELECT pid, 'referential_lang', 'lang',
+                       COUNT(*) FILTER (lang IS NULL
+                           OR lang NOT IN (SELECT lang FROM refs)) = 0,
+                       CAST(COUNT(*) FILTER (lang IS NULL
+                           OR lang NOT IN (SELECT lang FROM refs)) AS DOUBLE),
+                       'orphan keys'
+                FROM w GROUP BY pid
+            ), uq AS (
+                SELECT pid, 'uniqueness', 'url',
+                       COUNT(*) FILTER (url IN (SELECT url FROM dup_urls)) = 0,
+                       CAST(COUNT(*) FILTER (
+                           url IN (SELECT url FROM dup_urls)) AS DOUBLE),
+                       'dup rows in partition'
+                FROM w GROUP BY pid
+            )
+            SELECT * FROM (
+                SELECT * FROM nf UNION ALL SELECT * FROM tr
+                UNION ALL SELECT * FROM rl UNION ALL SELECT * FROM uq
+            ) ORDER BY "check", "column", partition_id
         """,
     }

@@ -509,10 +509,31 @@ class JaccardVerifier:
     def __init__(self, texts_ref, k: int = 5):
         self.texts: dict = ray.get(texts_ref)
         self.k = k
+        self._sets: dict = {}  # doc_id → frozen gram set, built once
+
+    def _gram_set(self, i):
+        s = self._sets.get(i)
+        if s is None:
+            t = self.texts.get(i)
+            k = self.k
+            s = {t[j: j + k] for j in range(max(0, len(t) - k + 1))} \
+                if t is not None else None
+            self._sets[i] = s
+        return s
+
+    def _jaccard(self, a, b) -> float:
+        sa, sb = self._gram_set(a), self._gram_set(b)
+        if sa is None or sb is None:   # missing text → 0.0 (ngram_jaccard)
+            return 0.0
+        if not sa and not sb:
+            return 1.0
+        if not sa or not sb:
+            return 0.0
+        return len(sa & sb) / len(sa | sb)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sims = [
-            ngram_jaccard(self.texts.get(a), self.texts.get(b), self.k)
+            self._jaccard(a, b)
             for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())
         ]
         return batch.append_column("jaccard", pa.array(sims, pa.float64()))

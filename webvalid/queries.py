@@ -649,19 +649,15 @@ def quality_documents(sf_dir: str):
     return ds.to_pandas()
 
 
-def webpages_validation_suite(sf_dir: str):
-    """Flagship: the full validation suite on the seeded webpages fixture.
-
-    Deterministic (fixed seed/size, independent of sf_dir — the driver
-    tables have no webpages-shaped data); returns the verdicts table.
-    Rows-only check: every other query covers the SQL-expressible parts.
-    """
+def ensure_suite_fixture() -> str:
+    """Generate (idempotently) the seeded webpages fixture the suite
+    gates run on; returns its base dir. Also called from
+    `__ray_entry__.oracle_sql()` so the SQL twin's read_parquet path
+    exists regardless of driver evaluation order."""
     import os
     import tempfile
 
-    from webvalid.checks.base import CheckConfig
-    from webvalid.gen import TS_HI, TS_LO, generate_webpages
-    from webvalid.pipeline import run_validation
+    from webvalid.gen import generate_webpages
 
     # v2: parity fingerprint scheme changed — stale caches would flood
     # text_parity
@@ -669,15 +665,51 @@ def webpages_validation_suite(sf_dir: str):
     marker = os.path.join(base, "text_hashes.parquet")
     if not os.path.exists(marker):
         generate_webpages(base, n_rows=8_000, block_size=800, seed=19)
+    return base
+
+
+def _run_suite_on_fixture():
+    import os
+
+    from webvalid.checks.base import CheckConfig
+    from webvalid.gen import TS_HI, TS_LO
+    from webvalid.pipeline import run_validation
+
+    base = ensure_suite_fixture()
     out = os.path.join(base, "out")
     cfg = CheckConfig(block_size=800, ts_range=(int(TS_LO), int(TS_HI)))
-    res = run_validation(
+    return run_validation(
         os.path.join(base, "webpages"), out, cfg=cfg,
         ref_langs=os.path.join(base, "ref_langs.parquet"),
-        text_hashes=marker,
+        text_hashes=os.path.join(base, "text_hashes.parquet"),
     )
-    v = res["verdicts"]
+
+
+def webpages_validation_suite(sf_dir: str):
+    """Flagship: the full validation suite on the seeded webpages fixture.
+
+    Deterministic (fixed seed/size, independent of sf_dir — the driver
+    tables have no webpages-shaped data); returns the verdicts table.
+    Rows-only check; `webpages_verdicts_sql_subset` holds the
+    SQL-expressible verdict families to a value-exact oracle.
+    """
+    v = _run_suite_on_fixture()["verdicts"]
     return v.sort_values(["check", "column", "partition_id"]).reset_index(drop=True)
+
+
+def webpages_verdicts_sql_subset(sf_dir: str):
+    """Value-exact oracle twin for the suite's SQL-expressible verdict
+    families: null_frac (html/text), ts_range, referential_lang and
+    uniqueness rows from the SAME suite run (resume makes the second
+    invocation cheap), compared against a DuckDB recomputation over
+    the fixture parquet (partition_id = row_index // block_size)."""
+    v = _run_suite_on_fixture()["verdicts"]
+    keep = v[v["check"].isin(
+        ["null_frac", "ts_range", "referential_lang", "uniqueness"])]
+    out = keep.copy()
+    out["metric"] = out["metric"].astype(float)
+    return out.sort_values(["check", "column", "partition_id"]) \
+        .reset_index(drop=True)
 
 
 def dedup_verified_documents(sf_dir: str, min_jaccard: float = 0.6):
@@ -2598,3 +2630,219 @@ def containment_documents(sf_dir: str, theta: float = 0.9):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return containment_pairs(ds, theta=theta)
+
+
+# ---- round-3: checked twins for the approximate / iterative gates ----
+# Each converts a rows-only gate family into a value-exact one: the
+# engine computes BOTH the approximation and an exact answer (or an
+# invariant), returns the exact values plus in-bound flags, and the
+# SQL twin recomputes the exact side and expects the flags TRUE. A
+# sketch/iteration bug flips a flag → hash mismatch → red gate.
+
+
+def distinct_hll_checked_documents(sf_dir: str):
+    """HLL estimates asserted against exact distinct counts (computed
+    distributedly via groupby-count) — 1.04/√m standard error, flag
+    checks 5σ. SQL twin: COUNT(DISTINCT col) + TRUE."""
+    from webvalid.sketches import HyperLogLog
+
+    cols = ["lang", "source", "text"]
+    hlls = {c: HyperLogLog(p=12) for c in cols}
+    ds = _read(sf_dir, "documents", columns=cols)
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for c in cols:
+            vals = batch[c].drop_null().to_numpy(zero_copy_only=False)
+            if len(vals):
+                hlls[c].add(vals)
+    rows = []
+    bound = 5 * 1.04 / np.sqrt(1 << 12)
+    for c in cols:
+        dds = _read(sf_dir, "documents", columns=[c])
+
+        def nn(t: pa.Table, c=c) -> pa.Table:
+            return t.filter(pc.is_valid(t[c]))
+
+        exact = dds.map_batches(nn, batch_format="pyarrow") \
+            .groupby(c).count().count()
+        est = hlls[c].estimate()
+        rows.append({"column": c, "distinct_exact": int(exact),
+                     "hll_in_bound": bool(abs(est - exact) <= bound * exact)})
+    return pd.DataFrame(rows)
+
+
+def quantiles_tdigest_checked_lineitem(sf_dir: str):
+    """TDigest quantile estimates rank-checked against the data (the
+    estimate's true rank must sit within 2% of q) with the EXACT
+    quantile_cont values returned for the hash compare. SQL twin:
+    quantile_cont + TRUE."""
+    from webvalid.ops.selection import exact_quantile_cont
+    from webvalid.sketches import TDigest
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    exact = exact_quantile_cont(ds, "l_extendedprice", qs=qs)
+
+    def td_partial(t: pa.Table) -> pa.Table:
+        td = TDigest()
+        td.add_array(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        return pa.table({"state": pa.array([td.serialize()], pa.binary())})
+
+    parts = ds.map_batches(td_partial, batch_format="pyarrow").take_all()
+    td = TDigest.deserialize(parts[0]["state"])
+    for p in parts[1:]:
+        td.merge(TDigest.deserialize(p["state"]))
+    ests = np.array([td.quantile(q) for q in qs])
+    ests_ref = ray.put(ests)
+
+    def rank_partial(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)]
+        thr = ray.get(ests_ref)
+        le = np.array([(v <= x).sum() for x in thr], np.int64)
+        return pa.table({"i": pa.array(np.arange(len(thr), dtype=np.int64)),
+                         "le": pa.array(le), "n": pa.array(
+                             np.full(len(thr), len(v), np.int64))})
+
+    rp = ds.map_batches(rank_partial, batch_format="pyarrow").to_pandas() \
+        .groupby("i", as_index=False).sum()
+    frac = rp["le"].to_numpy(np.float64) / rp["n"].to_numpy(np.float64)
+    ok = np.abs(frac - np.asarray(qs)) <= 0.02
+    out = exact.copy()
+    out["rank_err_ok"] = ok
+    return out
+
+
+def overlap_users_checked_events(sf_dir: str):
+    """Exact click/purchase audience overlap (two-phase distinct
+    (user, class) partials — O(#users) driver set math) with the HLL
+    inclusion–exclusion estimates asserted in-bound (5σ of 1.04/√m,
+    p=14). SQL twin: COUNT(DISTINCT ...) + an INTERSECT + TRUE."""
+    import pickle as _pickle
+
+    from webvalid.sketches import HyperLogLog
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        sks, users = [], []
+        for mask in (et == "click", et == "purchase"):
+            h = HyperLogLog(14)
+            h.add(uid[mask])
+            sks.append(_pickle.dumps(h))
+            users.append(np.unique(uid[mask]).tobytes())
+        return pa.table({"which": pa.array([0, 1], pa.int64()),
+                         "sk": pa.array(sks, pa.binary()),
+                         "uniq": pa.array(users, pa.binary())})
+
+    parts = _read(sf_dir, "events", columns=["user_id", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged, exact_sets = [], []
+    for w in (0, 1):
+        rows = parts[parts["which"] == w]
+        acc = _pickle.loads(rows["sk"].iloc[0])
+        s: set = set()
+        for b in rows["sk"].iloc[1:]:
+            acc.merge(_pickle.loads(b))
+        for u in rows["uniq"]:
+            s.update(np.frombuffer(u, dtype=np.int64).tolist())
+        merged.append(acc)
+        exact_sets.append(s)
+    a_est, b_est = merged[0].estimate(), merged[1].estimate()
+    u_est = merged[0].merge(merged[1]).estimate()
+    na, nb = len(exact_sets[0]), len(exact_sets[1])
+    novl = len(exact_sets[0] & exact_sets[1])
+    bound = 5 * 1.04 / np.sqrt(1 << 14)
+    ok = (abs(a_est - na) <= bound * max(na, 1)
+          and abs(b_est - nb) <= bound * max(nb, 1)
+          and abs(u_est - (na + nb - novl)) <= bound * max(na + nb - novl, 1))
+    return pd.DataFrame({"n_click": [na], "n_purchase": [nb],
+                         "n_overlap": [novl], "hll_in_bound": [bool(ok)]})
+
+
+def kmeans_checked_embeddings(sf_dir: str, k: int = 8, iters: int = 6):
+    """Lloyd k-means invariants as a value-exact gate: every point
+    assigned (cluster sizes sum to the table's row count — the SQL
+    side), k non-empty clusters, and the inertia history monotonically
+    non-increasing (Lloyd's guarantee; a wrong partial merge breaks
+    it). SQL twin: COUNT(*) + literals."""
+    from webvalid.ops.kmeans import kmeans_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, hist, sizes = kmeans_distributed(ds, k=k, iters=iters)
+    inertia = hist["inertia"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "n_points": [int(sizes.sum())],
+        "k_nonempty": [int((sizes > 0).sum())],
+        "inertia_monotone": [bool(np.all(np.diff(inertia) <= 1e-9))],
+    })
+
+
+def logreg_separable_events(sf_dir: str, iters: int = 30):
+    """Closed-form logistic-regression check: labels are a threshold
+    rule on `value` with a margin (|value − 35| ≥ 15 kept), so the
+    1-D problem is linearly separable with a wide gap and full-batch
+    GD reaches ZERO training errors well within the budget (measured:
+    zero from iteration ~17) — which SQL states in closed form
+    (0 AS n_errors, COUNT(*) AS n_points). The prepped table is
+    materialized once so each GD pass scans cached blocks."""
+    from webvalid.ops.sgd import logreg_fit
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.abs(pc.subtract(t["value"], 35.0)), 15.0)
+        t = t.filter(keep)
+        return pa.table({
+            "x": t["value"],
+            "y": pc.cast(pc.greater(t["value"], 35.0), pa.float64()),
+        })
+
+    ds = _read(sf_dir, "events", columns=["value"]) \
+        .map_batches(prep, batch_format="pyarrow").materialize()
+    w, b, hist = logreg_fit(ds, ["x"], "y", iters=iters)
+    from webvalid.ops.sgd import _moments
+
+    mean, sd = _moments(ds, ["x"])
+    wb_ref = ray.put((float(w[0]), float(b), float(mean[0]), float(sd[0])))
+
+    def err_partial(t: pa.Table) -> pa.Table:
+        ww, bb, mu, sg = ray.get(wb_ref)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        z = ww * ((x - mu) / sg) + bb
+        pred = (z > 0).astype(np.float64)
+        return pa.table({"err": pa.array([int((pred != y).sum())], pa.int64()),
+                         "n": pa.array([len(x)], pa.int64())})
+
+    ep = ds.map_batches(err_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"n_points": [int(ep["n"].sum())],
+                         "n_errors": [int(ep["err"].sum())]})
+
+
+def jaccard_pairs_exact_documents(sf_dir: str, n_docs: int = 400,
+                                  min_jaccard: float = 0.5):
+    """Exact all-pairs character-5-gram Jaccard over a deterministic
+    document subset (the first `n_docs` ids) — the value-exact twin of
+    the MinHash/verify family: the same `ngram_jaccard` kernel the
+    LSH verify stage uses, checked against a pure-SQL 5-gram self-join.
+    Texts broadcast once; pairs verified distributed."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webvalid.ops.dedup import JaccardVerifier
+
+    t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", n_docs)])
+    df = t.to_pandas().dropna(subset=["text"])
+    df = df[df["text"].str.len() >= 5]
+    ids = np.sort(df["doc_id"].to_numpy())
+    texts = dict(zip(df["doc_id"], df["text"]))
+    ii, jj = np.triu_indices(len(ids), k=1)
+    pairs = pd.DataFrame({"doc_a": ids[ii], "doc_b": ids[jj]})
+    texts_ref = ray.put(texts)
+    verified = rd.from_pandas(pairs).map_batches(
+        task_callable(JaccardVerifier, texts_ref=texts_ref),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = verified[verified["jaccard"] >= min_jaccard].copy()
+    out["jaccard"] = (out["jaccard"] + 1e-9).round(6)
+    return out[["doc_a", "doc_b", "jaccard"]] \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
