@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_separable_events": q.logreg_separable_events,
         "jaccard_pairs_exact_documents": q.jaccard_pairs_exact_documents,
         "webpages_verdicts_sql_subset": q.webpages_verdicts_sql_subset,
+        # real image decode through the actor pool (pure-NumPy codecs)
+        "decode_png_documents": q.decode_png_documents,
+        "decode_jpeg_documents": q.decode_jpeg_documents,
     }
 
 
@@ -1965,5 +1968,27 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM nf UNION ALL SELECT * FROM tr
                 UNION ALL SELECT * FROM rl UNION ALL SELECT * FROM uq
             ) ORDER BY "check", "column", partition_id
+        """,
+        "decode_png_documents": """
+            WITH d AS (
+                SELECT doc_id AS d, 16 + doc_id % 13 AS w,
+                       16 + (doc_id // 13) % 11 AS h
+                FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT d, w, h, unnest(range(0, w * h)) AS i FROM d
+            ), v AS (
+                SELECT d, w, h, ((i % w) + 2 * (i // w) + d) % 256 AS val
+                FROM px
+            )
+            SELECT d AS doc_id, MIN(w) AS width, MIN(h) AS height,
+                   ROUND(SUM(val) / CAST(MIN(w) * MIN(h) AS DOUBLE) / 255.0
+                         + 1e-9, 6) AS mean_q6
+            FROM v GROUP BY d ORDER BY doc_id
+        """,
+        "decode_jpeg_documents": """
+            SELECT doc_id, CAST(16 + doc_id % 13 AS INT) AS width,
+                   CAST(16 + (doc_id // 13) % 11 AS INT) AS height,
+                   TRUE AS mean_in_bound
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id
         """,
     }

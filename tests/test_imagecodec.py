@@ -1,0 +1,127 @@
+"""Pure-NumPy PNG / baseline-JPEG codec tests (ops/imagecodec.py)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from webvalid.ops.imagecodec import (decode_jpeg, decode_png,
+                                     encode_jpeg_color, encode_jpeg_gray,
+                                     encode_png, luma_mean)
+
+
+def test_png_roundtrip_exact_all_channel_counts():
+    rng = np.random.default_rng(0)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (37, 53, c), dtype=np.uint8)
+        dec = decode_png(encode_png(img))
+        assert dec is not None and dec.shape == img.shape
+        assert (dec == img).all()
+
+
+def test_png_decoder_handles_all_filter_types():
+    """Hand-build a PNG whose rows use filters 0-4; decode must
+    recover the original exactly (filters per RFC 2083 §6)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 11, 3), dtype=np.uint8)
+    h, w, bpp = img.shape
+    rows = []
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1).astype(np.int64)
+        if f == 0:
+            raw = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            raw = (cur - left) % 256
+        elif f == 2:
+            raw = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            raw = (cur - (left + prev) // 2) % 256
+        else:  # paeth
+            raw = np.zeros_like(cur)
+            for x in range(len(cur)):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else cc)
+                raw[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + raw.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + chunk(b"IEND", b""))
+    dec = decode_png(payload)
+    assert dec is not None and (dec == img).all()
+
+
+def test_jpeg_gray_roundtrip_within_quant_error():
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    grad = ((x * 2 + y * 3) % 256).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(grad, quality=90))
+    assert d.shape == (48, 64, 1)
+    err = np.abs(d[:, :, 0].astype(int) - grad.astype(int))
+    assert err.max() <= 12 and err.mean() < 1.0
+    flat = np.full((40, 56), 137, dtype=np.uint8)
+    df_ = decode_jpeg(encode_jpeg_gray(flat))
+    assert np.abs(df_[:, :, 0].astype(int) - 137).max() <= 2
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    x, y = np.meshgrid(np.arange(40), np.arange(32))
+    img = np.stack([(x * 3) % 256, (y * 5) % 256, (x + y) % 256],
+                   axis=2).astype(np.uint8)
+    for ss, tol in (("444", 4), ("420", 12)):
+        d = decode_jpeg(encode_jpeg_color(img, quality=90, subsample=ss))
+        assert d.shape == img.shape, ss
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= tol, ss
+
+
+def test_jpeg_odd_dimensions_pad_and_crop():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (33, 41), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(img, quality=75))
+    assert d.shape == (33, 41, 1)
+
+
+def test_decode_images_actor_pool_decodes_real_png_jpeg(ray_session):
+    import ray.data
+
+    from webvalid.ops.multimodal import decode_images
+
+    rng = np.random.default_rng(9)
+    rows = []
+    truth = {}
+    for i in range(24):
+        w, h = 16 + i % 7, 16 + i % 5
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        payload = encode_png(img[:, :, None]) if i % 2 == 0 \
+            else encode_jpeg_gray(img, quality=90)
+        rows.append({"url": f"u{i}", "img": payload})
+        truth[f"u{i}"] = (w, h, float(img.astype(np.float64).mean() / 255.0))
+    ds = ray.data.from_items(rows).repartition(3)
+    out = decode_images(ds, payload_col="img", id_col="url").to_pandas()
+    assert len(out) == 24
+    for _, r in out.iterrows():
+        w, h, m = truth[r["url"]]
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_intensity"] - m) <= 0.02
+
+
+def test_luma_mean_rgb_weights():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, :, 0] = 255  # pure red
+    assert abs(luma_mean(img) - 299 / 1000) < 1e-12

@@ -100,9 +100,11 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
 class DecodeImageStub:
     """Actor-pool stage: binary payload → (width, height, mean, feature vec).
 
-    Real decode would go in `__init__` (model / codec load, once per
-    actor) + `_decode_impl`; everything else — batch handling, schema,
-    null propagation — is production-shaped.
+    The main web formats decode for REAL: PNG and baseline JPEG via the
+    pure-NumPy codecs in ops/imagecodec.py, plus PNM and BMP; PIL is
+    used when importable for anything else; only unknown formats fall
+    back to the deterministic fake (the name is kept for history —
+    the stub is now the exception, not the rule).
     """
 
     def __init__(self, payload_col: str = "html", id_col: str = "url"):
@@ -114,6 +116,8 @@ class DecodeImageStub:
         self.force_stub = bool(os.environ.get("WEBVALID_FORCE_STUB"))
 
     def _decode_impl(self, payload: bytes) -> tuple[int, int, float]:
+        from webvalid.ops.imagecodec import decode_jpeg, decode_png, luma_mean
+
         if self.force_stub:
             return _fake_decode(payload)
         pnm = decode_pnm(payload)
@@ -122,6 +126,11 @@ class DecodeImageStub:
         bmp = decode_bmp(payload)
         if bmp is not None:
             return bmp
+        img = decode_png(payload)
+        if img is None:
+            img = decode_jpeg(payload)
+        if img is not None:
+            return img.shape[1], img.shape[0], luma_mean(img)
         if self.pil is not None:
             import io
 

@@ -2846,3 +2846,68 @@ def jaccard_pairs_exact_documents(sf_dir: str, n_docs: int = 400,
     out["jaccard"] = (out["jaccard"] + 1e-9).round(6)
     return out[["doc_a", "doc_b", "jaccard"]] \
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _synth_image_payloads(sf_dir: str, fmt: str, n_docs: int = 200):
+    """Dataset of (doc_id, img) with REAL encoded payloads synthesized
+    deterministically from doc_id (W = 16 + d%13, H = 16 + (d//13)%11,
+    pixel(x, y) = (x + 2y + d) % 256 gray) — SQL can recompute the
+    exact pixels, making the decode gates oracle-checkable."""
+    from webvalid.ops.imagecodec import encode_jpeg_gray, encode_png
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            d = int(d)
+            w, h = 16 + d % 13, 16 + (d // 13) % 11
+            x, y = np.meshgrid(np.arange(w), np.arange(h))
+            img = ((x + 2 * y + d) % 256).astype(np.uint8)
+            payloads.append(encode_png(img) if fmt == "png"
+                            else encode_jpeg_gray(img, quality=90))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "img": pa.array(payloads, pa.binary())})
+
+    def head_ids(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], n_docs))
+
+    return _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(head_ids, batch_format="pyarrow") \
+        .map_batches(synth, batch_format="pyarrow")
+
+
+def decode_png_documents(sf_dir: str):
+    """REAL PNG decode through the actor pool (pure-NumPy codec,
+    ops/imagecodec.py): payloads synthesized deterministically from
+    doc_id, decoded dimensions AND mean intensity value-exact against
+    a SQL recomputation of the pixel formula (PNG is lossless)."""
+    from webvalid.ops.multimodal import decode_images
+
+    ds = _synth_image_payloads(sf_dir, "png")
+    out = decode_images(ds, payload_col="img", id_col="doc_id").to_pandas()
+    out["mean_q6"] = (out["mean_intensity"] + 1e-9).round(6)
+    return out[["doc_id", "width", "height", "mean_q6"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def decode_jpeg_documents(sf_dir: str):
+    """REAL baseline-JPEG decode through the actor pool: dimensions
+    value-exact vs SQL; the decoded mean must sit within quantization
+    error (0.02) of the true pixel mean — the flag the SQL twin states
+    as TRUE."""
+    from webvalid.ops.multimodal import decode_images
+
+    ds = _synth_image_payloads(sf_dir, "jpeg")
+    out = decode_images(ds, payload_col="img", id_col="doc_id").to_pandas()
+    ids = out["doc_id"].to_numpy()
+    true_means = []
+    for d in ids:
+        d = int(d)
+        w, h = 16 + d % 13, 16 + (d // 13) % 11
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        true_means.append(((x + 2 * y + d) % 256).mean() / 255.0)
+    out["mean_in_bound"] = (
+        np.abs(out["mean_intensity"].to_numpy() - np.asarray(true_means))
+        <= 0.02)
+    return out[["doc_id", "width", "height", "mean_in_bound"]] \
+        .sort_values("doc_id").reset_index(drop=True)
