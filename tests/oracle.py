@@ -59,6 +59,9 @@ def symmetrical_uncertainty(stats, target, attribute):
     """DILCA.java:124-189."""
     if target == attribute:
         return 0.0
+    cache = getattr(stats, "_su_cache", None)
+    if cache is not None and (target, attribute) in cache:
+        return cache[(target, attribute)]
     target_occ = stats.cooccurrences_for(target, target)
     attr_occ = stats.cooccurrences_for(attribute, attribute)
     cooc = stats.cooccurrences_for(attribute, target)
@@ -98,8 +101,12 @@ def symmetrical_uncertainty(stats, target, attribute):
         conditional += (attr_value_total / attr_total) * current
 
     if target_entropy == 0 and attr_entropy == 0:
-        return 0.0
-    return 2 * (target_entropy - conditional) / (target_entropy + attr_entropy)
+        su = 0.0
+    else:
+        su = 2 * (target_entropy - conditional) / (target_entropy + attr_entropy)
+    if cache is not None:
+        cache[(target, attribute)] = su
+    return su
 
 
 def context_attribute_indexes(stats, target):
@@ -164,7 +171,13 @@ def summary_of(block):
     """CDCStream/DriftDetector.java:122-140."""
     if len(block) == 0:
         raise ValueError("Block should not be empty.")
-    stats = OracleStatistics(block)
+    return summary_of_statistics(OracleStatistics(block))
+
+
+def summary_of_statistics(stats):
+    """summary_of on a prebuilt statistics object (any object exposing
+    num_attributes / domain_size / cooccurrences_for; an optional
+    `_su_cache` dict memoizes SU within the block)."""
     m = stats.num_attributes
     summary = 0.0
     for attribute in range(m):
@@ -177,12 +190,16 @@ def _blocks_of(rows, block_size):
     return [rows[i: i + block_size] for i in range(0, len(rows), block_size)]
 
 
-def cdcstream_run(rows, block_size, drift_coefficient=3.0):
+def cdcstream_run(rows, block_size, drift_coefficient=3.0, summary_fn=None):
     """Full CDCStream loop (CDCStream/DriftDetector.java:46-116).
 
     Returns the printed concept segments as (last_count, current_count)
-    pairs, in order.
+    pairs, in order. `summary_fn(block)` defaults to summary_of — the
+    KDD-scale replay passes a count-table-backed variant that keeps the
+    naive DILCA math but builds counts vectorized.
     """
+    if summary_fn is None:
+        summary_fn = summary_of
     blocks = _blocks_of(rows, block_size)
     segments = []
     summaries = []
@@ -199,7 +216,7 @@ def cdcstream_run(rows, block_size, drift_coefficient=3.0):
             block = blocks[bi]
             bi += 1
             consumed += len(block)
-            summaries.append(summary_of(block))
+            summaries.append(summary_fn(block))
         while True:
             current_count = consumed
             if bi >= len(blocks):
@@ -207,7 +224,7 @@ def cdcstream_run(rows, block_size, drift_coefficient=3.0):
             block = blocks[bi]
             bi += 1
             consumed += len(block)
-            block_summary = summary_of(block)
+            block_summary = summary_fn(block)
             if len(summaries) > 1:
                 mean = 0.0
                 for s in summaries:

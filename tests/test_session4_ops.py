@@ -309,11 +309,12 @@ def test_funnel_conversion_matches_naive(ray_session):
         "k": rng.integers(0, 12, n),
         "ts": rng.integers(0, 10_000, n),
         "typ": rng.choice(["a", "b", "c"], n, p=[0.4, 0.2, 0.4]),
+        "uid": np.arange(n),
     })
     H = 500
     got = funnel_conversion(_ds(ray_session, df, blocks=5), key="k",
                             ts_col="ts", type_col="typ", from_type="a",
-                            to_type="b", horizon=H)
+                            to_type="b", horizon=H, tiebreak="uid")
     for k, g in df.groupby("k"):
         a = g.loc[g.typ == "a", "ts"].to_numpy()
         b = g.loc[g.typ == "b", "ts"].to_numpy()

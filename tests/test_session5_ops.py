@@ -243,7 +243,8 @@ def test_adjacent_edit_distances_matches_naive(ray_session):
               for _ in range(60)],
     })
     got = adjacent_edit_distances(_ds(ray_session, df, blocks=4), key="k",
-                                  order_col="i", text_col="t", max_chars=30)
+                                  order_col="i", text_col="t",
+                                  max_chars=30).to_pandas()
     for k, g in df.groupby("k"):
         g = g.sort_values("i")
         exp = [levenshtein(g.t.iloc[j], g.t.iloc[j + 1], 30)

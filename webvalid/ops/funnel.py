@@ -2,10 +2,15 @@
 a B-event within a horizon — the sequence-analytics primitive
 (click → purchase, view → signup, …).
 
-Per-key co-location uses the real groupby shuffle (same
-one-key-per-group contract as sessionize); inside a group the match is
-one vectorized searchsorted of each A timestamp into the key's sorted
-B timestamps — no per-event Python, no cross-key state.
+Distributed via ops/keyscan.py (ONE range sort, vectorized per-block
+matching, O(#blocks) driver state) instead of a per-key map_groups:
+inside a block, runs are remapped onto a monotonic time axis with
+inter-run gaps > horizon so ONE searchsorted matches every A against
+every B; an A near a block's tail may convert via a B in a LATER
+block, so a REVERSE fold carries each block's head-run B timestamps
+within `horizon` of its first event backward (bounded by the horizon
+window, never by the key). Per-block partial counts then combine with
+an answer-sized groupby(key).sum.
 
 No reference analogue; streaming-analytics / north-rule addition.
 """
@@ -14,30 +19,102 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
                       from_type: str, to_type: str, horizon: int,
                       n_from_col: str = "n_from",
-                      n_conv_col: str = "n_conversions") -> pd.DataFrame:
+                      n_conv_col: str = "n_conversions",
+                      tiebreak: str | None = None) -> pd.DataFrame:
     """Per `key`: count of `from_type` events and of those having at
     least one `to_type` event with ts in [ts, ts + horizon]. Keys with
-    no `from_type` events are omitted (SQL inner-aggregate shape)."""
-    def conv(g: pd.DataFrame) -> pd.DataFrame:
-        a = np.sort(g.loc[g[type_col] == from_type, ts_col].to_numpy())
-        if len(a) == 0:
-            return pd.DataFrame({key: [], n_from_col: [], n_conv_col: []})
-        b = np.sort(g.loc[g[type_col] == to_type, ts_col].to_numpy())
-        if len(b):
-            idx = np.searchsorted(b, a, side="left")
-            ok = (idx < len(b)) & (b[np.clip(idx, 0, len(b) - 1)] <= a + horizon)
-            n_conv = int(ok.sum())
-        else:
-            n_conv = 0
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             n_from_col: [len(a)], n_conv_col: [n_conv]})
+    no `from_type` events are omitted (SQL inner-aggregate shape).
+    Pass `tiebreak` (any unique column) when (key, ts, type) rows can
+    repeat, so block order is recoverable."""
+    from webvalid.ops.keyscan import _head_run_len, _runs, per_key_scan
 
-    out = ds.groupby(key).map_groups(conv, batch_format="pandas").to_pandas()
+    by = [key, ts_col, type_col] + ([tiebreak] if tiebreak else [])
+
+    def partial(t: pa.Table) -> dict:
+        k = t[key].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        typ = t[type_col].to_numpy(zero_copy_only=False)
+        h = _head_run_len(k)
+        first_ts = ts[0]
+        mask = (typ[:h] == to_type) & (ts[:h] <= first_ts + horizon)
+        return {
+            "head": t[key][0].as_py(),
+            "tail": t[key][len(k) - 1].as_py(),
+            "single": bool(k[0] == k[-1]),
+            "head_first_ts": int(first_ts),
+            "head_b": np.sort(ts[:h][mask]).tolist(),
+        }
+
+    def fold_rev(state, part):
+        if part is None:
+            return None, None, None
+        fwd = None
+        if state is not None and part["tail"] == state[0]:
+            fwd = state[1]
+        hb = part["head_b"]
+        if part["single"] and fwd is not None:
+            lim = part["head_first_ts"] + horizon
+            hb = hb + [b for b in fwd if b <= lim]
+        return fwd, (part["head"], sorted(hb)), None
+
+    def fold_fwd(state, part):
+        return None, None, None  # all carry flows through the reverse fold
+
+    def apply(t: pa.Table, inject) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          n_from_col: pa.array([], pa.int64()),
+                          n_conv_col: pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        _fwd_unused, carried = inject if inject is not None else (None, None)
+        k = t[key].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = t[type_col].to_numpy(zero_copy_only=False)
+        starts = _runs(k)
+        bounds = np.concatenate([starts, [len(k)]])
+        run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
+        run_min = ts[starts]
+        run_max = ts[bounds[1:] - 1]
+        base = np.concatenate(
+            [[0], np.cumsum((run_max - run_min) + horizon + 2)[:-1]])
+        mono = (ts - run_min[run_id]) + base[run_id]
+        a_mask = typ == from_type
+        b_mask = typ == to_type
+        b_mono = mono[b_mask]
+        if carried:
+            # same-key B events from later blocks, remapped with the
+            # TAIL run's transform (they continue its time axis)
+            tail_i = len(starts) - 1
+            ext = (np.asarray(carried, dtype=np.int64)
+                   - run_min[tail_i] + base[tail_i])
+            b_mono = np.concatenate([b_mono, ext])
+        a_mono = mono[a_mask]
+        if len(b_mono):
+            idx = np.searchsorted(b_mono, a_mono, side="left")
+            ok = (idx < len(b_mono)) & \
+                (b_mono[np.clip(idx, 0, len(b_mono) - 1)] <= a_mono + horizon)
+        else:
+            ok = np.zeros(len(a_mono), dtype=bool)
+        a_runs = run_id[a_mask]
+        n_from = np.bincount(a_runs, minlength=len(starts))
+        n_conv = np.bincount(a_runs[ok], minlength=len(starts))
+        keep = n_from > 0
+        if not keep.any():
+            return empty
+        return pa.table({key: pa.array(k[starts[keep]]),
+                         n_from_col: pa.array(n_from[keep].astype(np.int64)),
+                         n_conv_col: pa.array(n_conv[keep].astype(np.int64))})
+
+    parts, _ = per_key_scan(ds, by, partial, fold_fwd, apply,
+                            fold_rev_fn=fold_rev)
+    out = parts.groupby(key).sum([n_from_col, n_conv_col]).to_pandas()
+    out.columns = [key, n_from_col, n_conv_col]
     out[n_from_col] = out[n_from_col].astype(np.int64)
     out[n_conv_col] = out[n_conv_col].astype(np.int64)
     return out.sort_values(key).reset_index(drop=True)

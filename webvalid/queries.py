@@ -1726,19 +1726,21 @@ def funnel_click_purchase_events(sf_dir: str):
     funnel_conversion — vectorized searchsorted per co-located key)."""
     from webvalid.ops.funnel import funnel_conversion
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id"])
 
     def ts_us(t: pa.Table) -> pa.Table:
         return pa.table({"user_id": t["user_id"],
                          "ts_us": t["ts"].cast(pa.timestamp("us"))
                                          .cast(pa.int64()),
-                         "event_type": t["event_type"]})
+                         "event_type": t["event_type"],
+                         "event_id": t["event_id"]})
 
     return funnel_conversion(ds.map_batches(ts_us, batch_format="pyarrow"),
                              key="user_id", ts_col="ts_us",
                              type_col="event_type", from_type="click",
                              to_type="purchase", horizon=3_600_000_000,
-                             n_from_col="n_clicks")
+                             n_from_col="n_clicks", tiebreak="event_id")
 
 
 def top_tokens_by_lang(sf_dir: str, k: int = 3):
@@ -1994,7 +1996,8 @@ def edit_distance_adjacent_documents(sf_dir: str, max_chars: int = 120):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
     out = adjacent_edit_distances(ds, key="lang", order_col="doc_id",
-                                  text_col="text", max_chars=max_chars)
+                                  text_col="text",
+                                  max_chars=max_chars).to_pandas()
     return out.sort_values(["lang", "doc_id"], kind="mergesort") \
               .reset_index(drop=True)
 
