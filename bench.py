@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "sink_roundtrip_events",
     "lm_scores_documents",
     "containment_documents",
+    # round-3 additions
+    "asof_partitioned_clicks_purchases",
+    "jaccard_pairs_exact_documents",
+    "decode_png_documents",
+    "quantiles_tdigest_checked_lineitem",
 ]
 
 
@@ -369,6 +374,25 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        print(json.dumps(run_scaling(), separators=(",", ":")))
     else:
-        print(json.dumps(run_bench()))
+        res = run_bench()
+        # full per-query detail goes to a side file; the printed line
+        # stays compact (BENCH_r02's line was truncated by the driver
+        # mid-queries-dict, parsing to null)
+        try:
+            detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       "BENCH_DETAIL.json")
+            with open(detail_path, "w") as f:
+                json.dump(res, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+        q = res.pop("queries", {})
+        # headline fields FIRST so a mid-line truncation can only lose
+        # per-query entries, never the metric itself
+        compact = dict(res)
+        compact["queries_total_sec"] = round(sum(q.values()), 2)
+        compact["n_queries"] = len(q)
+        compact["detail_file"] = "BENCH_DETAIL.json"
+        compact["queries"] = {k: round(v, 2) for k, v in q.items()}
+        print(json.dumps(compact, separators=(",", ":")))

@@ -202,3 +202,20 @@ def test_sessionize_scan_sessions_across_blocks(ray_session):
     pd.testing.assert_frame_equal(
         got[["u", "session_id", "session_start", "session_end", "n_events"]]
         .astype(np.int64), exp.astype(np.int64))
+
+
+def test_first_last_scan_spanning_keys(ray_session, frame):
+    from webvalid.ops.keyscan import first_last_scan
+
+    got = first_last_scan(_ds(frame, 20), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    s = _sorted(frame)
+    exp_first = s.drop_duplicates("k", keep="first").set_index("k")["v"]
+    exp_last = s.drop_duplicates("k", keep="last").set_index("k")["v"]
+    assert len(got) == frame["k"].nunique()
+    for _, r in got.iterrows():
+        ef, el = exp_first[r["k"]], exp_last[r["k"]]
+        assert (pd.isna(r["first_value"]) and pd.isna(ef)) or \
+            r["first_value"] == ef
+        assert (pd.isna(r["last_value"]) and pd.isna(el)) or \
+            r["last_value"] == el

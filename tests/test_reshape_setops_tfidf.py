@@ -428,7 +428,7 @@ def test_first_last_value_matches_pandas(keyed_events):
 
     ds, df = keyed_events
     got = first_last_value_per_key(ds, key="u", order_col="t",
-                                   value_col="v", tiebreak="eid")
+                                   value_col="v", tiebreak="eid").to_pandas()
     s = df.sort_values(["t", "eid"])
     exp_first = s.drop_duplicates("u", keep="first").set_index("u")["v"]
     exp_last = s.drop_duplicates("u", keep="last").set_index("u")["v"]

@@ -891,3 +891,82 @@ def sessionize_scan(ds, key: str, ts_col: str, gap_us: int,
             [key, "session_id", "session_start", "session_end", "n_events"]])
         out = out.union(extra)
     return out
+
+
+def first_last_scan(ds, key: str, order_col: str, tiebreak: str,
+                    value_col: str):
+    """Per-key FIRST_VALUE / LAST_VALUE of `value_col` in (order,
+    tiebreak) order — one row per key. After the range sort, a key
+    run's first/last rows ARE the answers, so blocks emit interior
+    keys directly and keys touching a block edge merge through the
+    O(#blocks) driver fold (first from the chain's head, last from its
+    tail). Returns a Dataset of (key, first_value, last_value)."""
+    by = [key, order_col, tiebreak]
+
+    def partial(t: pa.Table) -> dict:
+        k = t[key].to_numpy(zero_copy_only=False)
+        n = len(k)
+        starts = _runs(k)
+        head_end = int(starts[1]) if len(starts) > 1 else n
+        return {
+            "head": t[key][0].as_py(),
+            "tail": t[key][n - 1].as_py(),
+            "single": bool(k[0] == k[-1]),
+            "head_stats": {"first": t[value_col][0].as_py(),
+                           "last": t[value_col][head_end - 1].as_py()},
+            "tail_stats": {"first": t[value_col][int(starts[-1])].as_py(),
+                           "last": t[value_col][n - 1].as_py()},
+        }
+
+    def _row(key_val, st):
+        return {key: key_val, "first_value": st["first"],
+                "last_value": st["last"]}
+
+    def fold(state, part):
+        rows = []
+        if part is None:
+            if state is not None:
+                rows.append(_row(state[0], state[1]))
+            return None, None, rows
+        cont = state is not None and part["head"] == state[0]
+        if cont:
+            merged = {"first": state[1]["first"],
+                      "last": part["head_stats"]["last"]}
+            if part["single"]:
+                return {"head_in_chain": True}, (part["tail"], merged), rows
+            rows.append(_row(part["head"], merged))
+            inject = {"head_in_chain": True}
+        else:
+            if state is not None:
+                rows.append(_row(state[0], state[1]))
+            inject = {"head_in_chain": part["single"]}
+        return inject, (part["tail"], part["tail_stats"]), rows
+
+    def apply(t: pa.Table, inject) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "first_value": t[value_col].slice(0, 0),
+                          "last_value": t[value_col].slice(0, 0)})
+        if t.num_rows == 0:
+            return empty
+        k = t[key].to_numpy(zero_copy_only=False)
+        starts = _runs(k)
+        bounds = np.concatenate([starts, [len(k)]])
+        keep = np.ones(len(starts), dtype=bool)
+        keep[-1] = False                      # tail key chains via fold
+        if inject is not None and inject.get("head_in_chain"):
+            keep[0] = False
+        if not keep.any():
+            return empty
+        first_idx = starts[keep]
+        last_idx = bounds[1:][keep] - 1
+        return pa.table({key: t[key].take(pa.array(first_idx)),
+                         "first_value": t[value_col].take(pa.array(first_idx)),
+                         "last_value": t[value_col].take(pa.array(last_idx))})
+
+    out, driver_rows = per_key_scan(ds, by, partial, fold, apply)
+    if driver_rows:
+        import ray.data
+        extra = ray.data.from_pandas(
+            pd.DataFrame(driver_rows)[[key, "first_value", "last_value"]])
+        out = out.union(extra)
+    return out

@@ -454,33 +454,15 @@ def global_percent_rank(ds, by: list[str], descending: list[bool] | bool,
 
 
 def first_last_value_per_key(ds, key: str, order_col: str, value_col: str,
-                             tiebreak: str) -> pd.DataFrame:
+                             tiebreak: str):
     """Per-key FIRST_VALUE and LAST_VALUE of `value_col` in (order_col,
-    tiebreak) order — two-phase: each batch emits its per-key first and
-    last candidate rows (2 rows per key per batch), the driver reduces
-    the O(#keys · #batches) candidates the same way. No shuffle."""
-    cols = [key, order_col, tiebreak, value_col]
+    tiebreak) order. Distributed via ops/keyscan.py: after the range
+    sort a run's first/last rows ARE the answers — interior keys emit
+    from their block, edge keys merge through the O(#blocks) driver
+    fold. Returns a Dataset of (key, first_value, last_value)."""
+    from webvalid.ops.keyscan import first_last_scan
 
-    def ends(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([order_col, tiebreak], kind="mergesort")
-        first = df.drop_duplicates(key, keep="first")
-        last = df.drop_duplicates(key, keep="last")
-        return pd.concat([first, last], ignore_index=True)
-
-    def partial(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(ends(t.select(cols).to_pandas()),
-                                    preserve_index=False)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    cand = ends(parts)
-    first = cand.sort_values([order_col, tiebreak], kind="mergesort") \
-        .drop_duplicates(key, keep="first").set_index(key)[value_col]
-    last = cand.sort_values([order_col, tiebreak], kind="mergesort") \
-        .drop_duplicates(key, keep="last").set_index(key)[value_col]
-    out = pd.DataFrame({key: first.index,
-                        "first_value": first.to_numpy(),
-                        "last_value": last.loc[first.index].to_numpy()})
-    return out.sort_values(key).reset_index(drop=True)
+    return first_last_scan(ds, key, order_col, tiebreak, value_col)
 
 
 def rate_per_key(ds, key: str, order_col: str, value_col: str,

@@ -1443,12 +1443,14 @@ def percent_rank_orders(sf_dir: str):
 
 def first_last_value_events(sf_dir: str):
     """Per-user FIRST_VALUE / LAST_VALUE of value in event-time order
-    (ops/rank.py:first_last_value_per_key, two-phase ends reduce)."""
+    (ops/rank.py:first_last_value_per_key — keyscan run-boundary
+    merge, one row per key)."""
     from webvalid.ops.rank import first_last_value_per_key
 
-    return first_last_value_per_key(_events_ts_us(sf_dir), key="user_id",
-                                    order_col="ts_us", value_col="value",
-                                    tiebreak="event_id")
+    out = first_last_value_per_key(_events_ts_us(sf_dir), key="user_id",
+                                   order_col="ts_us", value_col="value",
+                                   tiebreak="event_id").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
 
 
 def rank_lineitem(sf_dir: str):
