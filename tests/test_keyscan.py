@@ -219,3 +219,30 @@ def test_first_last_scan_spanning_keys(ray_session, frame):
             r["first_value"] == ef
         assert (pd.isna(r["last_value"]) and pd.isna(el)) or \
             r["last_value"] == el
+
+
+def test_interval_coverage_scan_islands_across_blocks(ray_session):
+    import duckdb
+
+    from webvalid.ops.keyscan import interval_coverage_scan
+
+    rng = np.random.default_rng(21)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n),                       # long per-key runs
+        "s": np.sort(rng.integers(0, 3000, n)).astype(np.int64),
+        "tb": np.arange(n, dtype=np.int64),
+    })
+    got = interval_coverage_scan(_ds(df, 25), "k", "s", 40, tiebreak="tb") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.connect().execute("""
+        WITH iv AS (SELECT k, s, s + 40 AS e FROM df),
+        m AS (SELECT k, s, e, MAX(e) OVER (PARTITION BY k ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax FROM iv),
+        g AS (SELECT k, s, e, SUM(CASE WHEN pmax IS NULL OR s > pmax
+              THEN 1 ELSE 0 END) OVER (PARTITION BY k ORDER BY s, e) grp
+              FROM m),
+        isl AS (SELECT k, grp, MIN(s) s0, MAX(e) e1 FROM g GROUP BY k, grp)
+        SELECT k, SUM(e1 - s0) covered_us, COUNT(*) n_intervals
+        FROM isl GROUP BY k ORDER BY k""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -414,7 +414,8 @@ def test_interval_coverage_matches_duckdb(ray_session):
         "s": rng.integers(0, 5000, 300).astype(np.int64),
     })
     got = interval_coverage_per_key(_ds(ray_session, df, blocks=4),
-                                    "k", "s", dur_us=100) \
+                                    "k", "s", dur_us=100,
+                                    tiebreak=None).to_pandas() \
         .sort_values("k").reset_index(drop=True)
     exp = duckdb.connect().execute("""
         WITH iv AS (SELECT k, s, s + 100 AS e FROM df),
@@ -437,7 +438,8 @@ def test_interval_coverage_merges_touching():
     from webvalid.ops.windows import interval_coverage_per_key
 
     df = pd.DataFrame({"k": [1, 1, 1], "s": np.array([0, 10, 25], np.int64)})
-    out = interval_coverage_per_key(ray.data.from_pandas(df), "k", "s", 10)
+    out = interval_coverage_per_key(ray.data.from_pandas(df), "k", "s",
+                                    10).to_pandas()
     # [0,10) and [10,20) touch (s == pmax → merged), [25,35) separate
     assert out["covered_us"].iloc[0] == 30
     assert out["n_intervals"].iloc[0] == 2

@@ -344,12 +344,67 @@ def _pairs_in_sorted_runs(keys: np.ndarray, ids: np.ndarray,
     return a_out, b_out, pa_out, pb_out
 
 
-def _minhash_bucket_pairs(group: pa.Table) -> pa.Table:
-    """Candidate pairs within one LSH bucket (shuffle path map_groups)."""
-    ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-    keys = np.zeros(len(ids), dtype=np.int8)  # whole group = one bucket
-    a, b, _, _ = _pairs_in_sorted_runs(keys, ids)
-    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+def _sorted_run_pairs(rows_ds, key_col: str, id_col: str,
+                      payload_col: str | None = None,
+                      star_cap: int = 256) -> "pd.DataFrame":
+    """Pair rows from equal-key groups via ONE range sort + vectorized
+    per-block run-pair emission + O(#blocks) driver edge stitch — the
+    containment shuffle shape, reused by the MinHash/SimHash scale
+    paths instead of `groupby(key).map_groups` (which pays a Python
+    call per bucket; buckets number in the millions). Pairs may repeat
+    across keys; callers dedupe. Returns a pandas DataFrame
+    (doc_a, doc_b[, payload_a, payload_b]) — answer-sized by the same
+    argument as the map_groups path it replaces."""
+    import pandas as pd
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        k = t[key_col].to_numpy(zero_copy_only=False).view(np.int64)
+        i = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pl = (t[payload_col].to_numpy(zero_copy_only=False).view(np.int64)
+              if payload_col else np.zeros(len(k), np.int64))
+        order = np.lexsort((i, k))
+        k, i, pl = k[order], i[order], pl[order]
+        n = len(k)
+        empty = {"kind": np.empty(0, np.int8), "a": np.empty(0, np.int64),
+                 "b": np.empty(0, np.int64), "pa": np.empty(0, np.int64),
+                 "pb": np.empty(0, np.int64), "k": np.empty(0, np.int64)}
+        if n == 0:
+            return pa.table({c: pa.array(v) for c, v in empty.items()})
+        edge = (k == k[0]) | (k == k[-1])
+        ia, ib = _run_pair_positions(k[~edge], star_cap)
+        ki, ii, pli = k[~edge], i[~edge], pl[~edge]
+        n_edge = int(edge.sum())
+        cols = {
+            "kind": np.concatenate([np.zeros(len(ia), np.int8),
+                                    np.ones(n_edge, np.int8)]),
+            "a": np.concatenate([ii[ia], i[edge]]),
+            "b": np.concatenate([ii[ib], np.zeros(n_edge, np.int64)]),
+            "pa": np.concatenate([pli[ia], pl[edge]]),
+            "pb": np.concatenate([pli[ib], np.zeros(n_edge, np.int64)]),
+            "k": np.concatenate([np.zeros(len(ia), np.int64), k[edge]]),
+        }
+        return pa.table({c: pa.array(v) for c, v in cols.items()})
+
+    mixed = rows_ds.sort(key_col).map_batches(
+        block_pairs, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    inner = mixed[mixed["kind"] == 0]
+    edges = mixed[mixed["kind"] == 1]
+    ek = edges["k"].to_numpy()
+    ei = edges["a"].to_numpy()
+    ep = edges["pa"].to_numpy()
+    order = np.lexsort((ei, ek))
+    ek, ei, ep = ek[order], ei[order], ep[order]
+    ia, ib = _run_pair_positions(ek, star_cap)
+    out = pd.DataFrame({
+        "doc_a": np.concatenate([inner["a"].to_numpy(), ei[ia]]),
+        "doc_b": np.concatenate([inner["b"].to_numpy(), ei[ib]]),
+    })
+    if payload_col:
+        out["payload_a"] = np.concatenate([inner["pa"].to_numpy(), ep[ia]])
+        out["payload_b"] = np.concatenate([inner["pb"].to_numpy(), ep[ib]])
+    return out
 
 
 def _resolve_strategy(strategy: str, ds, driver_max_docs: int) -> str:
@@ -475,12 +530,11 @@ def minhash_lsh_candidates(ds, num_perm: int = 64, bands: int = 8, shingle_k: in
         task_callable(MinHasher, **hasher_kwargs),
         batch_format="pyarrow",
     )
-    pairs = band_rows.groupby("band_hash").map_groups(
-        _minhash_bucket_pairs, batch_format="pyarrow"
-    )
     # candidate pairs are rare (bounded by real near-dups + LSH false
-    # positives) — dedupe the pair list driver-side
-    pairs_pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    # positives) — sort-based run pairs (no per-bucket Python), then
+    # dedupe the answer-sized pair list driver-side
+    pairs_pdf = _sorted_run_pairs(band_rows, "band_hash", "doc_id") \
+        .drop_duplicates(["doc_a", "doc_b"])
     out = _attach_est_jaccard(ds, pairs_pdf, hasher_kwargs, min_est_jaccard,
                               text_col, id_col)
     return ray.data.from_pandas(out)
@@ -705,26 +759,6 @@ def _simhash_pairs_vectorized(keys_sorted: np.ndarray, ids: np.ndarray,
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
-def _simhash_bucket_pairs(max_hamming: int):
-    def fn(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["doc_id"].to_pylist(), dtype=np.int64)
-        hashes = np.asarray(group["simhash"].to_pylist(), dtype=np.uint64)
-        keys = np.zeros(len(ids), dtype=np.int8)
-        out = _simhash_pairs_vectorized(keys, ids, hashes, max_hamming)
-        return pa.table(
-            {
-                "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
-                "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
-                # int64 like the driver path — auto strategy selection
-                # must not flip the result schema
-                "hamming": pa.array(out["hamming"].to_numpy().astype(np.int64),
-                                    pa.int64()),
-            }
-        )
-
-    return fn
-
-
 def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
                       max_hamming: int = 3, strategy: str = "auto",
                       driver_max_docs: int = 2_000_000):
@@ -753,10 +787,23 @@ def simhash_near_dups(ds, text_col: str = "text", id_col: str = "doc_id",
         out = _simhash_pairs_vectorized(key[order], ids[order], hashes[order],
                                         max_hamming)
         return ray.data.from_pandas(out)
-    pairs = chunk_rows.groupby("chunk_key").map_groups(
-        _simhash_bucket_pairs(max_hamming), batch_format="pyarrow"
-    )
-    out = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    # sort-based run pairs with the signature as payload (no per-bucket
+    # Python); dedupe, then ONE vectorized xor-popcount filter — the
+    # same star cap as the driver path, so strategies stay identical
+    cand = _sorted_run_pairs(chunk_rows, "chunk_key", "doc_id",
+                             payload_col="simhash", star_cap=2048) \
+        .drop_duplicates(["doc_a", "doc_b"])
+    if len(cand) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")}))
+    ham = _popcount64(cand["payload_a"].to_numpy().view(np.uint64)
+                      ^ cand["payload_b"].to_numpy().view(np.uint64))
+    out = pd.DataFrame({"doc_a": cand["doc_a"].to_numpy(),
+                        "doc_b": cand["doc_b"].to_numpy(),
+                        "hamming": ham.astype(np.int64)})
+    out = out[out["hamming"] <= max_hamming]
     return ray.data.from_pandas(
         out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
@@ -974,18 +1021,16 @@ def exact_dedup_keep_best(ds, text_col: str = "text", id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 
-def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray,
-                    star_cap: int) -> tuple[np.ndarray, np.ndarray]:
-    """All unordered id pairs within equal-key runs, WITH multiplicity,
-    fully vectorized (no Python per run).
-
-    `keys` must be sorted and `ids` sorted within each run (so ids are
-    strictly increasing inside a run — callers guarantee per-run-unique
-    ids). Runs longer than `star_cap` emit a star around the run-min id
-    (same giant-bucket bound as _pairs_in_sorted_runs). Full runs are
-    bucketed BY LENGTH so each distinct length costs one broadcast
-    gather against a precomputed triu index — exact and loop-free.
-    """
+def _run_pair_positions(keys: np.ndarray,
+                        star_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """POSITIONS (ia, ib) of all unordered pairs within equal-key runs
+    of a sorted key array, WITH multiplicity, fully vectorized (no
+    Python per run). Rows must be sorted by (key, id) so ia < ib
+    implies id[ia] < id[ib]. Runs longer than `star_cap` emit a star
+    around the run's first row (same giant-bucket bound as
+    _pairs_in_sorted_runs). Full runs are bucketed BY LENGTH so each
+    distinct length costs one broadcast gather against a precomputed
+    triu index — exact and loop-free."""
     n = len(keys)
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -1000,8 +1045,8 @@ def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray,
         for L in np.unique(fl):
             ii, jj = np.triu_indices(int(L), k=1)
             s = fs[fl == L]
-            a_parts.append(ids[(s[:, None] + ii[None, :]).ravel()])
-            b_parts.append(ids[(s[:, None] + jj[None, :]).ravel()])
+            a_parts.append((s[:, None] + ii[None, :]).ravel())
+            b_parts.append((s[:, None] + jj[None, :]).ravel())
 
     star = lens > star_cap
     if star.any():
@@ -1010,12 +1055,19 @@ def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray,
         run_of = np.repeat(np.arange(len(ss)), sl - 1)
         excl = np.concatenate([[0], np.cumsum(sl - 1)[:-1]])
         loc = np.arange(tot, dtype=np.int64) - excl[run_of]
-        a_parts.append(ids[ss[run_of]])          # run min (sorted by id)
-        b_parts.append(ids[ss[run_of] + 1 + loc])
+        a_parts.append(ss[run_of])               # run min (sorted by id)
+        b_parts.append(ss[run_of] + 1 + loc)
 
     if not a_parts:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _emit_run_pairs(keys: np.ndarray, ids: np.ndarray,
+                    star_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Id-valued wrapper of _run_pair_positions."""
+    ia, ib = _run_pair_positions(keys, star_cap)
+    return ids[ia], ids[ib]
 
 
 def _pair_overlap_counts(a: np.ndarray, b: np.ndarray) -> "pd.DataFrame":

@@ -970,3 +970,150 @@ def first_last_scan(ds, key: str, order_col: str, tiebreak: str,
             pd.DataFrame(driver_rows)[[key, "first_value", "last_value"]])
         out = out.union(extra)
     return out
+
+
+def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
+                           tiebreak: str | None = None):
+    """Per-key union length of fixed-duration intervals [start, start +
+    dur): overlapping/touching intervals merge; returns (key,
+    covered_us, n_intervals) — one row per key, integer-exact.
+
+    Keyscan shape: after the (key, start) sort, islands are computed
+    per block with ONE reset-aware running-max (no Python per key);
+    keys touching a block edge chain through the driver fold. Because
+    every interval has the SAME duration, an open island can only
+    merge with the next block's FIRST island (the second island starts
+    strictly later than first_start + dur), so the carry is one island
+    plus two counters."""
+    by = [key, start_us_col] + ([tiebreak] if tiebreak else [])
+
+    def _islands(s: np.ndarray, run_id: np.ndarray):
+        """(island_start_mask) for globally sorted starts with per-run
+        resets, via an offset-lifted running max."""
+        e = s + dur_us
+        if len(s) == 0:
+            return np.zeros(0, dtype=bool)
+        off = np.int64(int(e.max()) - int(s.min()) + dur_us + 1)
+        m = e + run_id * off
+        pmax = np.maximum.accumulate(m)
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = (run_id[1:] != run_id[:-1]) | \
+            (s[1:] + run_id[1:] * off > pmax[:-1])
+        return new
+
+    def _run_summary(s: np.ndarray) -> dict:
+        """Island summary of ONE run's sorted starts."""
+        e = s + dur_us
+        pmax = np.maximum.accumulate(e)
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = s[1:] > pmax[:-1]
+        idx = np.flatnonzero(new)
+        ends = np.maximum.reduceat(e, idx)
+        starts = s[idx]
+        return {"first_s": int(starts[0]), "first_e": int(ends[0]),
+                "last_s": int(starts[-1]), "last_e": int(ends[-1]),
+                "covered": int((ends - starts).sum()), "n": int(len(idx))}
+
+    def _merge(a: dict, b: dict) -> dict:
+        if b["first_s"] <= a["last_e"]:  # open island absorbs b's first
+            joined_s, joined_e = a["last_s"], b["first_e"]
+            covered = (a["covered"] - (a["last_e"] - a["last_s"])
+                       + b["covered"] - (b["first_e"] - b["first_s"])
+                       + (joined_e - joined_s))
+            n = a["n"] + b["n"] - 1
+            first = (joined_s, joined_e) if a["n"] == 1 \
+                else (a["first_s"], a["first_e"])
+            last = (joined_s, joined_e) if b["n"] == 1 \
+                else (b["last_s"], b["last_e"])
+        else:
+            covered = a["covered"] + b["covered"]
+            n = a["n"] + b["n"]
+            first = (a["first_s"], a["first_e"])
+            last = (b["last_s"], b["last_e"])
+        return {"first_s": first[0], "first_e": first[1],
+                "last_s": last[0], "last_e": last[1],
+                "covered": covered, "n": n}
+
+    def partial(t: pa.Table) -> dict:
+        k = t[key].to_numpy(zero_copy_only=False)
+        s = t[start_us_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _runs(k)
+        head_end = int(starts[1]) if len(starts) > 1 else len(k)
+        return {
+            "head": t[key][0].as_py(),
+            "tail": t[key][len(k) - 1].as_py(),
+            "single": bool(k[0] == k[-1]),
+            "head_stats": _run_summary(s[:head_end]),
+            "tail_stats": (_run_summary(s[int(starts[-1]):])
+                           if len(starts) > 1 else None),
+        }
+
+    def _row(key_val, st):
+        return {key: key_val, "covered_us": st["covered"],
+                "n_intervals": st["n"]}
+
+    def fold(state, part):
+        rows = []
+        if part is None:
+            if state is not None:
+                rows.append(_row(state[0], state[1]))
+            return None, None, rows
+        head_stats = part["head_stats"]
+        tail_stats = head_stats if part["tail_stats"] is None \
+            else part["tail_stats"]
+        cont = state is not None and part["head"] == state[0]
+        if cont:
+            merged = _merge(state[1], head_stats)
+            if part["single"]:
+                return {"head_in_chain": True}, (part["tail"], merged), rows
+            rows.append(_row(part["head"], merged))
+            inject = {"head_in_chain": True}
+        else:
+            if state is not None:
+                rows.append(_row(state[0], state[1]))
+            inject = {"head_in_chain": part["single"]}
+        return inject, (part["tail"], tail_stats), rows
+
+    def apply(t: pa.Table, inject) -> pa.Table:
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "covered_us": pa.array([], pa.int64()),
+                          "n_intervals": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        k = t[key].to_numpy(zero_copy_only=False)
+        s = t[start_us_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _runs(k)
+        bounds = np.concatenate([starts, [len(k)]])
+        run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
+        new = _islands(s, run_id)
+        isl_idx = np.flatnonzero(new)
+        e = s + dur_us
+        # island end = max end within island = running max at next
+        # island boundary (offset-lifted to respect run resets)
+        off = np.int64(int(e.max()) - int(s.min()) + dur_us + 1)
+        pmax = np.maximum.accumulate(e + run_id * off)
+        isl_bounds = np.append(isl_idx, len(s))
+        isl_end = (pmax[isl_bounds[1:] - 1]
+                   - run_id[isl_idx] * off)
+        isl_len = isl_end - s[isl_idx]
+        isl_run = run_id[isl_idx]
+        covered = np.bincount(isl_run, weights=isl_len,
+                              minlength=len(starts)).astype(np.int64)
+        n_isl = np.bincount(isl_run, minlength=len(starts)).astype(np.int64)
+        keep = np.ones(len(starts), dtype=bool)
+        keep[-1] = False
+        if inject is not None and inject.get("head_in_chain"):
+            keep[0] = False
+        if not keep.any():
+            return empty
+        return pa.table({key: pa.array(k[starts[keep]]),
+                         "covered_us": pa.array(covered[keep]),
+                         "n_intervals": pa.array(n_isl[keep])})
+
+    out, driver_rows = per_key_scan(ds, by, partial, fold, apply)
+    if driver_rows:
+        import ray.data
+        extra = ray.data.from_pandas(
+            pd.DataFrame(driver_rows)[[key, "covered_us", "n_intervals"]])
+        out = out.union(extra)
+    return out

@@ -169,25 +169,19 @@ def windowed_distinct(ds, ts_col: str, id_col: str,
 
 
 def interval_coverage_per_key(ds, key: str, start_us_col: str,
-                              dur_us: int) -> "pd.DataFrame":
+                              dur_us: int, tiebreak: str | None = None):
     """Per-key union length of the intervals [start, start + dur):
     overlapping/touching intervals merge (classic gaps-and-islands on
     the running max end), returning total covered microseconds and the
     merged-interval count. Integer-exact — no rounding.
 
-    Same per-key co-location contract as `sessionize`; SQL twin is the
-    MAX() OVER running-end island construction."""
-    import pandas as pd
+    Distributed via ops/keyscan.py (reset-aware running max per block,
+    O(#blocks) driver island-merge — fixed duration bounds the carry
+    to ONE open island). Pass `tiebreak` when (key, start) can repeat.
+    Returns a Dataset. SQL twin: the MAX() OVER running-end island
+    construction."""
+    from webvalid.ops.keyscan import interval_coverage_scan
 
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        s = np.sort(g[start_us_col].to_numpy(np.int64), kind="mergesort")
-        e = s + dur_us
-        pmax = np.maximum.accumulate(e)
-        new = np.concatenate([[True], s[1:] > pmax[:-1]])
-        starts = s[new]
-        ends = np.maximum.reduceat(e, np.flatnonzero(new))
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "covered_us": [int((ends - starts).sum())],
-                             "n_intervals": [int(new.sum())]})
+    return interval_coverage_scan(ds, key, start_us_col, dur_us,
+                                  tiebreak=tiebreak)
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()

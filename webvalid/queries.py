@@ -2172,10 +2172,11 @@ def coverage_15min_events_users(sf_dir: str):
     def add_us(t: pa.Table) -> pa.Table:
         return t.append_column("ts_us", pc.cast(t["ts"], pa.int64()))
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"]) \
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"]) \
         .map_batches(add_us, batch_format="pyarrow")
     out = interval_coverage_per_key(ds, "user_id", "ts_us",
-                                    dur_us=900_000_000)
+                                    dur_us=900_000_000,
+                                    tiebreak="event_id").to_pandas()
     return out.sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
