@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # real image decode through the actor pool (pure-NumPy codecs)
         "decode_png_documents": q.decode_png_documents,
         "decode_jpeg_documents": q.decode_jpeg_documents,
+        "bpe_tokens_documents": q.bpe_tokens_documents,
+        "resize_images_documents": q.resize_images_documents,
     }
 
 
@@ -1990,5 +1992,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + (doc_id // 13) % 11 AS INT) AS height,
                    TRUE AS mean_in_bound
             FROM documents WHERE doc_id < 200 ORDER BY doc_id
+        """,
+        "bpe_tokens_documents": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE length(list_filter(str_split(text, ' '),
+                                                x -> x <> '')) END
+                       AS n_words,
+                   TRUE AS bounds_ok
+            FROM documents ORDER BY doc_id
+        """,
+        "resize_images_documents": """
+            WITH d AS (
+                SELECT doc_id AS d, 16 + doc_id % 13 AS w,
+                       16 + (doc_id // 13) % 11 AS h
+                FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT d, w, h, unnest(range(0, 24 * 24)) AS i FROM d
+            ), v AS (
+                -- nearest: src = floor((dst + 0.5) * in / out), clamped
+                SELECT d,
+                       ((LEAST(CAST(floor(((i % 24) + 0.5) * w / 24)
+                                    AS BIGINT), w - 1))
+                        + 2 * (LEAST(CAST(floor(((i // 24) + 0.5) * h / 24)
+                                          AS BIGINT), h - 1))
+                        + d) % 256 AS val
+                FROM px
+            )
+            SELECT d AS doc_id, 24 AS width, 24 AS height,
+                   ROUND(SUM(val) / 576.0 / 255.0 + 1e-9, 6) AS mean_q6
+            FROM v GROUP BY d ORDER BY doc_id
         """,
     }

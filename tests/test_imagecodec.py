@@ -125,3 +125,52 @@ def test_luma_mean_rgb_weights():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     img[:, :, 0] = 255  # pure red
     assert abs(luma_mean(img) - 299 / 1000) < 1e-12
+
+
+def test_resize_nearest_exact_selection():
+    from webvalid.ops.multimodal import resize_nearest
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (17, 29, 3), dtype=np.uint8)
+    out = resize_nearest(img, 8, 8)
+    assert out.shape == (8, 8, 3)
+    for dy in range(8):
+        for dx in range(8):
+            sy = min(int((dy + 0.5) * 17 / 8), 16)
+            sx = min(int((dx + 0.5) * 29 / 8), 28)
+            assert (out[dy, dx] == img[sy, sx]).all()
+
+
+def test_resize_bilinear_interpolates():
+    from webvalid.ops.multimodal import resize_bilinear
+
+    # constant image stays constant under any resize
+    flat = np.full((10, 14, 1), 77, dtype=np.uint8)
+    out = resize_bilinear(flat, 5, 9)
+    assert np.allclose(out, 77.0)
+    # a horizontal ramp keeps monotone rows
+    ramp = np.tile(np.arange(32, dtype=np.uint8), (8, 1))[:, :, None]
+    out = resize_bilinear(ramp, 4, 16)
+    assert (np.diff(out[0, :, 0]) >= 0).all()
+    # upscaling a 2x2 checker yields intermediate values
+    chk = np.array([[0, 255], [255, 0]], dtype=np.uint8)[:, :, None]
+    out = resize_bilinear(chk, 4, 4)
+    assert 0 < out[1, 1, 0] < 255
+
+
+def test_resize_images_actor_pool(ray_session):
+    import ray.data
+
+    from webvalid.ops.multimodal import resize_images, resize_nearest
+
+    rng = np.random.default_rng(15)
+    rows, truth = [], {}
+    for i in range(12):
+        img = rng.integers(0, 256, (11 + i, 13 + i), dtype=np.uint8)
+        rows.append({"url": f"u{i}", "img": encode_png(img[:, :, None])})
+        truth[f"u{i}"] = resize_nearest(img[:, :, None], 6, 6).mean() / 255.0
+    ds = ray.data.from_items(rows).repartition(2)
+    out = resize_images(ds, 6, 6, payload_col="img", id_col="url").to_pandas()
+    for _, r in out.iterrows():
+        assert (r["width"], r["height"]) == (6, 6)
+        assert abs(r["mean_intensity"] - truth[r["url"]]) < 1e-12

@@ -1,15 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video are carried as `binary` columns with metadata
-(mime, width/height, duration). The decode/feature kernels are STUBBED
-— the real codec libraries (PIL, ffmpeg, torchaudio) are not in this
-container — behind a deterministic fake keyed by payload bytes, with
-the Ray-side plumbing real and tested: actor-pool `map_batches`
-stages, byte-aware batch sizing, Arrow-native binary handling (never
-pandas object round-trips), fixed-dim feature output schema.
+(mime, width/height, duration). Image decode is REAL for the main web
+formats — PNG and baseline JPEG via the pure-NumPy codecs in
+ops/imagecodec.py, plus PNM and BMP here, and RIFF/PCM WAV for audio;
+resize (nearest + bilinear) is real too. Only genuinely-unavailable
+codecs (video, exotic formats) fall back to a deterministic fake keyed
+by payload bytes (or PIL when importable). The Ray-side plumbing is
+uniform throughout: actor-pool `map_batches` stages, byte-aware batch
+sizing, Arrow-native binary handling, fixed-dim feature schema.
 
-To swap in a real decoder, override `_decode_impl` (an import-try for
-PIL is attempted first; `WEBVALID_FORCE_STUB=1` forces the fake).
+`WEBVALID_FORCE_STUB=1` forces the fake for hermetic stub runs.
 """
 
 from __future__ import annotations
@@ -382,6 +383,100 @@ def audio_features(ds, payload_col: str = "audio", id_col: str = "url",
     return ds.select_columns([id_col, payload_col]).map_batches(
         AudioFeatures,
         fn_constructor_kwargs={"payload_col": payload_col, "id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize of (H, W, C) via pixel-center index
+    mapping: src = floor((dst + 0.5) * in/out) — the OpenCV/PIL-nearest
+    convention, exact integer selection (no resampling arithmetic)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    yy = np.minimum((np.arange(out_h) + 0.5) * h / out_h, h - 1).astype(np.int64)
+    xx = np.minimum((np.arange(out_w) + 0.5) * w / out_w, w - 1).astype(np.int64)
+    return img[yy[:, None], xx[None, :]]
+
+
+def resize_bilinear(img, out_h: int, out_w: int):
+    """Bilinear resize of (H, W, C) float64 with half-pixel centers
+    (align_corners=False convention), fully vectorized."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    a = img.astype(np.float64)
+    fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+class ResizeImage:
+    """Actor-pool stage: binary payload → decode → resize → (id, out
+    dims, resized mean). `method` = "nearest" (exact integer pixel
+    selection — SQL-recomputable on synthetic payloads) or "bilinear".
+    Rows whose payload fails to decode emit width 0 (same null
+    contract as DecodeImageStub)."""
+
+    def __init__(self, out_h: int, out_w: int, method: str = "nearest",
+                 payload_col: str = "html", id_col: str = "url"):
+        self.out_h, self.out_w = out_h, out_w
+        self.method = method
+        self.payload_col = payload_col
+        self.id_col = id_col
+
+    def _resize(self, img):
+        if self.method == "nearest":
+            return resize_nearest(img, self.out_h, self.out_w)
+        return resize_bilinear(img, self.out_h, self.out_w)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from webvalid.ops.imagecodec import decode_jpeg, decode_png
+
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        means = np.full(n, np.nan)
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            img = decode_png(p)
+            if img is None:
+                img = decode_jpeg(p)
+            if img is None:
+                continue
+            out = self._resize(img)
+            widths[i], heights[i] = self.out_w, self.out_h
+            means[i] = float(np.asarray(out, dtype=np.float64).mean() / 255.0)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "mean_intensity": pa.array(means, pa.float64()),
+        })
+
+
+def resize_images(ds, out_h: int, out_w: int, method: str = "nearest",
+                  payload_col: str = "html", id_col: str = "url",
+                  concurrency=(1, 8), batch_size: int = 256):
+    """Resize stage wiring: same actor-pool shape as decode_images."""
+    return ds.select_columns([id_col, payload_col]).map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w,
+                               "method": method,
+                               "payload_col": payload_col,
+                               "id_col": id_col},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -2917,3 +2917,46 @@ def decode_jpeg_documents(sf_dir: str):
         <= 0.02)
     return out[["doc_id", "width", "height", "mean_in_bound"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def bpe_tokens_documents(sf_dir: str, n_merges: int = 150):
+    """BPE tokenizer pipeline (ops/bpe.py): train merges on the corpus
+    word table, encode every doc through the actor pool, return per-doc
+    word and BPE-token counts with the token-count bounds asserted
+    (n_words ≤ n_bpe_tokens ≤ non-space chars) — the SQL twin restates
+    the exact word count and TRUE."""
+    from webvalid.ops.bpe import bpe_token_counts, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, n_merges=n_merges)
+    out = bpe_token_counts(ds, merges).to_pandas()
+    # bounds need the non-space char count — recompute exactly
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    txt = t.to_pandas().set_index("doc_id")["text"]
+    chars = txt.fillna("").str.replace(" ", "", regex=False).str.len()
+    out = out.set_index("doc_id")
+    ok = (out["n_words"] <= out["n_bpe_tokens"]) & \
+         (out["n_bpe_tokens"] <= chars.reindex(out.index))
+    ok |= out["n_bpe_tokens"] == 0  # null/empty docs
+    out["bounds_ok"] = ok.to_numpy()
+    out = out.reset_index()
+    return out[["doc_id", "n_words", "bounds_ok"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def resize_images_documents(sf_dir: str, out: int = 24):
+    """REAL image resize through the actor pool
+    (ops/multimodal.ResizeImage, nearest-neighbor = exact integer pixel
+    selection): synthesized PNGs resized to out×out; output dimensions
+    AND resized mean value-exact against a SQL recomputation of the
+    picked source pixels."""
+    from webvalid.ops.multimodal import resize_images
+
+    ds = _synth_image_payloads(sf_dir, "png")
+    res = resize_images(ds, out, out, method="nearest",
+                        payload_col="img", id_col="doc_id").to_pandas()
+    res["mean_q6"] = (res["mean_intensity"] + 1e-9).round(6)
+    return res[["doc_id", "width", "height", "mean_q6"]] \
+        .sort_values("doc_id").reset_index(drop=True)
