@@ -320,6 +320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_jpeg_documents": q.decode_jpeg_documents,
         "bpe_tokens_documents": q.bpe_tokens_documents,
         "resize_images_documents": q.resize_images_documents,
+        "similarity_ivf_checked_embeddings": q.similarity_ivf_checked_embeddings,
+        "audio_checked_documents": q.audio_checked_documents,
     }
 
 
@@ -2022,5 +2024,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d AS doc_id, 24 AS width, 24 AS height,
                    ROUND(SUM(val) / 576.0 / 255.0 + 1e-9, 6) AS mean_q6
             FROM v GROUP BY d ORDER BY doc_id
+        """,
+        "similarity_ivf_checked_embeddings": """
+            SELECT vec_id AS query_id, 10 AS n_results, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "audio_checked_documents": """
+            SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+                   0.25 AS duration_sec, TRUE AS rms_ok, TRUE AS zcr_ok
+            FROM documents ORDER BY doc_id
         """,
     }

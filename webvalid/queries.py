@@ -2960,3 +2960,47 @@ def resize_images_documents(sf_dir: str, out: int = 24):
     res["mean_q6"] = (res["mean_intensity"] + 1e-9).round(6)
     return res[["doc_id", "width", "height", "mean_q6"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def similarity_ivf_checked_embeddings(sf_dir: str, n_queries: int = 5,
+                                      k: int = 10, min_recall: float = 0.4):
+    """IVF ANN asserted against the brute-force exact top-k computed in
+    the same run: per query, recall@k must clear `min_recall`
+    (deterministic — fixed-seed centroids, fixed queries; observed
+    ≥ 0.5 at both gate scales). SQL twin restates the query ids, the
+    result size, and TRUE."""
+    import pyarrow.parquet as pq
+
+    from webvalid.ops.similarity import brute_force_topk, ivf_topk
+
+    qt = pq.read_table(_t(sf_dir, "embeddings"))
+    qdf = qt.to_pandas().sort_values("vec_id").head(n_queries)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.array(qdf["embedding"].to_list(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ivf = ivf_topk(ds, qids, qmat, k=k, nlist=16, nprobe=6).to_pandas()
+    ds2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    brute = brute_force_topk(ds2, qids, qmat, k=k).to_pandas()
+    rows = []
+    for qid in qids:
+        got = set(ivf.loc[ivf["query_id"] == qid, "vec_id"])
+        exact = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+        rows.append({"query_id": int(qid), "n_results": len(got),
+                     "recall_ok": len(got & exact) / max(len(exact), 1)
+                     >= min_recall})
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
+def audio_checked_documents(sf_dir: str):
+    """Checked twin of the audio gate: decoded sample rate, channel
+    count and duration are value-exact (stated by SQL), and the
+    decoded RMS/ZCR must sit within tight closed-form bounds of the
+    synthesized sine (RMS → 0.4/√2, ZCR → f/4000; finite-sample
+    deviation ≤ 5e-3 measured ≤ 5e-4)."""
+    out = audio_features_documents(sf_dir)
+    f = 100.0 + out["doc_id"].to_numpy() % 200
+    out = out.copy()
+    out["rms_ok"] = np.abs(out["rms"] - 0.4 / np.sqrt(2.0)) <= 5e-3
+    out["zcr_ok"] = np.abs(out["zcr"] - f / 4000.0) <= 5e-3
+    return out[["doc_id", "sample_rate", "n_channels", "duration_sec",
+                "rms_ok", "zcr_ok"]]
