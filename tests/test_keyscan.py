@@ -246,3 +246,53 @@ def test_interval_coverage_scan_islands_across_blocks(ray_session):
         SELECT k, SUM(e1 - s0) covered_us, COUNT(*) n_intervals
         FROM isl GROUP BY k ORDER BY k""").df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_keyscan_one_key_spans_every_block(ray_session):
+    """A single key across ALL blocks: the pure chain path."""
+    from webvalid.ops.keyscan import (cumsum_scan, rolling_agg_scan,
+                                      sessionize_scan)
+
+    n = 300
+    df = pd.DataFrame({"k": np.zeros(n, dtype=np.int64),
+                       "o": np.arange(n, dtype=np.int64),
+                       "tb": np.arange(n, dtype=np.int64),
+                       "v": np.arange(n, dtype=np.float64)})
+    got = cumsum_scan(_ds(df, 30), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    exp = np.cumsum(df["v"].to_numpy())
+    assert np.allclose(got["cum_sum"], exp, atol=1e-9)
+
+    got = rolling_agg_scan(_ds(df, 30), "k", "o", "tb", "v", 5,
+                           {"rs": "sum"}).to_pandas() \
+        .sort_values("o").reset_index(drop=True)
+    exp = pd.Series(df["v"]).rolling(5, min_periods=1).sum().to_numpy()
+    assert np.allclose(got["rs"], exp, atol=1e-9)
+
+    import ray.data
+    sdf = pd.DataFrame({"u": np.zeros(n, dtype=np.int64),
+                        "ts": (np.arange(n, dtype=np.int64) * 10),
+                        "eid": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(sdf).repartition(30)
+    out = sessionize_scan(ds, "u", "ts", gap_us=9, tiebreak="eid").to_pandas()
+    # every gap is 10 > 9 → n sessions of 1 event each
+    assert len(out) == n and (out["n_events"] == 1).all()
+    assert sorted(out["session_id"]) == list(range(n))
+
+
+def test_keyscan_singleton_keys(ray_session):
+    """Every key has exactly one row — all runs are length-1."""
+    from webvalid.ops.keyscan import first_last_scan, lag_scan
+
+    n = 120
+    df = pd.DataFrame({"k": np.arange(n, dtype=np.int64),
+                       "o": np.zeros(n, dtype=np.int64),
+                       "tb": np.arange(n, dtype=np.int64),
+                       "v": np.arange(n, dtype=np.float64)})
+    got = lag_scan(_ds(df, 10), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["lagged"].isna().all()
+    fl = first_last_scan(_ds(df, 10), "k", "o", "tb", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(fl) == n
+    assert (fl["first_value"] == fl["last_value"]).all()
