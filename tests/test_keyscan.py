@@ -296,3 +296,58 @@ def test_keyscan_singleton_keys(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     assert len(fl) == n
     assert (fl["first_value"] == fl["last_value"]).all()
+
+
+def test_keyscan_rejects_null_keys(ray_session):
+    from webvalid.ops.keyscan import rolling_agg_scan
+
+    df = pd.DataFrame({"k": [1.0, 2.0, np.nan, 3.0],
+                       "o": np.arange(4, dtype=np.int64),
+                       "tb": np.arange(4, dtype=np.int64),
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    with pytest.raises(Exception, match="null/NaN"):
+        rolling_agg_scan(_ds(df, 2), "k", "o", "tb", "v", 2,
+                         {"rm": "mean"}).to_pandas()
+
+
+def test_range_sum_overflow_fallback_matches_vectorized(ray_session):
+    """Orders near int64 scale force the per-run fallback (the
+    monotonic lift would overflow); results must match DuckDB."""
+    import duckdb
+
+    from webvalid.ops.keyscan import rolling_range_sum_scan
+
+    rng = np.random.default_rng(31)
+    HUGE = 2_000_000_000_000_000_000  # 2e18 — extents sum past 2^62
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 90),
+        "o": rng.integers(0, HUGE, 90).astype(np.int64),
+        "tb": np.arange(90, dtype=np.int64),
+        "v": np.round(rng.normal(5, 2, 90), 2),
+    })
+    got = rolling_range_sum_scan(_ds(df, 5), "k", "o", "tb", "v",
+                                 span=HUGE // 2) \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = duckdb.connect().execute(f"""
+        SELECT tb, ROUND(SUM(v) OVER (PARTITION BY k ORDER BY o
+                    RANGE BETWEEN {HUGE // 2} PRECEDING AND CURRENT ROW)
+                    + 1e-9, 6) AS range_sum
+        FROM df ORDER BY tb""").df()
+    assert np.allclose(got["range_sum"], exp["range_sum"], atol=1e-9)
+
+
+def test_interval_coverage_overflow_fallback(ray_session):
+    from webvalid.ops.keyscan import interval_coverage_scan
+
+    HUGE = 2_000_000_000_000_000_000
+    df = pd.DataFrame({
+        "k": np.repeat(np.arange(4, dtype=np.int64), 10),
+        "s": np.tile(np.arange(10, dtype=np.int64) * (HUGE // 8), 4),
+        "tb": np.arange(40, dtype=np.int64),
+    })
+    got = interval_coverage_scan(_ds(df, 4), "k", "s", HUGE // 4,
+                                 tiebreak="tb").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # dur = HUGE/4, gap between starts = HUGE/8 < dur → one island/key
+    assert (got["n_intervals"] == 1).all()
+    assert (got["covered_us"] == 9 * (HUGE // 8) + HUGE // 4).all()

@@ -64,11 +64,24 @@ def per_key_scan(ds, by: list[str], partial_fn, fold_fn, apply_fn,
         ds = pre(ds)
     sorted_ds = ds.sort(by).materialize()
 
+    key_col = by[0]
+
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"_hid": pa.array([], pa.string()),
                              "_blob": pa.array([], pa.binary()),
                              "_ord": pa.array([], pa.binary())})
+        # null/NaN keys would fragment runs (NaN != NaN) and silently
+        # break every fold chain — reject loudly instead
+        kc = t[key_col]
+        bad = kc.null_count > 0
+        if not bad and pa.types.is_floating(kc.type):
+            import pyarrow.compute as _pc
+            bad = bool(_pc.any(_pc.is_nan(kc)).as_py())
+        if bad:
+            raise ValueError(
+                f"per_key_scan: null/NaN values in key column "
+                f"{key_col!r} — filter or fill them upstream")
         head = tuple(t[c][0].as_py() for c in by)
         d = partial_fn(t)
         return pa.table({
@@ -321,11 +334,14 @@ def cumsum_scan(ds, key: str, order_col: str, tiebreak: str, value_col: str,
         v = t[value_col].to_numpy(zero_copy_only=False)
         tail = v[int(starts[-1]):]
         tail = tail[~pd.isna(tail)]
+        # pairwise np.sum is fine here: the carry is folded with one
+        # extra add per block anyway, and callers compare under the
+        # +1e-9 nudged round (see docstring)
         return {
             "head": t[key][0].as_py(),
             "tail": t[key][len(k) - 1].as_py(),
             "single": bool(k[0] == k[-1]),
-            "tail_sum": float(np.cumsum(tail)[-1]) if len(tail) else 0.0,
+            "tail_sum": float(tail.sum()) if len(tail) else 0.0,
         }
 
     def fold(state, part):
@@ -569,7 +585,8 @@ def rolling_range_sum_scan(ds, key: str, order_col: str, tiebreak: str,
         if part is None:
             return None, None, None
         fwd = None
-        if state is not None and part["tail"] == state[0]                 and part["tail_o"] == state[1]:
+        if (state is not None and part["tail"] == state[0]
+                and part["tail_o"] == state[1]):
             fwd = {"sum": state[2], "cnt": state[3]}
         s0, c0 = part["peer_sum"], part["peer_cnt"]
         if part["one_peer"] and fwd is not None:
@@ -587,26 +604,47 @@ def rolling_range_sum_scan(ds, key: str, order_col: str, tiebreak: str,
         starts = _runs(k)
         bounds = np.concatenate([starts, [len(k)]])
         run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
-        # monotonic remap: shift each run past the previous by > span
         run_min = o[starts]
         run_max = o[bounds[1:] - 1]
         spans = (run_max - run_min).astype(np.int64)
-        base = np.concatenate([[0], np.cumsum(spans + span + 2)[:-1]])
-        o_mono = (o - run_min[run_id]) + base[run_id]
-        valid = ~np.isnan(raw)
-        vv = np.where(valid, raw, 0.0)
-        csum = np.concatenate([[0.0], np.cumsum(vv)])
-        ccnt = np.concatenate([[0], np.cumsum(valid)])
-        lo = np.searchsorted(o_mono, o_mono - span, side="left")
-        hi = np.searchsorted(o_mono, o_mono, side="right")
-        s = csum[hi] - csum[lo]
-        cnt = ccnt[hi] - ccnt[lo]
+        extents = spans + span + 2
+        if float(extents.astype(np.float64).sum()) < float(1 << 62):
+            # monotonic remap: shift each run past the previous by >
+            # span so ONE searchsorted serves every run
+            base = np.concatenate([[0], np.cumsum(extents)[:-1]])
+            o_mono = (o - run_min[run_id]) + base[run_id]
+            valid = ~np.isnan(raw)
+            vv = np.where(valid, raw, 0.0)
+            csum = np.concatenate([[0.0], np.cumsum(vv)])
+            ccnt = np.concatenate([[0], np.cumsum(valid)])
+            lo = np.searchsorted(o_mono, o_mono - span, side="left")
+            hi = np.searchsorted(o_mono, o_mono, side="right")
+            s = csum[hi] - csum[lo]
+            cnt = (ccnt[hi] - ccnt[lo]).astype(np.int64)
+        else:
+            # extreme key-cardinality x time-extent: the cumulative
+            # lift would overflow int64 (silent numpy wrap) — fall
+            # back to an exact per-run loop
+            s = np.empty(len(k))
+            cnt = np.empty(len(k), np.int64)
+            for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                oo, rr = o[r0:r1], raw[r0:r1]
+                val = ~np.isnan(rr)
+                cs = np.concatenate([[0.0],
+                                     np.cumsum(np.where(val, rr, 0.0))])
+                cc = np.concatenate([[0], np.cumsum(val)])
+                lo_ = np.searchsorted(oo, oo - span, side="left")
+                hi_ = np.searchsorted(oo, oo, side="right")
+                s[r0:r1] = cs[hi_] - cs[lo_]
+                cnt[r0:r1] = cc[hi_] - cc[lo_]
         if back is not None and back[order_col]:
             # head run: recompute with the backward in-frame carry
             h = _head_run_len(k)
             po = np.asarray(back[order_col])
             pv = np.asarray(back[value_col], dtype=np.float64)
-            all_o = np.concatenate([po, o[:h]]).astype(np.float64)
+            # keep orders in their native (integer) dtype — a float64
+            # cast would lose precision above 2^53 (epoch-ns orders)
+            all_o = np.concatenate([po, o[:h]])
             all_v = np.concatenate([pv, raw[:h]])
             a_valid = ~np.isnan(all_v)
             a_vv = np.where(a_valid, all_v, 0.0)
@@ -987,20 +1025,6 @@ def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
     plus two counters."""
     by = [key, start_us_col] + ([tiebreak] if tiebreak else [])
 
-    def _islands(s: np.ndarray, run_id: np.ndarray):
-        """(island_start_mask) for globally sorted starts with per-run
-        resets, via an offset-lifted running max."""
-        e = s + dur_us
-        if len(s) == 0:
-            return np.zeros(0, dtype=bool)
-        off = np.int64(int(e.max()) - int(s.min()) + dur_us + 1)
-        m = e + run_id * off
-        pmax = np.maximum.accumulate(m)
-        new = np.ones(len(s), dtype=bool)
-        new[1:] = (run_id[1:] != run_id[:-1]) | \
-            (s[1:] + run_id[1:] * off > pmax[:-1])
-        return new
-
     def _run_summary(s: np.ndarray) -> dict:
         """Island summary of ONE run's sorted starts."""
         e = s + dur_us
@@ -1084,22 +1108,36 @@ def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
         s = t[start_us_col].to_numpy(zero_copy_only=False).astype(np.int64)
         starts = _runs(k)
         bounds = np.concatenate([starts, [len(k)]])
-        run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
-        new = _islands(s, run_id)
-        isl_idx = np.flatnonzero(new)
+        n_runs = len(starts)
+        run_id = np.repeat(np.arange(n_runs), np.diff(bounds))
         e = s + dur_us
-        # island end = max end within island = running max at next
-        # island boundary (offset-lifted to respect run resets)
         off = np.int64(int(e.max()) - int(s.min()) + dur_us + 1)
-        pmax = np.maximum.accumulate(e + run_id * off)
-        isl_bounds = np.append(isl_idx, len(s))
-        isl_end = (pmax[isl_bounds[1:] - 1]
-                   - run_id[isl_idx] * off)
-        isl_len = isl_end - s[isl_idx]
-        isl_run = run_id[isl_idx]
-        covered = np.bincount(isl_run, weights=isl_len,
-                              minlength=len(starts)).astype(np.int64)
-        n_isl = np.bincount(isl_run, minlength=len(starts)).astype(np.int64)
+        if float(off) * n_runs < float(1 << 62):
+            # ONE reset-aware running max: lift each run past the
+            # previous by `off` so accumulation never crosses a reset
+            m = e + run_id * off
+            pmax = np.maximum.accumulate(m)
+            new = np.ones(len(s), dtype=bool)
+            new[1:] = (run_id[1:] != run_id[:-1]) | \
+                (s[1:] + run_id[1:] * off > pmax[:-1])
+            isl_idx = np.flatnonzero(new)
+            isl_bounds = np.append(isl_idx, len(s))
+            isl_end = (pmax[isl_bounds[1:] - 1]
+                       - run_id[isl_idx] * off)
+            isl_len = isl_end - s[isl_idx]
+            isl_run = run_id[isl_idx]
+            covered = np.bincount(isl_run, weights=isl_len,
+                                  minlength=n_runs).astype(np.int64)
+            n_isl = np.bincount(isl_run, minlength=n_runs).astype(np.int64)
+        else:
+            # extreme key-cardinality x time-extent: the lift would
+            # overflow int64 (silent numpy wrap) — exact per-run loop
+            covered = np.empty(n_runs, np.int64)
+            n_isl = np.empty(n_runs, np.int64)
+            for ri, (r0, r1) in enumerate(zip(bounds[:-1], bounds[1:])):
+                st = _run_summary(s[r0:r1])
+                covered[ri] = st["covered"]
+                n_isl[ri] = st["n"]
         keep = np.ones(len(starts), dtype=bool)
         keep[-1] = False
         if inject is not None and inject.get("head_in_chain"):
