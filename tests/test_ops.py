@@ -395,3 +395,59 @@ def test_minhash_duplicate_heavy_corpus_stars_not_quadratic(ray_session):
     comp = dedup_components(ray.data.from_pandas(pairs[["doc_a", "doc_b"]]))
     assert comp["component"].nunique() == 1
     assert len(comp) == n
+
+
+def test_sorted_run_pairs_uint64_straddle_and_self_pairs(ray_session):
+    """Keys clustered around 2^63 (the uint64/int64 sign boundary):
+    Ray's range sort is unsigned, so edge detection must use the native
+    key dtype — a signed bit-view would misplace the straddling block's
+    boundary keys and silently drop cross-block pairs. Duplicate
+    (key, id) rows must not emit self-pairs."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.dedup import _sorted_run_pairs
+
+    rng = np.random.default_rng(0)
+    base = np.uint64(1 << 63)
+    keys = base + rng.integers(-50, 50, 4000).astype(np.int64).view(np.uint64)
+    ids = rng.integers(0, 1000, 4000)  # repeats → self-pair candidates
+    t = pa.table({"k": pa.array(keys, pa.uint64()),
+                  "i": pa.array(ids, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = _sorted_run_pairs(ds, "k", "i", star_cap=256)
+    got_set = set(zip(got["doc_a"], got["doc_b"]))
+    assert all(a != b for a, b in got_set)
+
+    order = np.lexsort((ids, keys))
+    ks, is_ = keys[order], ids[order]
+    bnd = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    bounds = np.concatenate([[0], bnd, [len(ks)]])
+    exp = set()
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        grp = sorted(set(is_[s:e]))
+        for x in range(len(grp)):
+            for y in range(x + 1, len(grp)):
+                exp.add((grp[x], grp[y]))
+    assert exp - got_set == set()
+
+
+def test_sorted_run_pairs_giant_fragment_local_star(ray_session):
+    """A bucket far larger than star_cap spanning many blocks: driver
+    forwards stay bounded (local fragment stars), and every member
+    still reaches the bucket through star pairs (connectivity)."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.dedup import _sorted_run_pairs
+
+    n = 5000
+    t = pa.table({"k": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+                  "i": pa.array(np.arange(n, dtype=np.int64), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(10)
+    got = _sorted_run_pairs(ds, "k", "i", star_cap=64)
+    # every id appears in at least one pair (one verify partner each)
+    seen = set(got["doc_a"]) | set(got["doc_b"])
+    assert seen == set(range(n))
+    # and the pair list stays far below all-pairs (n*(n-1)/2)
+    assert len(got) < 3 * n

@@ -348,17 +348,29 @@ def _sorted_run_pairs(rows_ds, key_col: str, id_col: str,
                       payload_col: str | None = None,
                       star_cap: int = 256) -> "pd.DataFrame":
     """Pair rows from equal-key groups via ONE range sort + vectorized
-    per-block run-pair emission + O(#blocks) driver edge stitch — the
-    containment shuffle shape, reused by the MinHash/SimHash scale
+    per-block run-pair emission + a bounded driver edge stitch — the
+    shuffle shape shared by the MinHash/SimHash/containment scale
     paths instead of `groupby(key).map_groups` (which pays a Python
-    call per bucket; buckets number in the millions). Pairs may repeat
-    across keys; callers dedupe. Returns a pandas DataFrame
-    (doc_a, doc_b[, payload_a, payload_b]) — answer-sized by the same
-    argument as the map_groups path it replaces."""
+    call per bucket; buckets number in the millions).
+
+    Edge handling: runs touching a block boundary defer to the driver,
+    but each block forwards AT MOST star_cap+1 rows per edge run — a
+    larger fragment emits its star pairs locally (fragment-min paired
+    with every member, preserving component connectivity exactly as
+    star-capping promises) and forwards only its min row, so driver
+    state is O(#blocks · star_cap) even for a giant bucket spanning
+    many blocks. Ordering/edge detection uses the key column's NATIVE
+    dtype so it agrees with Ray's range sort (a signed view of uint64
+    keys would misplace the block straddling 2^63 and silently drop
+    cross-block pairs); keys ride to the driver as int64 bit-views,
+    which preserves equality (all the stitch needs). Self-pairs from
+    duplicated (key, id) rows are filtered. Pairs may repeat across
+    keys; callers dedupe when they need distinct pairs. Returns a
+    pandas DataFrame (doc_a, doc_b[, payload_a, payload_b])."""
     import pandas as pd
 
     def block_pairs(t: pa.Table) -> pa.Table:
-        k = t[key_col].to_numpy(zero_copy_only=False).view(np.int64)
+        k = t[key_col].to_numpy(zero_copy_only=False)  # NATIVE dtype
         i = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pl = (t[payload_col].to_numpy(zero_copy_only=False).view(np.int64)
               if payload_col else np.zeros(len(k), np.int64))
@@ -371,17 +383,47 @@ def _sorted_run_pairs(rows_ds, key_col: str, id_col: str,
         if n == 0:
             return pa.table({c: pa.array(v) for c, v in empty.items()})
         edge = (k == k[0]) | (k == k[-1])
-        ia, ib = _run_pair_positions(k[~edge], star_cap)
-        ki, ii, pli = k[~edge], i[~edge], pl[~edge]
-        n_edge = int(edge.sum())
+        kin = k[~edge]
+        ia, ib = _run_pair_positions(kin, star_cap)
+        iin, plin = i[~edge], pl[~edge]
+        pair_a = [iin[ia]]
+        pair_b = [iin[ib]]
+        ppa = [plin[ia]]
+        ppb = [plin[ib]]
+        # edge runs: forward ≤ star_cap+1 rows each; larger fragments
+        # star locally and forward only their min row
+        fwd_idx_parts = []
+        edge_runs = [np.flatnonzero(k == k[0])]
+        if k[0] != k[-1]:
+            edge_runs.append(np.flatnonzero(k == k[-1]))
+        for run in edge_runs:
+            if len(run) > star_cap:
+                m = run[0]  # fragment min (sorted by id within run)
+                others = run[1:]
+                pair_a.append(np.full(len(others), i[m], np.int64))
+                pair_b.append(i[others])
+                ppa.append(np.full(len(others), pl[m], np.int64))
+                ppb.append(pl[others])
+                fwd_idx_parts.append(run[:1])
+            else:
+                fwd_idx_parts.append(run)
+        fwd = (np.concatenate(fwd_idx_parts) if fwd_idx_parts
+               else np.empty(0, np.int64))
+        pa_all = np.concatenate(pair_a)
+        pb_all = np.concatenate(pair_b)
+        n_pairs = len(pa_all)
         cols = {
-            "kind": np.concatenate([np.zeros(len(ia), np.int8),
-                                    np.ones(n_edge, np.int8)]),
-            "a": np.concatenate([ii[ia], i[edge]]),
-            "b": np.concatenate([ii[ib], np.zeros(n_edge, np.int64)]),
-            "pa": np.concatenate([pli[ia], pl[edge]]),
-            "pb": np.concatenate([pli[ib], np.zeros(n_edge, np.int64)]),
-            "k": np.concatenate([np.zeros(len(ia), np.int64), k[edge]]),
+            "kind": np.concatenate([np.zeros(n_pairs, np.int8),
+                                    np.ones(len(fwd), np.int8)]),
+            "a": np.concatenate([pa_all, i[fwd]]),
+            "b": np.concatenate([pb_all, np.zeros(len(fwd), np.int64)]),
+            "pa": np.concatenate([np.concatenate(ppa), pl[fwd]]),
+            "pb": np.concatenate([np.concatenate(ppb),
+                                  np.zeros(len(fwd), np.int64)]),
+            "k": np.concatenate([np.zeros(n_pairs, np.int64),
+                                 k[fwd].view(np.int64)
+                                 if k.dtype != object else
+                                 np.asarray(k[fwd], np.int64)]),
         }
         return pa.table({c: pa.array(v) for c, v in cols.items()})
 
@@ -394,7 +436,7 @@ def _sorted_run_pairs(rows_ds, key_col: str, id_col: str,
     ek = edges["k"].to_numpy()
     ei = edges["a"].to_numpy()
     ep = edges["pa"].to_numpy()
-    order = np.lexsort((ei, ek))
+    order = np.lexsort((ei, ek))  # equality grouping — order may differ
     ek, ei, ep = ek[order], ei[order], ep[order]
     ia, ib = _run_pair_positions(ek, star_cap)
     out = pd.DataFrame({
@@ -404,8 +446,9 @@ def _sorted_run_pairs(rows_ds, key_col: str, id_col: str,
     if payload_col:
         out["payload_a"] = np.concatenate([inner["pa"].to_numpy(), ep[ia]])
         out["payload_b"] = np.concatenate([inner["pb"].to_numpy(), ep[ib]])
-    return out
-
+    # duplicated (key, id) input rows would otherwise emit self-pairs
+    # (the replaced paths filtered them — see _pairs_in_sorted_runs)
+    return out[out["doc_a"] != out["doc_b"]].reset_index(drop=True)
 
 def _resolve_strategy(strategy: str, ds, driver_max_docs: int) -> str:
     if strategy != "auto":
@@ -1145,43 +1188,14 @@ def containment_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         pa_, pb_ = _emit_run_pairs(fp[order], doc[order], max_bucket)
         pair_counts = _pair_overlap_counts(pa_, pb_)
     else:
-        # distributed: range-sort by fp, vectorized pair kernel per
-        # sorted block; a block's first/last runs may continue in a
-        # neighbor block, so defer them as (fp, doc) rows (kind=1) and
-        # stitch on the driver — O(#blocks) rows, never corpus-sized.
-        def block_pairs(t: pa.Table) -> pa.Table:
-            fp = t["fp"].to_numpy(zero_copy_only=False)
-            doc = t["doc"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((doc, fp))
-            fp, doc = fp[order], doc[order]
-            n = len(fp)
-            if n == 0:
-                return pa.table({"kind": pa.array([], pa.int8()),
-                                 "a": pa.array([], pa.int64()),
-                                 "b": pa.array([], pa.int64())})
-            edge = (fp == fp[0]) | (fp == fp[-1])
-            pa_, pb_ = _emit_run_pairs(fp[~edge], doc[~edge], max_bucket)
-            kind = np.concatenate([np.zeros(len(pa_), np.int8),
-                                   np.ones(int(edge.sum()), np.int8)])
-            a = np.concatenate([pa_, fp[edge]])
-            b = np.concatenate([pb_, doc[edge]])
-            return pa.table({"kind": pa.array(kind),
-                             "a": pa.array(a, pa.int64()),
-                             "b": pa.array(b, pa.int64())})
-
-        mixed = exploded.sort("fp").map_batches(
-            block_pairs, batch_format="pyarrow", batch_size=None,
-            zero_copy_batch=True,
-        ).to_pandas()  # pairs are answer-sized; edges are O(#blocks)
-        inner = mixed[mixed["kind"] == 0]
-        edges = mixed[mixed["kind"] == 1]
-        efp = edges["a"].to_numpy()
-        edoc = edges["b"].to_numpy()
-        order = np.lexsort((edoc, efp))
-        ea, eb = _emit_run_pairs(efp[order], edoc[order], max_bucket)
-        pair_counts = _pair_overlap_counts(
-            np.concatenate([inner["a"].to_numpy(), ea]),
-            np.concatenate([inner["b"].to_numpy(), eb]))
+        # distributed: the shared sort-based run-pair kernel
+        # (_sorted_run_pairs — vectorized per-block pairs, bounded
+        # driver edge stitch); multiplicity is preserved, which is
+        # exactly what the overlap count needs
+        pairs = _sorted_run_pairs(exploded, "fp", "doc",
+                                  star_cap=max_bucket)
+        pair_counts = _pair_overlap_counts(pairs["doc_a"].to_numpy(),
+                                           pairs["doc_b"].to_numpy())
     if len(pair_counts) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
