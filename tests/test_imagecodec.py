@@ -174,3 +174,38 @@ def test_resize_images_actor_pool(ray_session):
     for _, r in out.iterrows():
         assert (r["width"], r["height"]) == (6, 6)
         assert abs(r["mean_intensity"] - truth[r["url"]]) < 1e-12
+
+
+def test_png_gray_alpha_roundtrip_and_luma():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (9, 7, 2), dtype=np.uint8)  # gray+alpha
+    d = decode_png(encode_png(img))
+    assert d is not None and (d == img).all()
+    # luma ignores alpha: channel 0 mean
+    assert abs(luma_mean(d) - img[:, :, 0].mean() / 255.0) < 1e-12
+
+
+def test_png_decompression_bomb_bounded():
+    """IDAT inflating far past the IHDR-implied size must not allocate
+    unbounded memory — decode inflates at most the expected bytes."""
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+
+    def chunk(ct, data):
+        return (struct.pack(">I", len(data)) + ct + data
+                + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    d = decode_png(payload)  # prefix decodes to the declared 4x4 image
+    assert d is None or d.shape == (4, 4, 1)
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may precede any marker."""
+    good = encode_jpeg_gray(np.full((16, 16), 99, np.uint8))
+    i = good.index(b"\xFF\xC0")
+    filled = good[:i] + b"\xFF\xFF" + good[i:]
+    d = decode_jpeg(filled)
+    assert d is not None and d.shape == (16, 16, 1)
+    assert abs(int(d[0, 0, 0]) - 99) <= 2

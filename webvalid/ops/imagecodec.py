@@ -63,10 +63,14 @@ def decode_png(payload: bytes):
         channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
         if channels is None:
             return None
-        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        expected = height * (stride + 1)
+        # bounded inflate: the exact output size is known from IHDR, so
+        # never inflate more than that (an unbounded zlib.decompress on
+        # attacker bytes is a decompression-bomb memory DoS)
+        raw = zlib.decompressobj().decompress(bytes(idat), expected)
     except Exception:
         return None
-    stride = width * channels
     if len(raw) < height * (stride + 1):
         return None
     rows = np.frombuffer(raw, dtype=np.uint8,
@@ -109,9 +113,11 @@ def decode_png(payload: bytes):
 
 def encode_png(img: np.ndarray) -> bytes:
     """(H, W[, C]) uint8 → PNG bytes (filter 0, one IDAT)."""
+    assert img.dtype == np.uint8
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
+    assert c in (1, 2, 3, 4)
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -248,6 +254,9 @@ def _unstuff(scan: bytes) -> tuple[bytes, list[int]]:
                 out.append(0xFF)
                 i += 2
                 continue
+            if nxt == 0xFF:            # fill byte before a marker
+                i += 1
+                continue
             if 0xD0 <= nxt <= 0xD7:   # RSTn
                 marks.append(len(out))
                 i += 2
@@ -282,8 +291,14 @@ def _decode_jpeg_inner(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             return None
-        marker = payload[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            return None
+        marker = payload[pos]
+        pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
@@ -330,6 +345,8 @@ def _decode_jpeg_inner(payload: bytes):
     if comps is None or scan_data is None:
         return None
 
+    if len(comps) not in (1, 3):
+        return None  # CMYK/NChannel: out of contract — None, not garbage
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -397,6 +414,7 @@ def _decode_jpeg_inner(payload: bytes):
 def encode_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     """(H, W) uint8 grayscale → baseline JPEG bytes (Annex K tables)."""
     assert img.ndim == 2 and img.dtype == np.uint8
+    assert 1 <= quality <= 100
     h, w = img.shape
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     q = np.clip((_QY_BASE * scale + 50) // 100, 1, 255)
@@ -489,6 +507,7 @@ def encode_jpeg_color(img: np.ndarray, quality: int = 85,
     upsampling paths; all components share the Annex K luminance
     tables (legal, simpler)."""
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    assert 1 <= quality <= 100
     h, w = img.shape[:2]
     a = img.astype(np.float64)
     y = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
@@ -609,10 +628,11 @@ def encode_jpeg_color(img: np.ndarray, quality: int = 85,
 
 # luma used for mean_intensity (ITU-R 601-2, PIL convert("L") weights)
 def luma_mean(img: np.ndarray) -> float:
-    """Mean luminance in [0, 1] of an (H, W, C) uint8 array."""
+    """Mean luminance in [0, 1] of an (H, W, C) uint8 array
+    (C = 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA; alpha ignored)."""
     a = img.astype(np.float64)
-    if a.shape[2] == 1:
-        g = a[:, :, 0]
+    if a.shape[2] < 3:
+        g = a[:, :, 0]          # gray / gray+alpha
     else:
         g = (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) / 1000
     return float(g.mean() / 255.0)
