@@ -351,3 +351,47 @@ def test_interval_coverage_overflow_fallback(ray_session):
     # dur = HUGE/4, gap between starts = HUGE/8 < dur → one island/key
     assert (got["n_intervals"] == 1).all()
     assert (got["covered_us"] == 9 * (HUGE // 8) + HUGE // 4).all()
+
+
+def test_funnel_equal_ts_b_before_a_across_blocks(ray_session):
+    """to_type < from_type lexicographically puts equal-ts B events
+    BEFORE the A events they convert (horizon is inclusive of ts); a
+    block boundary between them must not lose the conversion — the
+    review repro: 10 blocks, from='b', to='a', horizon=0."""
+    from webvalid.ops.funnel import funnel_conversion
+
+    rng = np.random.default_rng(99)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n),
+        "ts": rng.integers(0, 300, n).astype(np.int64),  # heavy ties
+        "typ": rng.choice(["a", "b"], n),
+        "uid": np.arange(n, dtype=np.int64),
+    })
+    for horizon in (0, 20):
+        got = funnel_conversion(_ds(df, 10), key="k", ts_col="ts",
+                                type_col="typ", from_type="b", to_type="a",
+                                horizon=horizon, tiebreak="uid")
+        for k, g in df.groupby("k"):
+            a = g.loc[g.typ == "b", "ts"].to_numpy()
+            b = np.sort(g.loc[g.typ == "a", "ts"].to_numpy())
+            if len(a) == 0:
+                assert k not in set(got["k"])
+                continue
+            exp = sum(bool(((b >= t) & (b <= t + horizon)).any()) for t in a)
+            row = got[got["k"] == k].iloc[0]
+            assert row["n_from"] == len(a), (horizon, k)
+            assert row["n_conversions"] == exp, (horizon, k)
+
+
+def test_funnel_no_from_events_returns_empty(ray_session):
+    from webvalid.ops.funnel import funnel_conversion
+
+    df = pd.DataFrame({"k": [1, 1, 2, 2], "ts": [1, 2, 3, 4],
+                       "typ": ["b", "b", "b", "b"],
+                       "uid": np.arange(4, dtype=np.int64)})
+    out = funnel_conversion(_ds(df, 2), key="k", ts_col="ts",
+                            type_col="typ", from_type="a", to_type="b",
+                            horizon=10, tiebreak="uid")
+    assert len(out) == 0
+    assert list(out.columns) == ["k", "n_from", "n_conversions"]

@@ -58,6 +58,13 @@ def train_bpe(ds, text_col: str = "text", n_merges: int = 200,
             pair_counts[p] = pair_counts.get(p, 0) + f
             if sign > 0:
                 pair_words.setdefault(p, set()).add(w)
+            else:
+                # prune the inverted index too, or later merges rescan
+                # words that no longer contain the pair (stale sets
+                # grow monotonically over hundreds of merges)
+                s = pair_words.get(p)
+                if s is not None:
+                    s.discard(w)
 
     for w in seqs:
         add_word(w, +1)
@@ -122,9 +129,13 @@ class BpeEncoder:
         self.id_col = id_col
         self._memo: dict[str, int] = {}
 
+    _MEMO_CAP = 1_000_000  # long-lived actors + Heaps'-law vocab growth
+
     def _count(self, word: str) -> int:
         n = self._memo.get(word)
         if n is None:
+            if len(self._memo) >= self._MEMO_CAP:
+                self._memo.clear()  # bounded: Zipf mass refills fast
             n = len(encode_word(word, self.ranks))
             self._memo[word] = n
         return n

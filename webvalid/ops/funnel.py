@@ -43,12 +43,24 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
         h = _head_run_len(k)
         first_ts = ts[0]
         mask = (typ[:h] == to_type) & (ts[:h] <= first_ts + horizon)
+        tail_start = len(k) - 1
+        while tail_start > 0 and k[tail_start - 1] == k[-1]:
+            tail_start -= 1
+        tail_ts = ts[tail_start:]
+        tail_typ = typ[tail_start:]
         return {
             "head": t[key][0].as_py(),
             "tail": t[key][len(k) - 1].as_py(),
             "single": bool(k[0] == k[-1]),
             "head_first_ts": int(first_ts),
-            "head_b": np.sort(ts[:h][mask]).tolist(),
+            # already ascending: the block is sorted by (key, ts, ...)
+            "head_b": ts[:h][mask].tolist(),
+            "tail_last_ts": int(ts[-1]),
+            # B events at the tail run's LAST timestamp: the only B's
+            # that can still convert equal-ts A events in LATER blocks
+            # (sortedness forces A.ts >= tail_last_ts >= B.ts there)
+            "tail_has_b_at_last": bool(
+                ((tail_typ == to_type) & (tail_ts == ts[-1])).any()),
         }
 
     def fold_rev(state, part):
@@ -64,7 +76,20 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
         return fwd, (part["head"], sorted(hb)), None
 
     def fold_fwd(state, part):
-        return None, None, None  # all carry flows through the reverse fold
+        """Forward carry: whether the open key has a B event AT its
+        last-seen timestamp — the only earlier-block B's that can
+        convert an equal-timestamp A at the next block's head."""
+        if part is None:
+            return None, None, None
+        inject = None
+        cont = state is not None and part["head"] == state[0]
+        if cont and state[2] and part["head_first_ts"] == state[1]:
+            inject = state[1]
+        has_b = part["tail_has_b_at_last"]
+        if (not has_b and part["single"] and cont and state[2]
+                and state[1] == part["tail_last_ts"]):
+            has_b = True  # carried equal-ts B's stay live through the block
+        return inject, (part["tail"], part["tail_last_ts"], has_b), None
 
     def apply(t: pa.Table, inject) -> pa.Table:
         empty = pa.table({key: t[key].slice(0, 0),
@@ -72,7 +97,7 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
                           n_conv_col: pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
-        _fwd_unused, carried = inject if inject is not None else (None, None)
+        fwd_ts, carried = inject if inject is not None else (None, None)
         k = t[key].to_numpy(zero_copy_only=False)
         ts = t[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         typ = t[type_col].to_numpy(zero_copy_only=False)
@@ -81,27 +106,54 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
         run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
         run_min = ts[starts]
         run_max = ts[bounds[1:] - 1]
-        base = np.concatenate(
-            [[0], np.cumsum((run_max - run_min) + horizon + 2)[:-1]])
-        mono = (ts - run_min[run_id]) + base[run_id]
         a_mask = typ == from_type
         b_mask = typ == to_type
-        b_mono = mono[b_mask]
-        if carried:
-            # same-key B events from later blocks, remapped with the
-            # TAIL run's transform (they continue its time axis)
-            tail_i = len(starts) - 1
-            ext = (np.asarray(carried, dtype=np.int64)
-                   - run_min[tail_i] + base[tail_i])
-            b_mono = np.concatenate([b_mono, ext])
-        a_mono = mono[a_mask]
-        if len(b_mono):
-            idx = np.searchsorted(b_mono, a_mono, side="left")
-            ok = (idx < len(b_mono)) & \
-                (b_mono[np.clip(idx, 0, len(b_mono) - 1)] <= a_mono + horizon)
+        extents = (run_max - run_min) + horizon + 2
+        if float(extents.astype(np.float64).sum()) < float(1 << 62):
+            # horizon-gapped monotonic remap: ONE searchsorted serves
+            # every run (gaps > horizon block cross-run matches)
+            base = np.concatenate([[0], np.cumsum(extents)[:-1]])
+            mono = (ts - run_min[run_id]) + base[run_id]
+            b_mono = mono[b_mask]
+            if carried:
+                # same-key B events from later blocks, remapped with
+                # the TAIL run's transform (they continue its axis)
+                tail_i = len(starts) - 1
+                ext = (np.asarray(carried, dtype=np.int64)
+                       - run_min[tail_i] + base[tail_i])
+                b_mono = np.concatenate([b_mono, ext])
+            a_mono = mono[a_mask]
+            if len(b_mono):
+                idx = np.searchsorted(b_mono, a_mono, side="left")
+                ok = (idx < len(b_mono)) & \
+                    (b_mono[np.clip(idx, 0, len(b_mono) - 1)]
+                     <= a_mono + horizon)
+            else:
+                ok = np.zeros(len(a_mono), dtype=bool)
         else:
-            ok = np.zeros(len(a_mono), dtype=bool)
+            # extreme key-cardinality x time-extent: the remap would
+            # overflow int64 — exact per-run loop
+            ok_full = np.zeros(len(k), dtype=bool)
+            for ri, (r0, r1) in enumerate(zip(bounds[:-1], bounds[1:])):
+                am = a_mask[r0:r1]
+                bb = ts[r0:r1][b_mask[r0:r1]]
+                if ri == len(starts) - 1 and carried:
+                    bb = np.concatenate([bb, np.asarray(carried, np.int64)])
+                aa = ts[r0:r1][am]
+                if len(bb):
+                    idx = np.searchsorted(bb, aa, side="left")
+                    okr = (idx < len(bb)) & \
+                        (bb[np.clip(idx, 0, len(bb) - 1)] <= aa + horizon)
+                else:
+                    okr = np.zeros(len(aa), dtype=bool)
+                w = np.flatnonzero(am) + r0
+                ok_full[w] = okr
+            ok = ok_full[a_mask]
         a_runs = run_id[a_mask]
+        if fwd_ts is not None:
+            # equal-ts B's left in an EARLIER block (type sorts them
+            # before A at the same timestamp) convert head-run A's
+            ok = ok | ((a_runs == 0) & (ts[a_mask] == fwd_ts))
         n_from = np.bincount(a_runs, minlength=len(starts))
         n_conv = np.bincount(a_runs[ok], minlength=len(starts))
         keep = n_from > 0
@@ -114,6 +166,13 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
     parts, _ = per_key_scan(ds, by, partial, fold_fwd, apply,
                             fold_rev_fn=fold_rev)
     out = parts.groupby(key).sum([n_from_col, n_conv_col]).to_pandas()
+    if len(out) == 0:
+        # all-empty blocks lose their columns in to_pandas (same guard
+        # as ngrams.ngram_counts)
+        import pandas as pd
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             n_from_col: pd.Series([], dtype="int64"),
+                             n_conv_col: pd.Series([], dtype="int64")})
     out.columns = [key, n_from_col, n_conv_col]
     out[n_from_col] = out[n_from_col].astype(np.int64)
     out[n_conv_col] = out[n_conv_col].astype(np.int64)
