@@ -32,6 +32,11 @@ import ray
 
 
 def _ts_us_series(s: pd.Series) -> pd.Series:
+    if isinstance(s.dtype, pd.DatetimeTZDtype):
+        # np.issubdtype raises TypeError on tz-aware dtypes — normalize
+        # to naive UTC first (the partitioned path's Arrow cast does
+        # the equivalent)
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
     if np.issubdtype(s.dtype, np.datetime64):
         return s.astype("datetime64[us]").astype(np.int64)
     return s.astype(np.int64)
@@ -42,15 +47,10 @@ class _AsofBatcher:
     broadcast right table (resolved once per worker)."""
 
     def __init__(self, right_ref, on: str, by: str, suffix: str):
-        right = ray.get(right_ref)
-        # Secondary sort on every other column: merge_asof picks the LAST
-        # tied right row, so equal-(by, on) rows must have a deterministic
-        # order independent of arrival/block order (Ray union block order
-        # varies across sessions — this was CORRECTNESS_r02's one hash
-        # mismatch).
-        tiebreak = [c for c in right.columns if c != on]
-        self.right = right.sort_values([on] + tiebreak,
-                                       kind="stable").reset_index(drop=True)
+        # the right frame arrives pre-sorted (asof_join_broadcast sorts
+        # ONCE on the driver before ray.put — re-sorting per worker
+        # would repeat the same O(R log R) work W times)
+        self.right = ray.get(right_ref)
         self.on = on
         self.by = by
         self.suffix = suffix
@@ -65,6 +65,9 @@ class _AsofBatcher:
             direction="backward", allow_exact_matches=True,
             suffixes=("", self.suffix),
         )
+        # restore the batch's input row order (callers may rely on Ray
+        # Data's default order preservation)
+        out = out.iloc[np.argsort(order, kind="stable")]
         return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -79,6 +82,13 @@ def asof_join_broadcast(left_ds, right: pd.DataFrame, on: str, by: str,
     """
     right = right.copy()
     right[on] = _ts_us_series(right[on])
+    # Secondary sort on every other column: merge_asof picks the LAST
+    # tied right row, so equal-(by, on) rows need a deterministic order
+    # independent of arrival/block order (Ray union block order varies
+    # across sessions — this was CORRECTNESS_r02's one hash mismatch).
+    tiebreak = [c for c in right.columns if c != on]
+    right = right.sort_values([on] + tiebreak,
+                              kind="stable").reset_index(drop=True)
     right_ref = ray.put(right)
     from webvalid.rayutil import task_callable
 

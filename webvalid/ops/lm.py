@@ -7,10 +7,10 @@ P(wᵢ|wᵢ₋₁) = (c(wᵢ₋₁wᵢ) + 1) / (c(wᵢ₋₁) + V).
 
 Score: one more streaming pass; each doc's average ln-probability over
 its bigrams (docs with < 2 tokens drop — they define no bigram). The
-count tables ride the object store once (`ray.put`) and are probed per
-batch with pandas hash maps — EXACT string keys, no fingerprint
-collisions, honoring the bounded-vocabulary contract the n-gram
-family documents (for unbounded vocab, prune with min_count upstream).
+count tables ride the object store once (`ray.put`) as sorted
+uint64-hash + count arrays probed with searchsorted — 16 B/entry, with
+the same documented V²/2⁶⁵ hash-collision trade as the TF-IDF /
+boilerplate kernels (for unbounded vocab, prune with `min_count`).
 
 Entirely SQL-expressible (counts + join + LN + AVG), so the gate query
 is value-exact.
@@ -130,6 +130,10 @@ def bigram_lm_scores(ds, text_col: str = "text", id_col: str = "doc_id",
                                     preserve_index=False)
 
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:  # all-empty blocks lose their columns in to_pandas
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "n_bigrams": pd.Series([], dtype="int64"),
+                             "avg_logp": pd.Series([], dtype="float64")})
     comb = parts.groupby(id_col, as_index=False).agg(
         n_bigrams=("n_bigrams", "sum"), _s=("_s", "sum"))
     out = pd.DataFrame({

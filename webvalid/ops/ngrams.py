@@ -141,7 +141,7 @@ def _batch_doc_ngrams(batch: pa.Table, text_col: str, id_col: str, n: int):
         return np.empty(0, np.int64), np.empty(0, np.uint64)
     starts_valid = np.ones(n_starts, dtype=bool)
     inner = offs[(offs > 0) & (offs < total)]
-    if len(inner):
+    if len(inner) and n > 1:  # n == 1: no window can cross a boundary
         bad = np.concatenate([inner - k for k in range(1, n)])
         bad = bad[(bad >= 0) & (bad < n_starts)]
         starts_valid[bad] = False
@@ -157,7 +157,8 @@ def _batch_doc_ngrams(batch: pa.Table, text_col: str, id_col: str, n: int):
 
 
 def ngram_contamination(ds, benchmark_texts: list, n: int = 2,
-                        text_col: str = "text", id_col: str = "doc_id") -> pd.DataFrame:
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
     """Benchmark-contamination scan: per doc, the number of DISTINCT
     n-grams it shares with a benchmark corpus.
 
@@ -183,14 +184,14 @@ def ngram_contamination(ds, benchmark_texts: list, n: int = 2,
         bench = ray.get(bench_ref)  # zero-copy from plasma
         ids, hashes = _batch_doc_ngrams(batch, text_col, id_col, n)
         if len(ids) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], pa.int64()),
                              "n_hits": pa.array([], pa.int64())})
         pos = np.searchsorted(bench, hashes)
         pos[pos >= len(bench)] = max(len(bench) - 1, 0)
         hit = bench[pos] == hashes if len(bench) else np.zeros(len(hashes), bool)
         ids, hashes = ids[hit], hashes[hit]
         if len(ids) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], pa.int64()),
                              "n_hits": pa.array([], pa.int64())})
         # distinct (doc, ngram) pairs via one lexsort
         order = np.lexsort((hashes, ids))
@@ -199,18 +200,18 @@ def ngram_contamination(ds, benchmark_texts: list, n: int = 2,
         dup[1:] = (ids[1:] == ids[:-1]) & (hashes[1:] == hashes[:-1])
         ids = ids[~dup]
         uniq, counts = np.unique(ids, return_counts=True)
-        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
                          "n_hits": pa.array(counts, pa.int64())})
 
     parts = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
     if len(parts) == 0:  # all-empty blocks lose their columns in to_pandas
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                              "n_hits": pd.Series([], dtype="int64")})
     # batches are disjoint doc sets, but a doc split across batches
     # would double-count distinct n-grams; Ray blocks never split rows,
     # so a plain per-doc sum is exact
-    out = parts.groupby("doc_id", as_index=False)["n_hits"].sum()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = parts.groupby(id_col, as_index=False)["n_hits"].sum()
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 def _mg_partial(batch: pa.Table, text_col: str, n: int, k: int) -> pa.Table:
