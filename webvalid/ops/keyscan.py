@@ -185,6 +185,57 @@ def _carry_rows_fold(cap: int, cols: list[str]):
     return fold
 
 
+def _chain_fold(merge_fn, row_fn):
+    """Fold factory for per-key AGGREGATE scans: thread the open key's
+    running summary across blocks, emit a driver row when the chain
+    closes. `merge_fn(a, b)` combines adjacent summaries of one key;
+    `row_fn(key_val, summary)` shapes the emitted row. Partials must
+    carry head/tail/single plus head_stats/tail_stats."""
+    def fold(state, part):
+        rows = []
+        if part is None:
+            if state is not None:
+                rows.append(row_fn(state[0], state[1]))
+            return None, None, rows
+        head_stats = part["head_stats"]
+        tail_stats = part["tail_stats"] if part.get("tail_stats") is not None \
+            else head_stats
+        cont = state is not None and part["head"] == state[0]
+        if cont:
+            merged = merge_fn(state[1], head_stats)
+            if part["single"]:
+                return {"head_in_chain": True}, (part["tail"], merged), rows
+            rows.append(row_fn(part["head"], merged))
+            inject = {"head_in_chain": True}
+        else:
+            if state is not None:
+                rows.append(row_fn(state[0], state[1]))
+            inject = {"head_in_chain": part["single"]}
+        return inject, (part["tail"], tail_stats), rows
+
+    return fold
+
+
+def _union_driver_rows(out, rows, cols):
+    """Union fold-emitted driver rows into the apply pass's Dataset with
+    a MATCHING arrow schema (a pandas-block union would declare one
+    schema and carry another — Ray warns and schema-strict consumers
+    misread the types)."""
+    if not rows:
+        return out
+    import ray.data
+
+    pdf = pd.DataFrame(rows)[cols]
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    try:
+        sch = out.schema()
+        target = pa.schema([(n, t) for n, t in zip(sch.names, sch.types)])
+        tbl = tbl.cast(target)
+    except Exception:
+        pass  # best effort — fall back to arrow's inferred types
+    return out.union(ray.data.from_arrow(tbl))
+
+
 def _head_run_len(k: np.ndarray) -> int:
     starts = _runs(k)
     return int(starts[1]) if len(starts) > 1 else len(k)
@@ -731,25 +782,7 @@ def streaks_scan(ds, key: str, order_col: str, tiebreak: str, val_col: str,
     def _row(key_val, st):
         return {key: key_val, max_col: st["max"], runs_col: st["nruns"]}
 
-    def fold(state, part):
-        rows = []
-        if part is None:
-            if state is not None:
-                rows.append(_row(state[0], state[1]))
-            return None, None, rows
-        cont = state is not None and part["head"] == state[0]
-        if cont:
-            merged = _merge_run_stats(state[1], part["head_stats"])
-            if part["single"]:
-                return {"head_in_chain": True}, (part["tail"], merged), rows
-            rows.append(_row(part["head"], merged))
-            inject = {"head_in_chain": True}
-        else:
-            if state is not None:
-                rows.append(_row(state[0], state[1]))
-            inject = {"head_in_chain": False} if not part["single"] else \
-                {"head_in_chain": True}
-        return inject, (part["tail"], part["tail_stats"]), rows
+    fold = _chain_fold(_merge_run_stats, _row)
 
     def apply(t: pa.Table, inject) -> pa.Table:
         empty = pa.table({key: t[key].slice(0, 0),
@@ -787,11 +820,7 @@ def streaks_scan(ds, key: str, order_col: str, tiebreak: str, val_col: str,
                          runs_col: pa.array(nruns_per_key[keep].astype(np.int64))})
 
     out, driver_rows = per_key_scan(ds, by, partial, fold, apply)
-    if driver_rows:
-        import ray.data
-        extra = ray.data.from_pandas(pd.DataFrame(driver_rows))
-        out = out.union(extra)
-    return out
+    return _union_driver_rows(out, driver_rows, [key, max_col, runs_col])
 
 
 def sessionize_scan(ds, key: str, ts_col: str, gap_us: int,
@@ -810,7 +839,15 @@ def sessionize_scan(ds, key: str, ts_col: str, gap_us: int,
         ts = t[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = ts.cast(pa.timestamp("us"))
-        cols = {key: t[key], "_ts": ts.cast(pa.int64())}
+        ts = ts.cast(pa.int64())
+        # a null/NaN timestamp would silently wrap to INT64_MIN and
+        # merge into a session — reject loudly (same contract as the
+        # null-key guard in per_key_scan)
+        if ts.null_count > 0:
+            raise ValueError(
+                f"sessionize: null timestamps in {ts_col!r} — filter "
+                f"them upstream")
+        cols = {key: t[key], "_ts": ts}
         if tiebreak is not None:
             cols[tiebreak] = t[tiebreak]
         return pa.table(cols)
@@ -923,12 +960,9 @@ def sessionize_scan(ds, key: str, ts_col: str, gap_us: int,
 
     prepped = ds.map_batches(to_us, batch_format="pyarrow")
     out, driver_rows = per_key_scan(prepped, by, partial, fold, apply)
-    if driver_rows:
-        import ray.data
-        extra = ray.data.from_pandas(pd.DataFrame(driver_rows)[
-            [key, "session_id", "session_start", "session_end", "n_events"]])
-        out = out.union(extra)
-    return out
+    return _union_driver_rows(
+        out, driver_rows,
+        [key, "session_id", "session_start", "session_end", "n_events"])
 
 
 def first_last_scan(ds, key: str, order_col: str, tiebreak: str,
@@ -960,25 +994,8 @@ def first_last_scan(ds, key: str, order_col: str, tiebreak: str,
         return {key: key_val, "first_value": st["first"],
                 "last_value": st["last"]}
 
-    def fold(state, part):
-        rows = []
-        if part is None:
-            if state is not None:
-                rows.append(_row(state[0], state[1]))
-            return None, None, rows
-        cont = state is not None and part["head"] == state[0]
-        if cont:
-            merged = {"first": state[1]["first"],
-                      "last": part["head_stats"]["last"]}
-            if part["single"]:
-                return {"head_in_chain": True}, (part["tail"], merged), rows
-            rows.append(_row(part["head"], merged))
-            inject = {"head_in_chain": True}
-        else:
-            if state is not None:
-                rows.append(_row(state[0], state[1]))
-            inject = {"head_in_chain": part["single"]}
-        return inject, (part["tail"], part["tail_stats"]), rows
+    fold = _chain_fold(
+        lambda a, b: {"first": a["first"], "last": b["last"]}, _row)
 
     def apply(t: pa.Table, inject) -> pa.Table:
         empty = pa.table({key: t[key].slice(0, 0),
@@ -1002,12 +1019,8 @@ def first_last_scan(ds, key: str, order_col: str, tiebreak: str,
                          "last_value": t[value_col].take(pa.array(last_idx))})
 
     out, driver_rows = per_key_scan(ds, by, partial, fold, apply)
-    if driver_rows:
-        import ray.data
-        extra = ray.data.from_pandas(
-            pd.DataFrame(driver_rows)[[key, "first_value", "last_value"]])
-        out = out.union(extra)
-    return out
+    return _union_driver_rows(out, driver_rows,
+                              [key, "first_value", "last_value"])
 
 
 def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
@@ -1076,27 +1089,7 @@ def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
         return {key: key_val, "covered_us": st["covered"],
                 "n_intervals": st["n"]}
 
-    def fold(state, part):
-        rows = []
-        if part is None:
-            if state is not None:
-                rows.append(_row(state[0], state[1]))
-            return None, None, rows
-        head_stats = part["head_stats"]
-        tail_stats = head_stats if part["tail_stats"] is None \
-            else part["tail_stats"]
-        cont = state is not None and part["head"] == state[0]
-        if cont:
-            merged = _merge(state[1], head_stats)
-            if part["single"]:
-                return {"head_in_chain": True}, (part["tail"], merged), rows
-            rows.append(_row(part["head"], merged))
-            inject = {"head_in_chain": True}
-        else:
-            if state is not None:
-                rows.append(_row(state[0], state[1]))
-            inject = {"head_in_chain": part["single"]}
-        return inject, (part["tail"], tail_stats), rows
+    fold = _chain_fold(_merge, _row)
 
     def apply(t: pa.Table, inject) -> pa.Table:
         empty = pa.table({key: t[key].slice(0, 0),
@@ -1149,9 +1142,5 @@ def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
                          "n_intervals": pa.array(n_isl[keep])})
 
     out, driver_rows = per_key_scan(ds, by, partial, fold, apply)
-    if driver_rows:
-        import ray.data
-        extra = ray.data.from_pandas(
-            pd.DataFrame(driver_rows)[[key, "covered_us", "n_intervals"]])
-        out = out.union(extra)
-    return out
+    return _union_driver_rows(out, driver_rows,
+                              [key, "covered_us", "n_intervals"])
