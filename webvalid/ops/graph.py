@@ -67,10 +67,18 @@ class _DSU:
 
     def forest_table(self, src: str = "src", dst: str = "dst") -> pa.Table:
         """(root, node) edges for every non-root node + (root, root)
-        self-edges for singletons, preserving isolated nodes."""
+        self-edges ONLY for singletons, preserving isolated nodes.
+        Emitting a self-edge for every root (as an earlier version did)
+        doubles a perfect matching instead of contracting it — the
+        forest bound is #nodes − #components + #singletons rows."""
         roots = {x: self.find(x) for x in list(self.parent)}
-        a = np.fromiter(roots.values(), dtype=np.int64, count=len(roots))
-        b = np.fromiter(roots.keys(), dtype=np.int64, count=len(roots))
+        r = np.fromiter(roots.values(), dtype=np.int64, count=len(roots))
+        node = np.fromiter(roots.keys(), dtype=np.int64, count=len(roots))
+        non_root = node != r
+        uniq, counts = np.unique(r, return_counts=True)
+        singles = uniq[counts == 1]
+        a = np.concatenate([r[non_root], singles])
+        b = np.concatenate([node[non_root], singles])
         return pa.table({src: pa.array(a), dst: pa.array(b)})
 
     def components(self) -> pd.DataFrame:
@@ -207,7 +215,11 @@ def connected_components_starlike(edges_ds, src: str = "src", dst: str = "dst",
         h = int(parts["h"].astype(np.uint64).sum()) % (1 << 64)
         return (h, int(parts["n"].sum()))
 
-    if fingerprint(cur)[1] == 0:  # empty edge set → no components
+    # materialize once: the emptiness check and round 1 both consume
+    # `cur`, and the upstream edge pipeline (e.g. an LSH candidate
+    # generator) can be expensive to recompute
+    cur = cur.materialize()
+    if cur.count() == 0:  # empty edge set → no components
         return pd.DataFrame({"node": pd.Series([], dtype="int64"),
                              "component": pd.Series([], dtype="int64")})
 

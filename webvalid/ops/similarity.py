@@ -66,13 +66,20 @@ class BruteForceScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:  # empty block: (0, 0) matrix would crash matmul
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         vecs = _normalize(vecs_from_list_column(batch[self.vec_col]))
         sims = self.queries @ vecs.T  # (n_queries, n_batch)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
         out_q, out_v, out_s = [], [], []
         for qi in range(sims.shape[0]):
-            for c in top[qi]:
+            # full tie-break INSIDE the block: equal-cosine candidates
+            # must survive by vec_id asc, or the k cut drops the very
+            # ids the documented (sim DESC, vec_id ASC) order keeps
+            order = np.lexsort((ids, -sims[qi]))[:k]
+            for c in order:
                 out_q.append(int(self.query_ids[qi]))
                 out_v.append(int(ids[c]))
                 out_s.append(float(sims[qi, c]))
@@ -92,6 +99,11 @@ def _reduce_topk(partials_ds, k: int):
     import ray.data
 
     pdf = partials_ds.to_pandas()
+    if len(pdf) == 0:  # all-empty blocks lose their columns in to_pandas
+        return ray.data.from_pandas(pd.DataFrame(
+            {"query_id": pd.Series([], dtype="int64"),
+             "vec_id": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")}))
     out = (
         pdf.sort_values(["cosine", "vec_id"], ascending=[False, True])
         .groupby("query_id", as_index=False, sort=True)
@@ -124,6 +136,9 @@ def brute_force_topk(ds, query_ids, query_matrix, k: int = 10,
 def fit_centroids(sample: np.ndarray, nlist: int, iters: int = 8,
                   seed: int = 0) -> np.ndarray:
     """Small k-means on a driver-side sample (normalized, cosine metric)."""
+    if sample.ndim != 2 or len(sample) == 0:
+        raise ValueError("fit_centroids needs a non-empty (n, d) sample "
+                         "— is the embeddings dataset empty?")
     rng = np.random.default_rng(seed)
     x = _normalize(np.asarray(sample, dtype=np.float64))
     idx = rng.choice(len(x), size=min(nlist, len(x)), replace=False)
@@ -156,6 +171,10 @@ class IVFScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:  # empty block: (0, 0) matrix would crash matmul
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         vecs = _normalize(vecs_from_list_column(batch[self.vec_col]))
         assign = np.argmax(vecs @ self.centroids.T, axis=1)
         out_q, out_v, out_s = [], [], []
@@ -167,7 +186,8 @@ class IVFScorer:
             sub_ids = ids[mask]
             sims = sub @ self.queries[qi]
             k = min(self.k, len(sims))
-            top = np.argpartition(-sims, kth=k - 1)[:k]
+            # tie-break by vec_id asc so the k cut is layout-independent
+            top = np.lexsort((sub_ids, -sims))[:k]
             for c in top:
                 out_q.append(int(self.query_ids[qi]))
                 out_v.append(int(sub_ids[c]))
