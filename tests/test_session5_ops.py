@@ -314,3 +314,41 @@ def test_windowed_distinct_matches_naive(ray_session):
         exp = len(set(df.uid[np.isin(hb, [w - 2, w - 1, w])]))
         assert row["n_ids"] == exp
     assert set(got["window_end"] // 3_600_000_000) == set(present)
+
+
+def test_kth_smallest_ignores_nan_values(ray_session):
+    """NaN values must not count toward n (the histogram and final
+    passes drop them; a mismatched n crashed the final index)."""
+    import ray.data
+
+    from webvalid.ops.selection import kth_smallest
+
+    df = pd.DataFrame({"x": [3.0, 1.0, np.nan, 2.0, np.nan]})
+    ds = ray.data.from_pandas(df)
+    assert kth_smallest(ds, "x", 1) == 1.0
+    assert kth_smallest(ds, "x", 3) == 3.0
+    with pytest.raises(Exception, match="out of range"):
+        kth_smallest(ds, "x", 4)
+
+
+def test_cap_per_group_keeps_null_group(ray_session):
+    import ray.data
+
+    from webvalid.ops.sampling import cap_per_group
+
+    df = pd.DataFrame({"lang": ["en"] * 5 + [None] * 4,
+                       "text": [f"t{i}" for i in range(9)],
+                       "doc_id": np.arange(9, dtype=np.int64)})
+    out = cap_per_group(ray.data.from_pandas(df), k=2)
+    # null group capped at k like any other partition (SQL semantics)
+    assert (out["lang"].isna()).sum() == 2
+    assert (out["lang"] == "en").sum() == 2
+
+
+def test_split_thresholds_rejects_bad_fractions():
+    from webvalid.ops.sampling import split_thresholds
+
+    with pytest.raises(ValueError, match="non-empty"):
+        split_thresholds({})
+    with pytest.raises(ValueError, match="sum"):
+        split_thresholds({"a": 0.8, "b": 0.8})

@@ -59,6 +59,13 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
     any remainder, matching the SQL CASE's ELSE branch).
     """
     items = list(fractions.items())
+    if not items:
+        raise ValueError("split fractions must be non-empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split fractions sum to {total:.4f} > 1 — overlapping "
+            f"cumulative thresholds would silently starve later splits")
     out, cum = [], 0.0
     for name, frac in items[:-1]:
         cum += frac
@@ -178,22 +185,27 @@ def cap_per_group(ds, group_col: str = "lang", k: int = 50,
     ORDER BY md5(text), id) <= k."""
     import pandas as pd
 
+    from webvalid.ops.dedup import md5_hex_from_column
+
     def local(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
             group_col: batch[group_col].to_numpy(zero_copy_only=False),
             id_col: batch[id_col].to_numpy(zero_copy_only=False),
-            "_md5": [None if t is None else
-                     hashlib.md5(t.encode()).hexdigest()
-                     for t in batch[text_col].to_pylist()],
+            # full-hex md5 straight off the Arrow buffers — identical
+            # order to the SQL twin, no per-row Python string encode
+            "_md5": md5_hex_from_column(batch[text_col]),
         })
         df = df[df["_md5"].notna()]
+        # dropna=False: a null GROUP is a partition like any other in
+        # the SQL twin (PARTITION BY group) — pandas' default silently
+        # discarded its rows entirely
         df = df.sort_values([group_col, "_md5", id_col], kind="mergesort") \
-               .groupby(group_col, sort=False).head(k)
+               .groupby(group_col, sort=False, dropna=False).head(k)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
     kept = parts.sort_values([group_col, "_md5", id_col], kind="mergesort") \
-                .groupby(group_col, sort=False).head(k)
+                .groupby(group_col, sort=False, dropna=False).head(k)
     return kept[[group_col, id_col]].sort_values(
         [group_col, id_col], kind="mergesort").reset_index(drop=True)
 
@@ -212,6 +224,9 @@ def systematic_weighted_sample(ds, id_col: str, weight_col: str, step: int):
     on any partition layout. SQL twin: the window cumulative weight
     with integer-division boundary crossing.
     """
+    if step < 1:
+        raise ValueError(f"step must be >= 1 (got {step}) — step=0 would "
+                         f"silently select nothing (int // 0 wraps to 0)")
     import ray as _ray
 
     sorted_ds = ds.sort(id_col).materialize()

@@ -25,95 +25,43 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _range_histogram(ds, col: str, lo: float, hi: float, bins: int):
-    """One streaming pass: counts of in-[lo, hi] values per equal-width
-    bin (last bin right-closed), plus the below-lo count."""
-    width = hi - lo
-
-    def partial(t: pa.Table) -> pa.Table:
+def _stats_partial(col: str):
+    """Per-batch (n, lo, hi) over VALID values — excluding both arrow
+    nulls and float NaN (len − null_count would count NaN, desyncing
+    the global rank from the NaN-dropping histogram/final passes and
+    crashing the final index)."""
+    def fn(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)]
-        below = int((v < lo).sum())
-        inr = v[(v >= lo) & (v <= hi)]
-        if width > 0:
-            b = np.clip(((inr - lo) / width * bins).astype(np.int64),
-                        0, bins - 1)
-            counts = np.bincount(b, minlength=bins)
-        else:
-            counts = np.zeros(bins, dtype=np.int64)
-            counts[0] = len(inr)
-        return pa.table({"below": pa.array([below], pa.int64()),
-                         "counts": pa.array([counts.tolist()],
-                                            pa.list_(pa.int64()))})
+        v = v[~pd.isna(v)]
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "lo": pa.array([float(v.min()) if len(v) else math.inf],
+                           pa.float64()),
+            "hi": pa.array([float(v.max()) if len(v) else -math.inf],
+                           pa.float64()),
+        })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    below = int(parts["below"].sum())
-    counts = np.sum(np.stack(parts["counts"].to_numpy()), axis=0) \
-        if len(parts) else np.zeros(bins, dtype=np.int64)
-    return below, counts
+    return fn
 
 
 def kth_smallest(ds, col: str, k: int, bins: int = 2048,
                  collect_limit: int = 65536, max_rounds: int = 12) -> float:
-    """Exact k-th smallest (1-based) non-null value of `col`."""
-    stats = ds.map_batches(
-        lambda t: pa.table({
-            "n": pa.array([len(t[col]) - t[col].null_count], pa.int64()),
-            "lo": pa.array([pc.min(t[col]).as_py()], pa.float64()),
-            "hi": pa.array([pc.max(t[col]).as_py()], pa.float64()),
-        }),
-        batch_format="pyarrow").to_pandas()
-    n = int(stats["n"].sum())
-    if not (1 <= k <= n):
-        raise ValueError(f"k={k} out of range for {n} non-null rows")
-    lo = float(stats["lo"].min())
-    hi = float(stats["hi"].max())
-    # invariant: k stays GLOBAL (1-based over all non-null values);
-    # each round recomputes the below-lo count fresh, so nothing is
-    # ever subtracted twice
-    remaining = n
-    for _ in range(max_rounds):
-        if lo == hi or remaining <= collect_limit:
-            break
-        below, counts = _range_histogram(ds, col, lo, hi, bins)
-        cum = np.cumsum(counts)
-        b = int(np.searchsorted(cum, k - below))
-        remaining = int(counts[b])
-        width = (hi - lo) / bins
-        # widen the bin by a relative epsilon so float boundary drift
-        # can never strand the k-th value outside the surviving range
-        # (a stranded value would crash the final index, not mis-answer,
-        # but the margin costs only a few extra collected rows)
-        eps = width * 1e-9
-        lo, hi = (max(lo, lo + b * width - eps),
-                  (lo + (b + 1) * width + eps if b < bins - 1 else hi))
-
-    # answer-sized exact finish: one pass collecting only the surviving
-    # range plus its below-lo count
-    def final(t: pa.Table) -> pa.Table:
-        v = pc.drop_null(t[col]).to_numpy(zero_copy_only=False)
-        inr = v[(v >= lo) & (v <= hi)]
-        return pa.table({"below": pa.array([int((v < lo).sum())], pa.int64()),
-                         "vals": pa.array([inr.tolist()],
-                                          pa.list_(pa.float64()))})
-
-    parts = ds.map_batches(final, batch_format="pyarrow").to_pandas()
-    below = int(parts["below"].sum())
-    vals = np.concatenate(parts["vals"].to_numpy())
-    vals.sort(kind="mergesort")
-    return float(vals[k - below - 1])
+    """Exact k-th smallest (1-based) valid (non-null, non-NaN) value of
+    `col` — the single-rank case of `kth_smallest_multi` (one shared
+    implementation; the multi version's early rounds cost exactly one
+    histogram for a single rank)."""
+    return kth_smallest_multi(ds, col, [k], bins=bins,
+                              collect_limit=collect_limit,
+                              max_rounds=max_rounds)[0]
 
 
 def exact_quantile_disc(ds, col: str, qs: list[float],
                         **kwargs) -> pd.DataFrame:
     """Exact discrete quantiles (SQL quantile_disc semantics: the value
     at 0-based index floor(q·(n−1)) of the sorted non-null column)."""
-    n = int(ds.map_batches(
-        lambda t: pa.table({"n": pa.array(
-            [len(t[col]) - t[col].null_count], pa.int64())}),
-        batch_format="pyarrow").to_pandas()["n"].sum())
-    ks = [int(math.floor(q * (n - 1))) + 1 for q in qs]
-    vals = kth_smallest_multi(ds, col, ks, **kwargs)
+    vals = kth_smallest_multi(
+        ds, col, ks_from_n=lambda n: [int(math.floor(q * (n - 1))) + 1
+                                      for q in qs], **kwargs)
     return pd.DataFrame({"q": qs, "value": vals})
 
 
@@ -125,36 +73,42 @@ def exact_quantile_cont(ds, col: str, qs: list[float],
     0-based indices floor(h) and ceil(h).
 
     Each boundary value comes from the histogram-bisection
-    `kth_smallest` — no sort, no shuffle, answer-sized collection."""
-    n = int(ds.map_batches(
-        lambda t: pa.table({"n": pa.array(
-            [len(t[col]) - t[col].null_count], pa.int64())}),
-        batch_format="pyarrow").to_pandas()["n"].sum())
-    ks: list[int] = []
+    `kth_smallest` — no sort, no shuffle, answer-sized collection.
+    The valid-row count comes from the multi-rank selector's own stats
+    pass (no separate counting scan)."""
     spec = []  # (k_lo index into ks, k_hi index or None, frac)
-    for q in qs:
-        h = q * (n - 1)
-        lo = int(math.floor(h))
-        frac = h - lo
-        i_lo = len(ks)
-        ks.append(lo + 1)
-        if frac == 0.0:
-            spec.append((i_lo, None, 0.0))
-        else:
-            ks.append(lo + 2)
-            spec.append((i_lo, i_lo + 1, frac))
-    vals = kth_smallest_multi(ds, col, ks, **kwargs)
+
+    def ks_from_n(n: int) -> list[int]:
+        ks: list[int] = []
+        spec.clear()
+        for q in qs:
+            h = q * (n - 1)
+            lo = int(math.floor(h))
+            frac = h - lo
+            i_lo = len(ks)
+            ks.append(lo + 1)
+            if frac == 0.0:
+                spec.append((i_lo, None, 0.0))
+            else:
+                ks.append(lo + 2)
+                spec.append((i_lo, i_lo + 1, frac))
+        return ks
+
+    vals = kth_smallest_multi(ds, col, ks_from_n=ks_from_n, **kwargs)
     rows = []
     for q, (i_lo, i_hi, frac) in zip(qs, spec):
         v = vals[i_lo] if i_hi is None else \
             vals[i_lo] + frac * (vals[i_hi] - vals[i_lo])
-        rows.append({"q": q, "value": round(v, ndigits) if ndigits else v})
+        rows.append({"q": q,
+                     "value": round(v, ndigits) if ndigits is not None
+                     else v})
     return pd.DataFrame(rows)
 
 
-def kth_smallest_multi(ds, col: str, ks: list[int], bins: int = 2048,
-                       collect_limit: int = 65536,
-                       max_rounds: int = 12) -> list[float]:
+def kth_smallest_multi(ds, col: str, ks: list[int] | None = None,
+                       bins: int = 2048, collect_limit: int = 65536,
+                       max_rounds: int = 12,
+                       ks_from_n=None) -> list[float]:
     """Exact k-th smallest for SEVERAL ranks in shared passes: every
     bisection round is ONE `map_batches` pass that histograms all the
     distinct surviving ranges at once (ranks start from the same
@@ -162,14 +116,11 @@ def kth_smallest_multi(ds, col: str, ks: list[int], bins: int = 2048,
     exact finish is one pass collecting every final range. A caller
     needing Q interpolated quantiles pays O(rounds + 1) passes instead
     of O(2·Q·rounds) individual `kth_smallest` calls."""
-    stats = ds.map_batches(
-        lambda t: pa.table({
-            "n": pa.array([len(t[col]) - t[col].null_count], pa.int64()),
-            "lo": pa.array([pc.min(t[col]).as_py()], pa.float64()),
-            "hi": pa.array([pc.max(t[col]).as_py()], pa.float64()),
-        }),
-        batch_format="pyarrow").to_pandas()
+    stats = ds.map_batches(_stats_partial(col),
+                           batch_format="pyarrow").to_pandas()
     n = int(stats["n"].sum())
+    if ks is None:
+        ks = ks_from_n(n)
     for k in ks:
         if not (1 <= k <= n):
             raise ValueError(f"k={k} out of range for {n} non-null rows")
