@@ -274,3 +274,73 @@ def test_bloom_anti_join_one_sided_guarantee(ray_session):
     assert set(exact["v"]) == {100_000 + i for i in range(50)}
     # at 1% FPR over 50 orphans, expect ~all recovered (deterministic)
     assert len(bloom) >= 48
+
+
+def test_bloom_anti_join_numeric_keys(ray_session):
+    """hash64 hashes int64 vs object arrays differently — build and
+    probe must canonicalize to the same dtype (previously every present
+    numeric key was a 'definite miss', violating the one-sided
+    guarantee)."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.joins import bloom_anti_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"k": np.arange(1, 9, dtype=np.int64)}))
+    out = bloom_anti_join(left, pa.array(np.arange(1, 6), pa.int64()),
+                          key="k").to_pandas()
+    # keys 1..5 present (never flagged); 6..8 absent (always flagged)
+    assert set(out["k"]) == {6, 7, 8}
+
+
+def test_salted_joins_nullable_int_keys(ray_session):
+    """A nullable int64 key column materializes as float64+NaN; bucket
+    routing must stay consistent with the int64 build side, and NaN
+    keys match nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.joins import salted_anti_join
+
+    left = ray.data.from_arrow(pa.table({
+        "v": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([5, None, 7], pa.int64())}))
+    right = pa.table({"k": pa.array([5, 7], pa.int64())})
+    out = salted_anti_join(left, right, key="k").to_pandas()
+    assert sorted(out["v"]) == [2]
+
+
+def test_salted_inner_join_keeps_duplicate_right_keys(ray_session):
+    """Hot-key salting must not collapse legitimate one-to-many right
+    rows (the old replica dedup kept one row per key)."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.joins import salted_inner_join
+
+    left = ray.data.from_items([{"k": "a"}, {"k": "b"}])
+    right = pa.table({"k": pa.array(["a", "a", "b"]),
+                      "p": pa.array([1, 2, 3])})
+    out = salted_inner_join(left, right, key="k", num_buckets=2,
+                            hot_keys={"b"}, n_salts=4).to_pandas()
+    assert sorted(out["p"]) == [1, 2, 3]
+    # null right keys must not crash the bucket path either
+    right2 = pa.table({"k": pa.array(["a", None, "b"]),
+                       "p": pa.array([1, 2, 3])})
+    out2 = salted_inner_join(left, right2, key="k", num_buckets=1,
+                             hot_keys={"a"}, n_salts=4).to_pandas()
+    assert sorted(out2["p"]) == [1, 3]
+
+
+def test_storage_join_rejects_bucket_count_mismatch(ray_session, tmp_path):
+    import ray.data
+
+    from webvalid.ops.joins import storage_partitioned_join, write_bucketed
+
+    a = ray.data.from_items([{"k": i, "x": i} for i in range(50)])
+    b = ray.data.from_items([{"k": i, "y": i} for i in range(50)])
+    write_bucketed(a, "k", str(tmp_path / "l"), 8)
+    write_bucketed(b, "k", str(tmp_path / "r"), 4)
+    with pytest.raises(ValueError, match="bucket-count mismatch"):
+        storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"), "k")

@@ -19,41 +19,57 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+from pandas import isna as pd_isna
 
 from webvalid.sketches import hash64
 
 
+def _canon_for_hash(arr: np.ndarray) -> np.ndarray:
+    """Canonicalize key arrays before hashing: pd.util.hash_array gives
+    DIFFERENT hashes for the same value carried as int64, float64 or
+    object, and a nullable int column materializes as float64 — so
+    build and probe sides must hash one canonical dtype. Numerics hash
+    as float64 (exact for |k| < 2^53 — document keys larger than that
+    as out of contract); strings/objects hash as-is."""
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        return arr
+    if arr.dtype.kind in "iuf":
+        return arr.astype(np.float64)
+    return arr
+
+
 def bucket_of(values, num_buckets: int) -> np.ndarray:
-    return (hash64(np.asarray(values)) % np.uint64(num_buckets)).astype(np.int64)
+    arr = _canon_for_hash(np.asarray(values))
+    return (hash64(arr) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def build_right_buckets(right: pa.Table, key: str, num_buckets: int,
                         hot_keys: set | None = None, n_salts: int = 1) -> list:
-    """Bucket the right side; replicate hot-key rows across salt buckets.
+    """Bucket the right side; replicate hot-key rows across salt slots.
 
-    Returns a list of `num_buckets * n_salts` ObjectRefs of pa.Table.
-    Bucket layout: bucket_id * n_salts + salt.
-    """
+    Returns `num_buckets * n_salts` ObjectRefs of pa.Table, laid out as
+    bucket_id * n_salts + salt with DISJOINT slots: salt 0 holds the
+    bucket's cold rows, salts 1..n-1 each hold one full replica of the
+    bucket's hot rows (n_salts == 1: everything in slot 0). A consumer
+    reads slot 0 plus ONE worker-chosen hot replica — so a hot bucket's
+    fetch load spreads across replicas and nothing needs a dedup on
+    read (the old overlapping layout required a key-level dedup that
+    silently collapsed legitimate duplicate right keys)."""
     keys = right[key].to_numpy(zero_copy_only=False)
     b = bucket_of(keys, num_buckets)
-    hot = np.array([k in hot_keys for k in keys], dtype=bool) if hot_keys else np.zeros(len(keys), bool)
-    tables: list[list[pa.Table]] = [[] for _ in range(num_buckets * n_salts)]
+    if hot_keys and n_salts > 1:
+        hot = np.array([k in hot_keys for k in keys], dtype=bool)
+    else:
+        hot = np.zeros(len(keys), bool)
+    tables: list[pa.Table] = [right.slice(0, 0)] * (num_buckets * n_salts)
     for bucket in range(num_buckets):
         in_bucket = b == bucket
         cold = right.filter(pa.array(in_bucket & ~hot))
-        hot_rows = right.filter(pa.array(in_bucket & hot))
-        for salt in range(n_salts):
-            parts = [cold] if salt == 0 or hot_keys is None else []
-            if salt == 0 and n_salts > 1:
-                parts = [cold]
-            if hot_rows.num_rows:
-                parts.append(hot_rows)  # replicate hot keys into every salt
-            if salt != 0 and not parts:
-                parts = [right.slice(0, 0)]
-            tables[bucket * n_salts + salt] = (
-                pa.concat_tables(parts) if parts else right.slice(0, 0)
-            )
-    # cold rows live only in salt 0; lookups for cold keys always use salt 0
+        tables[bucket * n_salts] = cold
+        if hot.any():
+            hot_rows = right.filter(pa.array(in_bucket & hot))
+            for salt in range(1, n_salts):
+                tables[bucket * n_salts + salt] = hot_rows
     return [ray.put(t) for t in tables]
 
 
@@ -69,6 +85,17 @@ def _in_sorted_keys(sorted_keys: np.ndarray, keys: np.ndarray) -> np.ndarray:
         pos = np.clip(np.searchsorted(sorted_keys, keys), 0, len(sorted_keys) - 1)
         return sorted_keys[pos] == keys
     return np.isin(keys, sorted_keys)
+
+
+def _bucket_slot_refs(refs: list, bucket: int, n_salts: int) -> list:
+    """The refs a consumer reads for one bucket: the cold slot plus one
+    worker-chosen hot replica (load-spread across replicas)."""
+    import os
+
+    out = [refs[bucket * n_salts]]
+    if n_salts > 1:
+        out.append(refs[bucket * n_salts + 1 + (os.getpid() % (n_salts - 1))])
+    return out
 
 
 class BucketedAntiJoin:
@@ -93,9 +120,9 @@ class BucketedAntiJoin:
         ks = self._key_arrays.get(bucket)
         if ks is None:
             parts = [
-                ray.get(self.bucket_refs[bucket * self.n_salts + salt])[self.key]
-                .to_numpy(zero_copy_only=False)
-                for salt in range(self.n_salts)
+                ray.get(ref)[self.key].to_numpy(zero_copy_only=False)
+                for ref in _bucket_slot_refs(self.bucket_refs, bucket,
+                                             self.n_salts)
             ]
             cat = np.concatenate(parts) if parts else np.empty(0)
             if cat.dtype == object:
@@ -110,11 +137,13 @@ class BucketedAntiJoin:
         keys = batch[self.key].to_numpy(zero_copy_only=False)
         # a null left key matches nothing → always a miss (same as the
         # original `k not in ks` set semantics); it must not reach the
-        # numpy sort-based membership, which cannot compare None
+        # numpy sort-based membership, which cannot compare None. A
+        # NULLABLE int column materializes as float64 with NaN — treat
+        # NaN the same way
         if keys.dtype == object:
             null_left = np.asarray([k is None for k in keys], bool)
         else:
-            null_left = np.zeros(len(keys), dtype=bool)
+            null_left = pd_isna(keys)
         b = bucket_of(keys, self.num_buckets)
         miss = np.zeros(len(keys), dtype=bool)
         for bucket in np.unique(b[~null_left]) if null_left.any() else np.unique(b):
@@ -178,16 +207,12 @@ class BucketedInnerJoin:
     def _bucket_table(self, bucket: int) -> pa.Table:
         t = self._lookups.get(bucket)
         if t is None:
-            parts = [
-                ray.get(self.bucket_refs[bucket * self.n_salts + s])
-                for s in range(self.n_salts)
-            ]
-            # salt replicas duplicate hot keys — keep first occurrence
+            # cold slot + ONE hot replica — slots are disjoint, so no
+            # dedup (the old key-level dedup collapsed legitimate
+            # duplicate right keys, losing one-to-many join rows)
+            parts = [ray.get(ref) for ref in _bucket_slot_refs(
+                self.bucket_refs, bucket, self.n_salts)]
             t = pa.concat_tables(parts)
-            if self.n_salts > 1 and t.num_rows:
-                keys = t[self.key].to_numpy(zero_copy_only=False)
-                _, first_idx = np.unique(keys, return_index=True)
-                t = t.take(pa.array(np.sort(first_idx), pa.int64()))
             self._lookups[bucket] = t
         return t
 
@@ -283,10 +308,16 @@ def bloom_anti_join(left_ds, right_keys, key: str, fpr: float = 0.01):
 
     keys_np = np.asarray(
         right_keys.to_numpy(zero_copy_only=False)
-        if hasattr(right_keys, "to_numpy") else right_keys, dtype=object)
-    keys_np = keys_np[np.asarray([k is not None for k in keys_np], bool)]
+        if hasattr(right_keys, "to_numpy") else right_keys)
+    if keys_np.dtype == object:
+        keys_np = keys_np[np.asarray([k is not None for k in keys_np], bool)]
+    else:
+        keys_np = keys_np[~pd_isna(keys_np)]
     bf = BloomFilter.for_capacity(len(keys_np), fpr=fpr)
-    bf.add(keys_np)
+    # canonical dtype: the probe side hashes the column's native array,
+    # so the build side must hash the SAME canonical form (forcing
+    # dtype=object here made every present numeric key a "miss")
+    bf.add_hashes(hash64(_canon_for_hash(keys_np)))
     bf_ref = ray.put(bf.serialize())
 
     return left_ds.map_batches(
@@ -307,8 +338,8 @@ class _BloomAnti:
         if vals.dtype == object:
             null = np.asarray([v is None for v in vals], bool)
         else:
-            null = np.zeros(len(vals), dtype=bool)
-        miss = ~self.bf.contains_hashes(hash64(vals))
+            null = pd_isna(vals)
+        miss = ~self.bf.contains_hashes(hash64(_canon_for_hash(vals)))
         return t.filter(pa.array(miss | null))
 
 
@@ -379,11 +410,17 @@ def broadcast_range_join(left_ds, intervals: pa.Table, ts_col: str,
                          "start)")
     payload = {c: intervals[c].to_numpy(zero_copy_only=False)[order]
                for c in intervals.column_names}
-    ref = ray.put((starts, ends, payload))
+    # carry the arrow types: a zero-hit batch would otherwise emit its
+    # payload columns as type null (inferred from an empty object
+    # array), making blocks disagree on the schema
+    ptypes = {c: intervals.schema.field(c).type
+              for c in intervals.column_names}
+    ref = ray.put((starts, ends, payload, ptypes))
 
     class _RangeJoin:
         def __init__(self, ref):
-            self.starts, self.ends, self.payload = ray.get(ref)
+            (self.starts, self.ends, self.payload,
+             self.ptypes) = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ts = t[ts_col].to_numpy(zero_copy_only=False)
@@ -395,7 +432,8 @@ def broadcast_range_join(left_ds, intervals: pa.Table, ts_col: str,
             hit = idx[sel]
             for c, vals in self.payload.items():
                 if c not in out.column_names:
-                    out = out.append_column(c, pa.array(vals[hit]))
+                    out = out.append_column(
+                        c, pa.array(vals[hit], type=self.ptypes[c]))
             return out
 
     from webvalid.rayutil import task_callable
@@ -415,6 +453,14 @@ def write_bucketed(ds, key: str, out_dir: str, num_buckets: int):
 
     ds.map_batches(tag, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["bucket"])
+    # record the bucket count: joining layouts bucketed with DIFFERENT
+    # counts would silently drop matches (keys land in different
+    # bucket ids) — storage_partitioned_join cross-checks this
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_buckets.json"), "w") as f:
+        json.dump({"key": key, "num_buckets": num_buckets}, f)
 
 
 @ray.remote
@@ -455,10 +501,27 @@ def storage_partitioned_join(left_dir: str, right_dir: str, key: str,
         raise ValueError("storage_partitioned_join supports 'inner' and "
                          "'left outer' only (right/full outer would need "
                          "right-only buckets scheduled too)")
+    def bucket_count(d: str):
+        import json
+        try:
+            with open(os.path.join(d, "_buckets.json")) as f:
+                return json.load(f)["num_buckets"]
+        except OSError:
+            return None  # pre-metadata layout: cannot cross-check
+
+    nl, nr = bucket_count(left_dir), bucket_count(right_dir)
+    if nl is not None and nr is not None and nl != nr:
+        raise ValueError(
+            f"bucket-count mismatch: left written with {nl} buckets, "
+            f"right with {nr} — co-located joining would silently drop "
+            f"matches; rewrite one side with the other's count")
     lb, rb = buckets(left_dir), buckets(right_dir)
     if not rb:
         raise ValueError("right layout has no populated buckets")
-    schema_file = next(iter(rb.values()))[0]
+    try:
+        schema_file = next(f for fs in rb.values() if fs for f in fs[:1])
+    except StopIteration:
+        raise ValueError("right layout has no parquet files")
     ids = sorted(set(lb) & set(rb)) if how == "inner" else sorted(lb)
     refs = [_join_bucket.remote(lb[i], rb.get(i, []), key, how, schema_file)
             for i in ids if lb.get(i)]

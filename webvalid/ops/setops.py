@@ -49,6 +49,9 @@ def set_op_keys(a_ds, b_ds, col: str, op: str = "except",
     """
     if op not in ("except", "intersect"):
         raise ValueError("op must be 'except' or 'intersect'")
+    if col in ("in_a", "in_b", "sum(in_a)", "sum(in_b)"):
+        raise ValueError(f"key column name {col!r} collides with the "
+                         f"presence-flag columns — rename it upstream")
     if strategy == "driver":
         def side(ds):
             parts = ds.map_batches(_distinct_partial(col, 1, 0),
