@@ -106,14 +106,20 @@ def _rebuild_batch(batch: pa.Table, dup_ref, text_col: str, id_col: str,
         pos = np.searchsorted(prefixes, d8)
         pos[pos >= len(prefixes)] = len(prefixes) - 1
         drop = (prefixes[pos] == d8) & (packed != winners[pos])
-        # FULL-digest confirmation for the rare flagged chunks: a
-        # unique chunk whose 8-byte prefix collides with a dup group's
-        # must never be dropped
+        # FULL-digest confirmation for every flagged chunk (flagged =
+        # all duplicate losers — the COMMON case in a dedup corpus, not
+        # just prefix collisions): digests come straight off the Arrow
+        # buffers in one vectorized-ish pass, leaving only dict lookups
+        # per flagged row
         flagged = np.flatnonzero(drop)
         if len(flagged):
-            col = c["chunk_text"]
-            for i in flagged:
-                w = full.get(hashlib.md5(col[int(i)].as_py().encode()).digest())
+            from webvalid.ops.dedup import md5_hex_from_column
+
+            sub_hex = md5_hex_from_column(
+                c["chunk_text"].combine_chunks().take(
+                    pa.array(flagged, pa.int64())))
+            for j, i in enumerate(flagged):
+                w = full.get(bytes.fromhex(sub_hex[j]))
                 if w is None or w == int(packed[i]):
                     drop[i] = False
         keep = ~drop

@@ -30,11 +30,10 @@ _STOPWORDS = {
 }
 
 
-def text_stats_batch(batch: pa.Table, text_col: str = "text",
-                     space_tokens: bool = True) -> pa.Table:
+def text_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Append n_chars_computed / n_tokens columns (Arrow kernels only).
 
-    `space_tokens` counts single-space-separated fields (matches SQL
+    Tokens are single-space-separated fields (matches SQL
     `len(str_split(text, ' '))` exactly, for oracle parity).
     """
     t = batch[text_col]
@@ -71,7 +70,11 @@ class QualityScorer:
             if not t:
                 continue
             toks = self.token_re.findall(t)
-            words = [w for w in toks if self.word_re.fullmatch(w)]
+            # identical to filtering toks by fullmatch: TOKEN_RE's
+            # alternation emits maximal \w+ runs or single non-word
+            # chars, so the word subset IS WORD_RE.findall — one C call
+            # instead of a per-token interpreted fullmatch
+            words = self.word_re.findall(t)
             n_tokens[i] = len(toks)
             n_words[i] = len(words)
             if toks:
@@ -291,6 +294,27 @@ class Fingerprinter:
         )
 
 
+def _seg_max_runs(d: np.ndarray, key: np.ndarray):
+    """(docs, per-doc total count, per-doc max run count) of sorted
+    (d, key) pairs — the shared gaps-and-islands kernel behind the
+    repetition stats AND the repetition filter (one implementation,
+    one place to fix run-boundary logic)."""
+    order = np.lexsort((key, d))
+    d_s, k_s = d[order], key[order]
+    run_start = np.ones(len(d_s), dtype=bool)
+    run_start[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
+    starts = np.flatnonzero(run_start)
+    cnt = np.diff(np.append(starts, len(d_s)))
+    run_doc = d_s[starts]
+    doc_start = np.ones(len(run_doc), dtype=bool)
+    doc_start[1:] = run_doc[1:] != run_doc[:-1]
+    dstarts = np.flatnonzero(doc_start)
+    docs = run_doc[dstarts]
+    totals = np.add.reduceat(cnt, dstarts)
+    maxes = np.maximum.reduceat(cnt, dstarts)
+    return docs, totals, maxes
+
+
 def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
                            id_col: str = "doc_id") -> pa.Table:
     """Per-doc repetition profile (Gopher-style quality signals):
@@ -313,23 +337,6 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
     tok_valid = valid[doc_idx]
     h = hash64(flat.to_numpy(zero_copy_only=False))
-
-    def _seg_max_runs(d: np.ndarray, key: np.ndarray):
-        """(docs, per-doc total, per-doc max run count) of (d, key)."""
-        order = np.lexsort((key, d))
-        d_s, k_s = d[order], key[order]
-        run_start = np.ones(len(d_s), dtype=bool)
-        run_start[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
-        starts = np.flatnonzero(run_start)
-        cnt = np.diff(np.append(starts, len(d_s)))
-        run_doc = d_s[starts]
-        doc_start = np.ones(len(run_doc), dtype=bool)
-        doc_start[1:] = run_doc[1:] != run_doc[:-1]
-        dstarts = np.flatnonzero(doc_start)
-        docs = run_doc[dstarts]
-        totals = np.add.reduceat(cnt, dstarts)
-        maxes = np.maximum.reduceat(cnt, dstarts)
-        return docs, totals, maxes
 
     docs, n_tok, max_tok = _seg_max_runs(doc_idx[tok_valid], h[tok_valid])
     top_tok = max_tok / n_tok.astype(np.float64)
@@ -375,20 +382,8 @@ def repetition_filter(ds, text_col: str = "text",
         doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
         tok_valid = valid[doc_idx]
         h = hash64(flat.to_numpy(zero_copy_only=False))
-        d, k = doc_idx[tok_valid], h[tok_valid]
-        order = np.lexsort((k, d))
-        d_s, k_s = d[order], k[order]
-        run_start = np.ones(len(d_s), dtype=bool)
-        run_start[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
-        starts = np.flatnonzero(run_start)
-        cnt = np.diff(np.append(starts, len(d_s)))
-        run_doc = d_s[starts]
-        doc_start = np.ones(len(run_doc), dtype=bool)
-        doc_start[1:] = run_doc[1:] != run_doc[:-1]
-        dstarts = np.flatnonzero(doc_start)
-        docs = run_doc[dstarts]
-        n_tok = np.add.reduceat(cnt, dstarts)
-        max_tok = np.maximum.reduceat(cnt, dstarts)
+        docs, n_tok, max_tok = _seg_max_runs(doc_idx[tok_valid],
+                                             h[tok_valid])
         ok_mask = np.zeros(batch.num_rows, dtype=bool)
         frac = max_tok / n_tok.astype(np.float64)
         ok_mask[docs] = (frac <= max_top_token_frac) & (n_tok >= min_tokens)
@@ -421,5 +416,8 @@ def compression_ratio_batch(t: pa.Table, text_col: str = "text",
         id_col: t[id_col],
         "raw_bytes": pa.array(raw, pa.int64()),
         "compressed_bytes": pa.array(comp, pa.int64()),
-        "compression_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+        # from_pandas=True: NaN becomes a genuine Arrow NULL, honoring
+        # the documented 'null ratio for null/empty texts' contract
+        "compression_ratio": pa.array(np.round(ratio, 6), pa.float64(),
+                                      from_pandas=True),
     })
