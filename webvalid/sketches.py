@@ -59,12 +59,19 @@ class HyperLogLog:
         rest_bits = 64 - self.p
         rest = h & np.uint64((1 << rest_bits) - 1)
         # rank = (#leading zeros of the rest_bits-bit value) + 1
-        #      = rest_bits - bit_length(rest) + 1; rest fits float64 exactly
-        # because rest < 2**52 for p >= 12.
-        bl = np.zeros(len(rest), dtype=np.int64)
-        nz = rest > 0
-        bl[nz] = np.frexp(rest[nz].astype(np.float64))[1]
-        rank = (rest_bits - bl + 1).astype(np.uint8)
+        #      = rest_bits - bit_length(rest) + 1. Bit length is
+        # computed in the INTEGER domain (6 shift/compare steps):
+        # np.frexp rounds a rest near a power of two UP once it
+        # exceeds float64's 53-bit mantissa (p <= 10), silently
+        # biasing the rank by one.
+        bl = np.zeros(len(rest), dtype=np.uint64)
+        r = rest.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = r >= np.uint64(1 << s)
+            bl[m] += np.uint64(s)
+            r[m] >>= np.uint64(s)
+        bl += (r > 0).astype(np.uint64)
+        rank = (np.uint64(rest_bits) - bl + np.uint64(1)).astype(np.uint8)
         np.maximum.at(self.registers, idx, rank)
         return self
 
@@ -184,8 +191,14 @@ class TDigest:
         self.weights = w_sums
 
     def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta, \
+            "merging TDigests with different delta silently recompresses " \
+            "at self.delta — construct both sides with one delta"
         if other.count == 0:
             return self
+        # note: compresses `other` in place (distribution-preserving;
+        # semantically idempotent, but the argument's internal centroid
+        # layout changes)
         other._compress()
         self.count += other.count
         self.v_min = min(self.v_min, other.v_min)
@@ -416,11 +429,16 @@ def psi_two_sample(counts1: np.ndarray, counts2: np.ndarray,
     stable, 0.1-0.25 moderate, > 0.25 major shift).
 
     PSI = sum (p - q) * ln(p / q) with Laplace smoothing `smooth`
-    added per bin so empty bins stay finite; bins empty on BOTH sides
-    still participate (the smoothing makes their term 0), so the
-    result depends only on the aligned bin set, not its order."""
+    added per bin so empty bins stay finite. Bins empty on BOTH sides
+    are DROPPED before smoothing: when the two totals differ, a
+    both-empty bin's smoothed p and q differ, so keeping such padding
+    bins would inflate PSI by the dead-bin count (measured: 0.25 of
+    pure padding on identical one-category distributions) — dropping
+    them makes the result depend only on the OBSERVED category set."""
     c1 = np.asarray(counts1, dtype=np.float64)
     c2 = np.asarray(counts2, dtype=np.float64)
+    seen = (c1 > 0) | (c2 > 0)
+    c1, c2 = c1[seen], c2[seen]
     if len(c1) == 0:
         return math.nan
     k = len(c1)
@@ -431,6 +449,9 @@ def psi_two_sample(counts1: np.ndarray, counts2: np.ndarray,
 
 def ks_two_sample_from_hist(h1: NumericHistogram, h2: NumericHistogram) -> tuple[float, float]:
     """Approximate two-sample KS over binned CDFs; returns (D, p_value)."""
+    assert (h1.lo, h1.hi, len(h1.counts)) == (h2.lo, h2.hi, len(h2.counts)), \
+        "KS needs histograms over the SAME (lo, hi, bins) — positional " \
+        "bin comparison over different ranges is meaningless"
     # total() already excludes NaNs (counts + underflow + overflow)
     n1, n2 = h1.total(), h2.total()
     if n1 == 0 or n2 == 0:
@@ -490,6 +511,11 @@ class MisraGries:
         else:
             items = zip(arr, np.asarray(counts))
         for v, c in items:
+            # normalize null-likes to ONE key: distinct NaN objects
+            # hash by identity and would accumulate as separate
+            # counters (same normalization as CategoricalHistogram)
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                v = None
             c = int(c)
             self.n += c
             self.counts[v] = self.counts.get(v, 0) + c
@@ -518,7 +544,10 @@ class MisraGries:
     def top(self, m: int) -> list[tuple]:
         """Top-m surviving items by retained count (a LOWER bound on
         true frequency; upper bound adds n/(k+1))."""
-        return sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        # tie-break on str(key): raw keys of mixed types (str vs the
+        # normalized None) are not mutually comparable
+        return sorted(self.counts.items(),
+                      key=lambda kv: (-kv[1], str(kv[0])))[:m]
 
     def error_bound(self) -> float:
         """Max undercount of any stored counter (sum of subtracted
@@ -570,7 +599,9 @@ class BloomFilter:
         n = max(n, 1)
         n_bits = int(-n * math.log(fpr) / (math.log(2) ** 2))
         n_bits = max(256, (n_bits + 63) // 64 * 64)
-        k = max(1, round(n_bits / n * math.log(2)))
+        # cap k: the 256-bit floor with tiny n would otherwise yield
+        # absurd probe counts (n=1 → k=177 hash positions per element)
+        k = min(32, max(1, round(n_bits / n * math.log(2))))
         return cls(n_bits=n_bits, k=k)
 
     def _positions(self, hashes: np.ndarray) -> np.ndarray:
