@@ -164,6 +164,77 @@ def test_asof_partitioned_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(bcast[cols], part[cols], check_dtype=False)
 
 
+def test_asof_partitioned_preserves_int_dtypes(ray_session):
+    """The co-partitioned path unions both sides onto one null-filled
+    schema; a pandas co-group would upcast null-bearing int64 columns to
+    float64 (CORRECTNESS_r03's one red row: click_id came back 5.0 vs
+    the oracle's 5). Both paths must emit the ORIGINAL Arrow types, and
+    unmatched left rows get proper nulls, not NaN."""
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    left_rows = [{"click_id": i, "user_id": i % 4, "ts": 100 + i}
+                 for i in range(40)]
+    # user 3 has no right rows at all -> its matches are null
+    right_rows = [{"ts": 50 + 7 * j, "user_id": j % 3, "purchase_id": 1000 + j}
+                  for j in range(9)]
+    left = ray.data.from_items(left_rows).repartition(3)
+    right = ray.data.from_items(right_rows).repartition(2)
+
+    part = asof_join_partitioned(left, right, on="ts", by="user_id",
+                                 num_buckets=5)
+    psch = dict(zip(part.schema().names, part.schema().types))
+    assert str(psch["click_id"]) == "int64"
+    assert str(psch["user_id"]) == "int64"
+    assert str(psch["purchase_id"]) == "int64"
+    ppdf = part.to_pandas().sort_values("click_id").reset_index(drop=True)
+    bpdf = asof_join_broadcast(
+        left, pd.DataFrame(right_rows), on="ts", by="user_id"
+    ).to_pandas().sort_values("click_id").reset_index(drop=True)
+    assert str(ppdf["click_id"].dtype) == str(bpdf["click_id"].dtype) == "int64"
+    # unmatched rows: purchase_id is null (nullable Int64 in pandas), no NaN
+    unmatched = ppdf[ppdf["user_id"] == 3]
+    assert len(unmatched) > 0 and unmatched["purchase_id"].isna().all()
+    assert ppdf["purchase_id"].equals(
+        bpdf["purchase_id"].astype(ppdf["purchase_id"].dtype))
+
+
+def test_asof_partitioned_nullable_int_keys(ray_session):
+    """A batch containing any null `by` key materializes int64 as
+    float64+NaN; hashing that raw would route the SAME key value to a
+    different bucket than on an all-int64 batch — silently dropping
+    matches (ADVICE r3). bucket_of canonicalizes first."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    # left block 1 is all-int64 keys; block 2 has a null key alongside
+    # key 7 -> that block's key column is float64+NaN in numpy terms
+    l1 = pa.table({"id": [1, 2], "k": pa.array([7, 8], pa.int64()),
+                   "ts": [100, 100]})
+    l2 = pa.table({"id": [3, 4], "k": pa.array([7, None], pa.int64()),
+                   "ts": [200, 200]})
+    right_rows = [{"k": 7, "ts": 50, "val": 70}, {"k": 8, "ts": 60, "val": 80}]
+    left = ray.data.from_arrow([l1, l2])
+    right = ray.data.from_items(right_rows)
+
+    part = asof_join_partitioned(left, right, on="ts", by="k",
+                                 num_buckets=4).to_pandas()
+    part = part.sort_values("id").reset_index(drop=True)
+    bcast = asof_join_broadcast(left, pd.DataFrame(right_rows),
+                                on="ts", by="k").to_pandas()
+    bcast = bcast.sort_values("id").reset_index(drop=True)
+    # key 7 on BOTH blocks must match val=70 — same bucket either way
+    assert part.loc[part["id"] == 1, "val"].iloc[0] == 70
+    assert part.loc[part["id"] == 3, "val"].iloc[0] == 70
+    assert part.loc[part["id"] == 2, "val"].iloc[0] == 80
+    assert part["val"].isna().tolist() == bcast["val"].isna().tolist()
+
+
 def test_asof_tie_break_is_block_order_independent(ray_session):
     """Equal-(key, ts) right rows must resolve to the SAME match no
     matter how the right side's rows are ordered/partitioned (Ray's

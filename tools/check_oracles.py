@@ -43,6 +43,24 @@ def compare(name, got, exp) -> list[str]:
         for c in g.columns:
             gv, ev = g[c], e[c]
             if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+                # dtype-strict: an integer oracle column arriving float
+                # (int64 upcast through a null-filled pandas group) passes
+                # allclose locally but fails the driver's value hash
+                # (5.0 vs 5) — CORRECTNESS_r03's asof red row. Flag it.
+                if (pd.api.types.is_integer_dtype(ev)
+                        and pd.api.types.is_float_dtype(gv)):
+                    problems.append(
+                        f"col {c}: dtype drift — oracle int "
+                        f"({ev.dtype}) but engine float ({gv.dtype}); "
+                        "driver hash would mismatch")
+                    continue
+                if (pd.api.types.is_integer_dtype(gv)
+                        and pd.api.types.is_float_dtype(ev)):
+                    problems.append(
+                        f"col {c}: dtype drift — oracle float "
+                        f"({ev.dtype}) but engine int ({gv.dtype}); "
+                        "driver hash would mismatch")
+                    continue
                 ok = np.allclose(
                     gv.astype(float), ev.astype(float), rtol=0, atol=0, equal_nan=True
                 )

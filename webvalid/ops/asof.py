@@ -42,6 +42,28 @@ def _ts_us_series(s: pd.Series) -> pd.Series:
     return s.astype(np.int64)
 
 
+def _canon_by(s: pd.Series) -> pd.Series:
+    """Canonicalize a numeric `by` key to float64 for merge_asof: a
+    batch with any null key materializes int64 as float64+NaN, and
+    merge_asof refuses mismatched by-key dtypes across sides. float64
+    is exact below 2^53 — the same contract as the join-hash path
+    (joins._canon_for_hash); null keys (NaN) match nothing, like SQL."""
+    if pd.api.types.is_numeric_dtype(s.dtype):
+        return s.astype(np.float64)
+    return s
+
+
+def _pin_types(out: pd.DataFrame, types: dict[str, pa.DataType]) -> pa.Table:
+    """Rebuild the merge output with PINNED Arrow types: pandas upcasts
+    null-bearing int64 to float64+NaN (5.0 hashes differently than the
+    oracle's 5 — CORRECTNESS_r03's one red row) and the upcast would
+    also vary batch-to-batch with match luck. from_pandas=True turns
+    NaN back into proper Arrow nulls."""
+    return pa.table(
+        {c: pa.array(out[c], type=types[c], from_pandas=True)
+         for c in types})
+
+
 class _AsofBatcher:
     """map_batches callable: merge_asof of each left batch against the
     broadcast right table (resolved once per worker)."""
@@ -56,19 +78,33 @@ class _AsofBatcher:
         self.suffix = suffix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # output types: the batch's own types (on normalized to int64)
+        # plus the appended right columns' Arrow types
+        out_types = {n: (pa.int64() if n == self.on else t)
+                     for n, t in zip(batch.schema.names, batch.schema.types)}
+        rschema = pa.Schema.from_pandas(self.right, preserve_index=False)
+        for n, t in zip(rschema.names, rschema.types):
+            if n in (self.on, self.by):
+                continue
+            name = n + self.suffix if n in out_types else n
+            out_types[name] = t
         left = batch.to_pandas()
         left[self.on] = _ts_us_series(left[self.on])
+        left[self.by] = _canon_by(left[self.by])
+        right = self.right
+        if left[self.by].dtype != right[self.by].dtype:
+            right = right.assign(**{self.by: _canon_by(right[self.by])})
         order = left[self.on].argsort(kind="stable").to_numpy()
         left_sorted = left.iloc[order]
         out = pd.merge_asof(
-            left_sorted, self.right, on=self.on, by=self.by,
+            left_sorted, right, on=self.on, by=self.by,
             direction="backward", allow_exact_matches=True,
             suffixes=("", self.suffix),
         )
         # restore the batch's input row order (callers may rely on Ray
         # Data's default order preservation)
         out = out.iloc[np.argsort(order, kind="stable")]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _pin_types(out, out_types)
 
 
 def asof_join_broadcast(left_ds, right: pd.DataFrame, on: str, by: str,
@@ -122,7 +158,7 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
     """
     import pyarrow.compute as pc
 
-    from webvalid.sketches import hash64
+    from webvalid.ops.joins import bucket_of
 
     lsch = left_ds.schema()
     rsch = right_ds.schema()
@@ -154,9 +190,12 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
                     cols[c] = arr
                 else:
                     cols[c] = pa.nulls(n, field_types[c])
+            # bucket_of canonicalizes key dtype before hashing — a batch
+            # with any null key materializes int64 as float64+NaN, which
+            # raw hash64 would route to a DIFFERENT bucket than the same
+            # value on an all-int64 batch (silently dropped matches)
             keys = t[by].to_numpy(zero_copy_only=False)
-            cols["_bucket"] = pa.array(
-                (hash64(keys) % np.uint64(num_buckets)).astype(np.int64))
+            cols["_bucket"] = pa.array(bucket_of(keys, num_buckets))
             cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
             return pa.table(cols)
 
@@ -166,20 +205,38 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
         right_ds.map_batches(make_tag(1, [on, by] + rvals), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0].drop(columns=rvals + ["_bucket", "_side"])
-        right = g[g["_side"] == 1][[on, by] + rvals]
+    # Output schema is pinned to the ORIGINAL Arrow types. The union
+    # schema null-fills the other side's columns, and a pandas co-group
+    # would upcast null-bearing int64 to float64 — the driver then hashes
+    # 5.0 vs the oracle's 5 and mismatches even though values are equal
+    # (CORRECTNESS_r03's one red row). So: split sides in Arrow (each
+    # side's own columns are null-free there), run merge_asof on clean
+    # dtypes, and cast the appended right-value columns (the only ones
+    # that can gain NaN, from unmatched left rows) back via
+    # pa.array(from_pandas=True) → NaN becomes a proper Arrow null.
+    out_schema = pa.schema([(c, field_types[c]) for c in all_cols])
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        left_t = t.filter(pc.equal(t["_side"], 0)).select(lcols)
+        if left_t.num_rows == 0:
+            return out_schema.empty_table()
+        right_t = t.filter(pc.equal(t["_side"], 1)).select([on, by] + rvals)
+        left = left_t.to_pandas()
+        right = right_t.to_pandas()
+        # canonicalize the by key across sides: one side may carry nulls
+        # (int64 -> float64+NaN in pandas) and merge_asof refuses
+        # mismatched by dtypes; NaN keys match nothing, like SQL
+        left[by] = _canon_by(left[by])
+        right[by] = _canon_by(right[by])
         left = left.sort_values(on, kind="stable").reset_index(drop=True)
         # Deterministic tie order for equal-(by, on) right rows — see
         # _AsofBatcher.__init__; without this, merge_asof's last-tied-row
         # pick depends on Ray's session-varying union block order.
         right = right.sort_values([on, by] + rvals,
                                   kind="stable").reset_index(drop=True)
-        if len(left) == 0:
-            return left.assign(**{c: pd.Series([], dtype=right[c].dtype)
-                                  for c in rvals})
         out = pd.merge_asof(left, right, on=on, by=by,
                             direction="backward", allow_exact_matches=True)
-        return out
+        return _pin_types(out, {c: field_types[c] for c in all_cols})
 
-    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(join_bucket,
+                                                batch_format="pyarrow")
