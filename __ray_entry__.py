@@ -11,6 +11,61 @@ from typing import Any
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Queries already driver-green (rows+schema+hash all true) in
+# CORRECTNESS_r01..r03. The driver's correctness window covers only the
+# FIRST 50 keys of queries(), and it covered the same first-50 for three
+# rounds — so queries() rotates these to the BACK and puts the
+# never-driver-checked oracle-equipped queries first (VERDICT r3 next-
+# steps #2). no_oracle queries go between: they only get a weak
+# rows-only row, so they shouldn't displace an oracle-equipped check,
+# but they should still cycle through eventually.
+_DRIVER_GREEN_R3 = frozenset({
+    "asof_clicks_purchases_events", "avg_value_by_event_type",
+    "bigram_topk_documents", "column_stats_lineitem",
+    "components_events_users", "components_star_events_users",
+    "cooccurrence_lang_source_documents", "dedup_exact_documents",
+    "distinct_exact_part_brand", "embedding_near_dups",
+    "events_type_by_day", "events_type_by_day_jsonl",
+    "grouped_quantiles_lineitem", "hash_split_documents",
+    "histogram_lang_documents", "orders_by_nation",
+    "partitioned_write_documents", "pricing_summary_lineitem",
+    "props_k_by_type_events", "rayjoin_orders_customer",
+    "referential_bloom_documents", "referential_orders_customer",
+    "rolling_avg_value_events", "salted_join_orders_customer",
+    "search_tokens_documents", "sessionize_events_users",
+    "similarity_topk_embeddings", "sliding_2h_hourly_events",
+    "stratified_sample_documents", "text_stats_documents",
+    "token_totals_by_lang", "top_orders_per_customer",
+    "tumbling_hourly_events", "unigram_topk_documents",
+    "unigram_topk_sketch_documents", "uniqueness_events_user",
+})
+
+# Queries with no oracle_sql() entry (approximate / iterative /
+# non-SQL-expressible — each has a checked twin or pytest coverage).
+# tests/test_pipeline_e2e.py asserts this set == queries() - oracle_sql().
+_NO_ORACLE = frozenset({
+    "audio_features_documents", "cdcstream_segments_events",
+    "cdda_segments_events", "compression_ratio_documents",
+    "containment_documents", "dedup_clusters_documents",
+    "dedup_minhash_documents", "dedup_simhash_documents",
+    "dedup_verified_documents", "distinct_hll_documents",
+    "fingerprint_documents", "kmeans_embeddings", "langid_documents",
+    "logreg_error_events", "overlap_users_click_purchase",
+    "quality_documents", "quantiles_tdigest_lineitem",
+    "similarity_ivf_embeddings", "webpages_validation_suite",
+})
+
+
+def _rotate_for_driver_window(base: dict) -> dict:
+    """Order queries() so the driver's 50-entry window verifies what it
+    has never seen: unverified oracle-equipped first, then no_oracle,
+    then already-driver-green."""
+    front = {k: v for k, v in base.items()
+             if k not in _DRIVER_GREEN_R3 and k not in _NO_ORACLE}
+    mid = {k: v for k, v in base.items() if k in _NO_ORACLE}
+    back = {k: v for k, v in base.items() if k in _DRIVER_GREEN_R3}
+    return {**front, **mid, **back}
+
 
 def entry() -> Any:
     """Flagship: full validation suite.
@@ -75,7 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from webvalid import queries as q
 
-    return {
+    base = {
         # flagship: full webpages validation suite (rows-only)
         "webpages_validation_suite": q.webpages_validation_suite,
         # column statistics (SURVEY §2.5 A1/A8 + north_rule stats)
@@ -323,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_ivf_checked_embeddings": q.similarity_ivf_checked_embeddings,
         "audio_checked_documents": q.audio_checked_documents,
     }
+    return _rotate_for_driver_window(base)
 
 
 def oracle_sql() -> dict[str, str]:

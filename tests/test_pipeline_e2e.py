@@ -417,3 +417,22 @@ def test_metadata_binary_states_fallback_conditions(tmp_path):
     f3 = str(tmp_path / "gaps.parquet")
     write(f3, [i * 2 for i in range(10)], [b"x"] * 10, 10)
     assert metadata_binary_states([f3], 100, "html", cfg) is None
+
+
+def test_driver_contract_rotation_consistent():
+    """queries() rotation must not drop/duplicate entries, its hardcoded
+    _NO_ORACLE set must equal the actual queries-without-oracle set, and
+    the driver's 50-entry window (first 50 keys) must be entirely
+    oracle-equipped queries (no wasted rows-only slots)."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert len(qs) == len(set(qs))
+    assert set(qs) - set(oracles) == set(e._NO_ORACLE)
+    assert set(oracles) <= set(qs)
+    first50 = list(qs)[:50]
+    assert all(k in oracles for k in first50)
+    # already-green queries must sit behind everything else
+    tail = list(qs)[-len(e._DRIVER_GREEN_R3):]
+    assert set(tail) == set(e._DRIVER_GREEN_R3)
