@@ -131,13 +131,23 @@ def dedup_components(pairs_ds, a_col: str = "doc_a", b_col: str = "doc_b") -> pd
     return connected_components(pairs_ds.map_batches(rn, batch_format="pyarrow"))
 
 
-def _star_round(edges_ds, phase: str):
+def _star_round(edges_ds, phase: str, num_buckets: int = 64):
     """One large-star or small-star round (Kiveris et al., SoCC'14).
 
     Input/output: canonical DIRECTED edge table (src > dst is not
     assumed on input; output edges point child → candidate-center).
-    Each node's neighborhood is co-located by one groupby; inside a
-    group everything is numpy."""
+
+    Scale shape: neighborhoods are co-located by ONE groupby on
+    `hash-bucket(u)` — O(num_buckets) Python calls per round, never
+    O(#nodes) (the r3 version paid a `map_groups` call per node). Each
+    bucket holds COMPLETE node neighborhoods by construction, so the
+    per-bucket kernel is a pure vectorized run-kernel over a
+    (u, v)-lexsorted view: run starts via diff, per-run min = first v
+    of the run, per-row emission by mask, per-run fallbacks via
+    logical_or.reduceat. Partitioning assumption: one bucket's edges
+    fit a worker (bucket ≈ |E|·2/num_buckets rows; a single node's
+    neighborhood cannot be split for a star round, same contract as
+    the as-of join's key buckets)."""
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t["src"].to_numpy(zero_copy_only=False)
@@ -146,30 +156,49 @@ def _star_round(edges_ds, phase: str):
         # edge per event row) shrink by orders of magnitude here
         pairs = np.unique(np.stack([np.concatenate([a, b]),
                                     np.concatenate([b, a])], axis=1), axis=0)
-        return pa.table({"u": pa.array(pairs[:, 0]),
-                         "v": pa.array(pairs[:, 1])})
+        u = pairs[:, 0]
+        # numpy % with a positive divisor is non-negative for any sign
+        return pa.table({"u": pa.array(u),
+                         "v": pa.array(pairs[:, 1]),
+                         "ub": pa.array(u % np.int64(num_buckets))})
 
-    def star(g: pd.DataFrame) -> pd.DataFrame:
-        u = int(g["u"].iloc[0])
-        nbrs = g["v"].to_numpy()
-        m = min(u, int(nbrs.min()))
+    def star_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        # exact global dedup within the bucket (sorted → dups adjacent);
+        # mirrors the old per-group np.unique, keeping round outputs a
+        # duplicate-free set so the convergence fingerprint is stable
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        u, v = u[keep], v[keep]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, len(u)])
+        run_u = u[starts]
+        run_m = np.minimum(run_u, v[starts])  # sorted: first v = min(nbrs)
+        m_rows = np.repeat(run_m, lens)
         if phase == "large":
-            targets = np.unique(nbrs[nbrs > u])
+            mask = v > u  # m <= u < v, so targets never collide with m
+            any_gt = np.logical_or.reduceat(mask, starts)
+            fb = ~any_gt  # no larger neighbor: self-loop at current min
+            src = np.concatenate([v[mask], run_u[fb]])
+            dst = np.concatenate([m_rows[mask], run_m[fb]])
         else:
-            # small-star: smaller-or-equal neighbors AND u itself (when
-            # u is not already the center) all point at m
-            targets = np.unique(nbrs[nbrs <= u])
-            if m != u:
-                targets = np.unique(np.append(targets, u))
-        targets = targets[targets != m]
-        if len(targets) == 0:
-            # keep the node reachable: self-loop at its current min
-            return pd.DataFrame({"src": [u], "dst": [m]}) if m != u else \
-                   pd.DataFrame({"src": [u], "dst": [u]})
-        return pd.DataFrame({"src": targets, "dst": m})
+            # small-star: ≤-neighbors (minus the center and u itself —
+            # u's own edge to m is emitted once per run below, which
+            # reduces to the (u, u) keep-alive when u IS the center)
+            mask = (v <= u) & (v != m_rows) & (v != u)
+            src = np.concatenate([v[mask], run_u])
+            dst = np.concatenate([m_rows[mask], run_m])
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
     doubled = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
-    return doubled.groupby("u").map_groups(star, batch_format="pandas")
+    return doubled.groupby("ub").map_groups(star_bucket,
+                                            batch_format="pyarrow")
 
 
 def connected_components_starlike(edges_ds, src: str = "src", dst: str = "dst",
