@@ -353,6 +353,67 @@ def test_interval_coverage_overflow_fallback(ray_session):
     assert (got["covered_us"] == 9 * (HUGE // 8) + HUGE // 4).all()
 
 
+def test_overflow_guards_computed_pre_wrap(ray_session):
+    """Order extents PAST int64 (span ~2^63): the old guards computed
+    the lift quantities in int64 first, so they either wrapped (passing
+    the guard with a corrupted remap) or raised OverflowError instead
+    of taking the documented exact per-run fallback (ADVICE r3). The
+    guard math now runs in Python ints / float64 before any int64
+    array is built."""
+    import duckdb
+
+    from webvalid.ops.keyscan import (interval_coverage_scan,
+                                      rolling_range_sum_scan)
+
+    LO, HI = -(2 ** 62), 2 ** 62  # run extent 2^63: wraps int64 subtract
+    df = pd.DataFrame({
+        "k": np.repeat(np.arange(3, dtype=np.int64), 4),
+        "o": np.tile(np.array([LO, LO + 5, HI - 5, HI], np.int64), 3),
+        "tb": np.arange(12, dtype=np.int64),
+        "v": np.arange(12, dtype=np.float64),
+    })
+    got = rolling_range_sum_scan(_ds(df, 4), "k", "o", "tb", "v", span=10) \
+        .to_pandas().sort_values("tb").reset_index(drop=True)
+    exp = duckdb.connect().execute("""
+        SELECT tb, SUM(v) OVER (PARTITION BY k ORDER BY o
+                    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS range_sum
+        FROM df ORDER BY tb""").df()
+    assert np.allclose(got["range_sum"], exp["range_sum"])
+
+    # interval coverage: e = s + dur wraps int64; np.int64(off) would
+    # raise OverflowError before the fallback could run
+    df2 = pd.DataFrame({
+        "k": np.repeat(np.arange(2, dtype=np.int64), 2),
+        "s": np.tile(np.array([LO, HI - (2 ** 61)], np.int64), 2),
+        "tb": np.arange(4, dtype=np.int64),
+    })
+    cov = interval_coverage_scan(_ds(df2, 2), "k", "s", 2 ** 61,
+                                 tiebreak="tb").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert (cov["n_intervals"] == 2).all()
+    assert (cov["covered_us"] == 2 * 2 ** 61).all()
+
+
+def test_per_key_scan_rejects_null_order_column(ray_session):
+    """Nulls in the order/tiebreak columns (not just the key) must be
+    rejected loudly: a null in a block-head row enters the pickled head
+    tuple and desyncs the driver-side block ordering (ADVICE r3)."""
+    import pytest
+
+    from webvalid.ops.keyscan import rolling_agg_scan
+
+    df = pd.DataFrame({
+        "k": np.arange(20, dtype=np.int64) % 3,
+        "o": [None if i == 7 else i for i in range(20)],
+        "tb": np.arange(20, dtype=np.int64),
+        "v": np.arange(20, dtype=np.float64),
+    })
+    # Ray wraps the worker's ValueError in RayTaskError — match message
+    with pytest.raises(Exception, match="null/NaN values in sort column"):
+        rolling_agg_scan(_ds(df, 4), "k", "o", "tb", "v", 3,
+                         {"rm": "mean"}).to_pandas()
+
+
 def test_funnel_equal_ts_b_before_a_across_blocks(ray_session):
     """to_type < from_type lexicographically puts equal-ts B events
     BEFORE the A events they convert (horizon is inclusive of ts); a

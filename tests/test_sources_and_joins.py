@@ -415,3 +415,51 @@ def test_storage_join_rejects_bucket_count_mismatch(ray_session, tmp_path):
     write_bucketed(b, "k", str(tmp_path / "r"), 4)
     with pytest.raises(ValueError, match="bucket-count mismatch"):
         storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"), "k")
+
+
+def test_storage_join_rejects_hash_scheme_mismatch(ray_session, tmp_path):
+    """A layout bucketed under an older key-hash scheme routes equal
+    keys to different bucket ids; the count cross-check can't see it
+    (ADVICE r3) — the join must refuse versionless or cross-scheme
+    layouts instead of silently dropping matches."""
+    import json
+
+    import ray.data
+
+    from webvalid.ops.joins import storage_partitioned_join, write_bucketed
+
+    a = ray.data.from_items([{"k": i, "x": i} for i in range(50)])
+    b = ray.data.from_items([{"k": i, "y": i} for i in range(50)])
+    write_bucketed(a, "k", str(tmp_path / "l"), 8)
+    write_bucketed(b, "k", str(tmp_path / "r"), 8)
+    # sanity: same-scheme layouts join fine
+    out = storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                                   "k").to_pandas()
+    assert len(out) == 50
+    # simulate a layout written by the pre-versioning engine
+    meta_path = tmp_path / "r" / "_buckets.json"
+    meta = json.loads(meta_path.read_text())
+    del meta["hash_scheme"]
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="hash scheme"):
+        storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"), "k")
+    meta["hash_scheme"] = "v1-rawdtype"
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="hash scheme"):
+        storage_partitioned_join(str(tmp_path / "l"), str(tmp_path / "r"), "k")
+
+
+def test_bloom_anti_join_refuses_keys_beyond_2_53(ray_session):
+    """Build keys at/past 2^53 are not exact in float64: distinct probe
+    keys can round onto a present build key and real orphans read
+    'present' deterministically (ADVICE r3) — refuse, don't degrade."""
+    import ray.data
+
+    from webvalid.ops.joins import bloom_anti_join
+
+    left = ray.data.from_items([{"k": 1}, {"k": 2}])
+    with pytest.raises(ValueError, match="2\\^53"):
+        bloom_anti_join(left, np.array([5, (1 << 53) + 1], np.int64), "k")
+    # below the contract bound everything still works
+    out = bloom_anti_join(left, np.array([1], np.int64), "k").to_pandas()
+    assert out["k"].tolist() == [2]

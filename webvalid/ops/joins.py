@@ -24,6 +24,14 @@ from pandas import isna as pd_isna
 from webvalid.sketches import hash64
 
 
+# Version tag of the key-hash scheme (canonical dtype + hash64). Bump
+# whenever _canon_for_hash / hash64 semantics change: bucketed parquet
+# layouts written under one scheme route equal keys to DIFFERENT bucket
+# ids under another, and a cross-scheme storage_partitioned_join would
+# silently drop matches. "v2" = numerics canonicalized to float64.
+HASH_SCHEME = "v2-float64canon"
+
+
 def _canon_for_hash(arr: np.ndarray) -> np.ndarray:
     """Canonicalize key arrays before hashing: pd.util.hash_array gives
     DIFFERENT hashes for the same value carried as int64, float64 or
@@ -313,6 +321,20 @@ def bloom_anti_join(left_ds, right_keys, key: str, fpr: float = 0.01):
         keys_np = keys_np[np.asarray([k is not None for k in keys_np], bool)]
     else:
         keys_np = keys_np[~pd_isna(keys_np)]
+    # numeric keys hash as float64 — exact only below 2^53. A build key
+    # past that can round to the SAME double as a distinct probe key, so
+    # genuine orphans would read 'present' deterministically (a
+    # systematic miss, unlike the advertised probabilistic FPR). Enforce
+    # the contract instead of documenting it: with no build key >= 2^53,
+    # probe keys past 2^53 round to doubles that equal no exact build
+    # double, so they still miss correctly.
+    if keys_np.dtype.kind in "iuf" and len(keys_np):
+        if float(np.abs(keys_np.astype(np.float64)).max()) >= float(1 << 53):
+            raise ValueError(
+                "bloom_anti_join: build-side keys at or beyond 2^53 are "
+                "not exactly representable as float64 and would hide "
+                "real orphans — use the sorted-array or shuffle anti-join"
+            )
     bf = BloomFilter.for_capacity(len(keys_np), fpr=fpr)
     # canonical dtype: the probe side hashes the column's native array,
     # so the build side must hash the SAME canonical form (forcing
@@ -460,7 +482,8 @@ def write_bucketed(ds, key: str, out_dir: str, num_buckets: int):
     import os
 
     with open(os.path.join(out_dir, "_buckets.json"), "w") as f:
-        json.dump({"key": key, "num_buckets": num_buckets}, f)
+        json.dump({"key": key, "num_buckets": num_buckets,
+                   "hash_scheme": HASH_SCHEME}, f)
 
 
 @ray.remote
@@ -501,20 +524,36 @@ def storage_partitioned_join(left_dir: str, right_dir: str, key: str,
         raise ValueError("storage_partitioned_join supports 'inner' and "
                          "'left outer' only (right/full outer would need "
                          "right-only buckets scheduled too)")
-    def bucket_count(d: str):
+    def bucket_meta(d: str):
         import json
         try:
             with open(os.path.join(d, "_buckets.json")) as f:
-                return json.load(f)["num_buckets"]
+                return json.load(f)
         except OSError:
             return None  # pre-metadata layout: cannot cross-check
 
-    nl, nr = bucket_count(left_dir), bucket_count(right_dir)
-    if nl is not None and nr is not None and nl != nr:
+    ml, mr = bucket_meta(left_dir), bucket_meta(right_dir)
+    if ml is not None and mr is not None and ml["num_buckets"] != mr["num_buckets"]:
         raise ValueError(
-            f"bucket-count mismatch: left written with {nl} buckets, "
-            f"right with {nr} — co-located joining would silently drop "
-            f"matches; rewrite one side with the other's count")
+            f"bucket-count mismatch: left written with {ml['num_buckets']} "
+            f"buckets, right with {mr['num_buckets']} — co-located joining "
+            f"would silently drop matches; rewrite one side with the "
+            f"other's count")
+    # the hash SCHEME must match too: a layout bucketed under an older
+    # canonicalization routes equal keys to different bucket ids, and
+    # the bucket-count check cannot see that. An unversioned layout
+    # (pre-scheme-tag _buckets.json) is refused for the same reason.
+    for side, m in (("left", ml), ("right", mr)):
+        if m is None:
+            continue
+        scheme = m.get("hash_scheme")
+        if scheme != HASH_SCHEME:
+            raise ValueError(
+                f"{side} layout was bucketed under hash scheme "
+                f"{scheme!r} but this engine uses {HASH_SCHEME!r} — "
+                f"equal keys would land in different buckets and "
+                f"silently drop matches; rewrite the layout with "
+                f"write_bucketed")
     lb, rb = buckets(left_dir), buckets(right_dir)
     if not rb:
         raise ValueError("right layout has no populated buckets")

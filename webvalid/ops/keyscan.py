@@ -71,17 +71,22 @@ def per_key_scan(ds, by: list[str], partial_fn, fold_fn, apply_fn,
             return pa.table({"_hid": pa.array([], pa.string()),
                              "_blob": pa.array([], pa.binary()),
                              "_ord": pa.array([], pa.binary())})
-        # null/NaN keys would fragment runs (NaN != NaN) and silently
-        # break every fold chain — reject loudly instead
-        kc = t[key_col]
-        bad = kc.null_count > 0
-        if not bad and pa.types.is_floating(kc.type):
-            import pyarrow.compute as _pc
-            bad = bool(_pc.any(_pc.is_nan(kc)).as_py())
-        if bad:
-            raise ValueError(
-                f"per_key_scan: null/NaN values in key column "
-                f"{key_col!r} — filter or fill them upstream")
+        # null/NaN in ANY sort column would break the fold chain: a null
+        # key fragments runs (NaN != NaN); a null order/tiebreak value in
+        # a block HEAD row enters the pickled head tuple, where pandas'
+        # driver-side head ordering can diverge from Ray's range-sort
+        # null placement (or raise TypeError on object columns),
+        # desyncing block order — reject loudly instead
+        for col in by:
+            kc = t[col]
+            bad = kc.null_count > 0
+            if not bad and pa.types.is_floating(kc.type):
+                import pyarrow.compute as _pc
+                bad = bool(_pc.any(_pc.is_nan(kc)).as_py())
+            if bad:
+                raise ValueError(
+                    f"per_key_scan: null/NaN values in sort column "
+                    f"{col!r} — filter or fill them upstream")
         head = tuple(t[c][0].as_py() for c in by)
         d = partial_fn(t)
         return pa.table({
@@ -657,9 +662,15 @@ def rolling_range_sum_scan(ds, key: str, order_col: str, tiebreak: str,
         run_id = np.repeat(np.arange(len(starts)), np.diff(bounds))
         run_min = o[starts]
         run_max = o[bounds[1:] - 1]
-        spans = (run_max - run_min).astype(np.int64)
-        extents = spans + span + 2
-        if float(extents.astype(np.float64).sum()) < float(1 << 62):
+        # guard arithmetic in float64 FIRST: int64 run_max - run_min can
+        # silently wrap for order extents past 2^63 and the wrapped value
+        # would then PASS the guard with a corrupted remap — only build
+        # the int64 lift after the float-domain check succeeds
+        extents_f = (run_max.astype(np.float64) - run_min.astype(np.float64)
+                     + float(span) + 2.0)
+        if extents_f.sum() < float(1 << 62):
+            spans = (run_max - run_min).astype(np.int64)
+            extents = spans + span + 2
             # monotonic remap: shift each run past the previous by >
             # span so ONE searchsorted serves every run
             base = np.concatenate([[0], np.cumsum(extents)[:-1]])
@@ -1103,9 +1114,17 @@ def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
         bounds = np.concatenate([starts, [len(k)]])
         n_runs = len(starts)
         run_id = np.repeat(np.arange(n_runs), np.diff(bounds))
-        e = s + dur_us
-        off = np.int64(int(e.max()) - int(s.min()) + dur_us + 1)
-        if float(off) * n_runs < float(1 << 62):
+        # guard arithmetic in UNBOUNDED Python ints first: s + dur_us can
+        # wrap in int64 and np.int64(huge) raises OverflowError — either
+        # way the documented exact per-run fallback would never be taken
+        # (crash or corrupted remap). Only build the int64 lift arrays
+        # once the whole lifted range provably fits.
+        s_min, s_max = int(s.min()), int(s.max())
+        e_max = s_max + dur_us
+        off_py = e_max - s_min + dur_us + 1
+        if e_max + n_runs * off_py < (1 << 62):
+            e = s + dur_us
+            off = np.int64(off_py)
             # ONE reset-aware running max: lift each run past the
             # previous by `off` so accumulation never crosses a reset
             m = e + run_id * off
