@@ -377,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resize_images_documents": q.resize_images_documents,
         "similarity_ivf_checked_embeddings": q.similarity_ivf_checked_embeddings,
         "audio_checked_documents": q.audio_checked_documents,
+        # trained char-trigram lang-ID, held-out accuracy checked twin
+        "langid_trained_checked_documents": q.langid_trained_checked_documents,
     }
     return _rotate_for_driver_window(base)
 
@@ -388,7 +390,13 @@ def oracle_sql() -> dict[str, str]:
     # the suite-verdict twin's SQL reads the fixture parquet by path —
     # make sure it exists even if the driver evaluates oracles first
     fixture_base = q.ensure_suite_fixture()
+    langid_fixture = q.ensure_langid_fixture()
     return {
+        "langid_trained_checked_documents": f"""
+            SELECT lang, COUNT(*) AS n_eval, TRUE AS acc_ok
+            FROM read_parquet('{langid_fixture}')
+            WHERE split = 'test' GROUP BY lang ORDER BY lang
+        """,
         "column_stats_lineitem": """
             SELECT "column", n_rows, n_nulls, min_val, max_val FROM (
                 SELECT 'l_discount' AS "column", COUNT(*) AS n_rows,

@@ -1019,3 +1019,41 @@ def test_containment_pairs_finds_planted_subdoc(ray_session):
     assert byp.loc[(3, 60), "containment"] >= 0.8
     # random docs don't collide
     assert len(got) <= 4
+
+
+def test_trained_langid_holdout_accuracy(ray_session, tmp_path):
+    """Trained char-trigram lang-ID must generalize: profiles learned
+    from the fixture's train split classify the held-out test split
+    with >=95% per-language accuracy; null/empty texts come out 'und'."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from webvalid.ops.langid_ngram import (NgramLangId,
+                                           generate_langid_fixture,
+                                           train_lang_profiles)
+
+    path = generate_langid_fixture(str(tmp_path), n_rows=2000, seed=7)
+    ds = ray.data.read_parquet(path)
+    import pyarrow.compute as pc
+
+    train = ds.map_batches(lambda t: t.filter(pc.equal(t["split"], "train")),
+                           batch_format="pyarrow")
+    test = ds.map_batches(lambda t: t.filter(pc.equal(t["split"], "test")),
+                          batch_format="pyarrow")
+    model = train_lang_profiles(train)
+    assert set(model) == {"de", "en", "es", "fr", "ru", "zh"}
+    ref = ray.put(model)
+    pred = test.map_batches(NgramLangId(ref),
+                            batch_format="pyarrow").to_pandas()
+    truth = test.select_columns(["doc_id", "lang"]).to_pandas()
+    m = pred.merge(truth, on="doc_id")
+    acc = (m["lang_pred"] == m["lang"]).groupby(m["lang"]).mean()
+    assert (acc >= 0.95).all(), acc
+    # nulls / empties / sub-trigram texts classify as 'und', conf 0
+    odd = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array([None, "", "ab"], pa.string())})
+    out = NgramLangId(ray.put(model))(odd).to_pandas()
+    assert out["lang_pred"].tolist() == ["und", "und", "und"]
+    assert (out["lang_conf"] == 0).all()

@@ -668,6 +668,68 @@ def ensure_suite_fixture() -> str:
     return base
 
 
+def ensure_langid_fixture() -> str:
+    """Deterministic multilingual labeled corpus for the trained
+    lang-ID checked twin (also called from `__ray_entry__.oracle_sql()`
+    so the SQL twin's read_parquet path always exists)."""
+    import os
+    import tempfile
+
+    from webvalid.ops.langid_ngram import generate_langid_fixture
+
+    base = os.path.join(tempfile.gettempdir(), "webvalid_langid_fixture_v1")
+    return generate_langid_fixture(base, n_rows=3000, seed=101)
+
+
+def langid_trained_checked_documents(sf_dir: str):
+    """Checked twin for trained n-gram lang-ID (VERDICT r3 #8): train
+    char-trigram naive-Bayes profiles on the fixture's train split
+    (distributed partials + native groupby-sum; the model never sees
+    the generator's lexicons), score the held-out test split through
+    the broadcast actor path, and assert ≥95% per-language accuracy.
+    SQL twin: per-lang test counts + TRUE."""
+    from webvalid.ops.langid_ngram import NgramLangId, train_lang_profiles
+
+    path = ensure_langid_fixture()
+    ds = ray.data.read_parquet(path)
+
+    def split_is(which: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["split"], which))
+        return fn
+
+    model = train_lang_profiles(
+        ds.map_batches(split_is("train"), batch_format="pyarrow"))
+    ref = ray.put(model)
+    test = ds.map_batches(split_is("test"), batch_format="pyarrow")
+    pred = test.map_batches(task_callable(NgramLangId, model_ref=ref),
+                            batch_format="pyarrow")
+
+    # join predictions back to truth (doc_id is unique) and reduce to
+    # per-lang hit counts with distributed partials
+    truth = {r["doc_id"]: r["lang"]
+             for r in test.select_columns(["doc_id", "lang"]).take_all()}
+    truth_ref = ray.put(truth)
+
+    def hits(t: pa.Table) -> pa.Table:
+        tr = ray.get(truth_ref)
+        langs = [tr[d] for d in t["doc_id"].to_pylist()]
+        ok = np.asarray([p == l for p, l in
+                         zip(t["lang_pred"].to_pylist(), langs)], np.int64)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "ok": pa.array(ok),
+                         "one": pa.array(np.ones(len(ok), np.int64))})
+
+    agg = pred.map_batches(hits, batch_format="pyarrow") \
+        .groupby("lang").sum(["ok", "one"]).to_pandas()
+    agg = agg.sort_values("lang").reset_index(drop=True)
+    return pd.DataFrame({
+        "lang": agg["lang"],
+        "n_eval": agg["sum(one)"].astype("int64"),
+        "acc_ok": (agg["sum(ok)"] / agg["sum(one)"] >= 0.95),
+    })
+
+
 def _run_suite_on_fixture():
     import os
 
@@ -788,18 +850,36 @@ def fingerprint_documents(sf_dir: str):
     return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
-def distinct_hll_documents(sf_dir: str):
-    """HLL estimates vs exact distinct per column (approximate → rows-only)."""
+def _hll_all_columns(sf_dir: str, table: str, cols: list[str], p: int = 14):
+    """Distributed HLL per column: each block emits ONE serialized HLL
+    per column (the mergeable partial), the driver merges O(#blocks)
+    sketches — table rows never stream through the driver (the r3
+    version fed HLLs via a driver-side iter_batches loop)."""
     from webvalid.sketches import HyperLogLog
 
-    cols = ["lang", "source", "text"]
-    hlls = {c: HyperLogLog() for c in cols}
-    ds = _read(sf_dir, "documents", columns=cols)
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+    def partial(t: pa.Table) -> pa.Table:
+        blobs = []
         for c in cols:
-            vals = batch[c].drop_null().to_numpy(zero_copy_only=False)
+            h = HyperLogLog(p=p)
+            vals = t[c].drop_null().to_numpy(zero_copy_only=False)
             if len(vals):
-                hlls[c].add(vals)
+                h.add(vals)
+            blobs.append(h.serialize())
+        return pa.table({"column": pa.array(cols),
+                         "state": pa.array(blobs, pa.binary())})
+
+    parts = _read(sf_dir, table, columns=cols).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    hlls = {c: HyperLogLog(p=p) for c in cols}
+    for row in parts:
+        hlls[row["column"]].merge(HyperLogLog.deserialize(row["state"]))
+    return hlls
+
+
+def distinct_hll_documents(sf_dir: str):
+    """HLL estimates vs exact distinct per column (approximate → rows-only)."""
+    cols = ["lang", "source", "text"]
+    hlls = _hll_all_columns(sf_dir, "documents", cols)
     return pd.DataFrame(
         {"column": cols, "distinct_est": [round(hlls[c].estimate()) for c in cols]}
     )
@@ -2650,16 +2730,8 @@ def distinct_hll_checked_documents(sf_dir: str):
     """HLL estimates asserted against exact distinct counts (computed
     distributedly via groupby-count) — 1.04/√m standard error, flag
     checks 5σ. SQL twin: COUNT(DISTINCT col) + TRUE."""
-    from webvalid.sketches import HyperLogLog
-
     cols = ["lang", "source", "text"]
-    hlls = {c: HyperLogLog(p=12) for c in cols}
-    ds = _read(sf_dir, "documents", columns=cols)
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for c in cols:
-            vals = batch[c].drop_null().to_numpy(zero_copy_only=False)
-            if len(vals):
-                hlls[c].add(vals)
+    hlls = _hll_all_columns(sf_dir, "documents", cols, p=12)
     rows = []
     bound = 5 * 1.04 / np.sqrt(1 << 12)
     for c in cols:
