@@ -352,3 +352,27 @@ def test_split_thresholds_rejects_bad_fractions():
         split_thresholds({})
     with pytest.raises(ValueError, match="sum"):
         split_thresholds({"a": 0.8, "b": 0.8})
+
+
+def test_grouped_kth_bisection_rounds_exact(ray_session):
+    """Force real bisection rounds (collect_limit smaller than the
+    groups) and check exact per-key ranks against numpy, including a
+    duplicate-heavy key (zero-width final intervals) and int keys."""
+    from webvalid.ops.selection import grouped_kth_smallest_multi
+
+    rng = np.random.default_rng(73)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "v": np.round(rng.normal(0, 1000, n), 3),
+    })
+    df.loc[df.k == 2, "v"] = 7.0  # constant group: lo == hi instantly
+    got = grouped_kth_smallest_multi(
+        _ds(ray_session, df, blocks=6), "k", "v",
+        ks_of_n=lambda n: [1, (n + 1) // 2, n // 2 + 1, n],
+        collect_limit=50, bins=32)
+    for k, vals in got.items():
+        v = np.sort(df.loc[df.k == k, "v"].to_numpy())
+        nn = len(v)
+        exp = [v[0], v[(nn + 1) // 2 - 1], v[nn // 2], v[-1]]
+        assert vals == pytest.approx(exp, abs=1e-12), k

@@ -303,20 +303,41 @@ def grouped_median_mad(ds, key: str, val: str, ndigits: int | None = 6
     location/scale profile (SQL twins median() / mad(), both with
     midpoint interpolation on even counts).
 
-    Exact medians need a key's values co-located, so this rides the
-    hash groupby (the engine's one all-to-all aggregate path — same
-    contract as grouped_quantiles); inside a group both medians are
-    single NumPy selections. Nulls excluded per group."""
-    def f(g: pd.DataFrame) -> pd.DataFrame:
-        v = g[val].dropna().to_numpy()
-        med = float(np.median(v))
-        mad = float(np.median(np.abs(v - med)))
-        if ndigits is not None:
-            med, mad = round(med, ndigits), round(mad, ndigits)
-        return pd.DataFrame({key: [g[key].iloc[0]],
-                             "median": [med], "mad": [mad]})
+    Rides the shared histogram-bisection selector
+    (`selection.grouped_kth_smallest_multi`): two grouped multi-rank
+    selections — the median's two middle ranks, then the same ranks
+    over |v − median[key]| derived on the fly per pass — each a few
+    streaming scans with O(#keys × ranks) driver state. No
+    `map_groups`, no all-to-all of raw rows (the r3 version was the
+    suite's last per-group-Python aggregate). Nulls excluded per key;
+    SQL midpoint semantics on even counts."""
+    import pandas as _pd
 
-    return ds.groupby(key).map_groups(f, batch_format="pandas").to_pandas()
+    from webvalid.ops.selection import grouped_kth_smallest_multi
+
+    def mid_ranks(n: int) -> list[int]:
+        return [(n + 1) // 2, n // 2 + 1]
+
+    med2 = grouped_kth_smallest_multi(ds, key, val, mid_ranks)
+    med = {k: (v[0] + v[1]) / 2.0 for k, v in med2.items()}
+    med_index = _pd.Index(sorted(med))
+    med_vals = np.array([med[k] for k in med_index], np.float64)
+
+    def absdev(keys_np: np.ndarray, x: np.ndarray) -> np.ndarray:
+        idx = med_index.get_indexer(keys_np)
+        safe = np.clip(idx, 0, None)
+        centered = np.abs(x - med_vals[safe])
+        return np.where(idx >= 0, centered, np.nan)
+
+    mad2 = grouped_kth_smallest_multi(ds, key, val, mid_ranks,
+                                      value_fn=absdev)
+    rows = []
+    for k in sorted(med):
+        m, d = med[k], (mad2[k][0] + mad2[k][1]) / 2.0
+        if ndigits is not None:
+            m, d = round(m, ndigits), round(d, ndigits)
+        rows.append({key: k, "median": m, "mad": d})
+    return pd.DataFrame(rows)
 
 
 def winsorized_mean(ds, key: str, val: str, q_lo: float = 0.05,

@@ -205,3 +205,157 @@ def kth_smallest_multi(ds, col: str, ks: list[int] | None = None,
         for i in dedup2[(flo, fhi)]:
             answers[i] = float(vals[ks[i] - below - 1])
     return answers
+
+
+def grouped_kth_smallest_multi(ds, key: str, val: str, ks_of_n,
+                               value_fn=None, bins: int = 1024,
+                               collect_limit: int = 65536,
+                               max_rounds: int = 12) -> dict:
+    """Per-KEY exact k-th smallest for several ranks — the grouped
+    sibling of `kth_smallest_multi`, sharing its shape: one stats pass,
+    histogram-bisection rounds that batch EVERY key's surviving
+    interval into one `map_batches` pass, one exact finish pass. The
+    all-to-all a `groupby(key).map_groups` would pay is replaced by
+    O(rounds) streaming scans; the driver holds only (key, rank)
+    interval state (answer-sized key domain — same contract as the
+    other grouped aggregates here).
+
+    - `ks_of_n(n)` -> list of 1-based ranks wanted for a key with n
+      valid rows (e.g. the two middle ranks for a midpoint median).
+    - `value_fn(keys_np, vals_np) -> vals_np` optionally derives the
+      ranked quantity per row (e.g. |v - median[key]| for MAD).
+
+    Returns {key_value: [answers in ks_of_n order]}; keys with zero
+    valid rows are absent. NaN/null values are excluded per key.
+    """
+    import pandas as pd
+
+    def _vals(t: pa.Table):
+        kv = t[key].to_numpy(zero_copy_only=False)
+        x = t[val].to_numpy(zero_copy_only=False).astype(np.float64)
+        if value_fn is not None:
+            x = value_fn(kv, x)
+        return kv, x
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        kv, x = _vals(t)
+        ok = ~pd.isna(kv) & ~np.isnan(x)
+        df = pd.DataFrame({"k": kv[ok], "x": x[ok]})
+        g = df.groupby("k", sort=False)["x"].agg(["count", "min", "max"])
+        return pa.table({"k": pa.array(g.index.to_numpy()),
+                         "n": pa.array(g["count"].to_numpy(np.int64)),
+                         "lo": pa.array(g["min"].to_numpy(np.float64)),
+                         "hi": pa.array(g["max"].to_numpy(np.float64))})
+
+    sp = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if len(sp) == 0:
+        return {}
+    st = sp.groupby("k").agg(n=("n", "sum"), lo=("lo", "min"),
+                             hi=("hi", "max"))
+    uk = st.index.to_numpy()
+    uk_index = pd.Index(uk)
+
+    # state: one entry per (key, rank)
+    state: list[dict] = []
+    per_key: dict = {}
+    for ki, (kval, row) in enumerate(st.iterrows()):
+        n = int(row["n"])
+        if n == 0:
+            continue
+        ks = ks_of_n(n)
+        ids = []
+        for k in ks:
+            if not (1 <= k <= n):
+                raise ValueError(f"rank {k} out of range for key {kval!r} "
+                                 f"({n} valid rows)")
+            ids.append(len(state))
+            state.append({"ki": ki, "k": k, "lo": float(row["lo"]),
+                          "hi": float(row["hi"]), "rem": n})
+        per_key[kval] = ids
+
+    def hist_pass(intervals: list[tuple[int, float, float]]) -> list:
+        def partial(t: pa.Table) -> pa.Table:
+            kv, x = _vals(t)
+            ok = ~pd.isna(kv) & ~np.isnan(x)
+            idx = uk_index.get_indexer(kv[ok])
+            xv = x[ok]
+            rows_b, rows_c = [], []
+            for (ki, ilo, ihi) in intervals:
+                mine = xv[idx == ki]
+                rows_b.append(int((mine < ilo).sum()))
+                inr = mine[(mine >= ilo) & (mine <= ihi)]
+                width = ihi - ilo
+                if width > 0:
+                    b = np.clip(((inr - ilo) / width * bins).astype(np.int64),
+                                0, bins - 1)
+                    rows_c.append(np.bincount(b, minlength=bins).tolist())
+                else:
+                    c = np.zeros(bins, dtype=np.int64)
+                    c[0] = len(inr)
+                    rows_c.append(c.tolist())
+            return pa.table({"iv": pa.array(range(len(intervals)), pa.int64()),
+                             "below": pa.array(rows_b, pa.int64()),
+                             "counts": pa.array(rows_c,
+                                                pa.list_(pa.int64()))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = []
+        for iv in range(len(intervals)):
+            sub = parts[parts["iv"] == iv]
+            out.append((int(sub["below"].sum()),
+                        np.sum(np.stack(sub["counts"].to_numpy()), axis=0)))
+        return out
+
+    for _ in range(max_rounds):
+        active = [i for i, s in enumerate(state)
+                  if s["lo"] != s["hi"] and s["rem"] > collect_limit]
+        if not active:
+            break
+        dedup: dict[tuple[int, float, float], list[int]] = {}
+        for i in active:
+            s = state[i]
+            dedup.setdefault((s["ki"], s["lo"], s["hi"]), []).append(i)
+        intervals = list(dedup.keys())
+        for (ki, ilo, ihi), (below, counts) in zip(intervals,
+                                                   hist_pass(intervals)):
+            cum = np.cumsum(counts)
+            width = (ihi - ilo) / bins
+            eps = width * 1e-9
+            for i in dedup[(ki, ilo, ihi)]:
+                b = int(np.searchsorted(cum, state[i]["k"] - below))
+                state[i]["rem"] = int(counts[b])
+                state[i]["lo"] = max(ilo, ilo + b * width - eps)
+                state[i]["hi"] = (ilo + (b + 1) * width + eps
+                                  if b < bins - 1 else ihi)
+
+    dedup2: dict[tuple[int, float, float], list[int]] = {}
+    for i, s in enumerate(state):
+        dedup2.setdefault((s["ki"], s["lo"], s["hi"]), []).append(i)
+    finals = list(dedup2.keys())
+
+    def final(t: pa.Table) -> pa.Table:
+        kv, x = _vals(t)
+        ok = ~pd.isna(kv) & ~np.isnan(x)
+        idx = uk_index.get_indexer(kv[ok])
+        xv = x[ok]
+        rows_b, rows_v = [], []
+        for (ki, flo, fhi) in finals:
+            mine = xv[idx == ki]
+            rows_b.append(int((mine < flo).sum()))
+            rows_v.append(mine[(mine >= flo) & (mine <= fhi)].tolist())
+        return pa.table({"iv": pa.array(range(len(finals)), pa.int64()),
+                         "below": pa.array(rows_b, pa.int64()),
+                         "vals": pa.array(rows_v, pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(final, batch_format="pyarrow").to_pandas()
+    answers = [math.nan] * len(state)
+    for iv, (ki, flo, fhi) in enumerate(finals):
+        sub = parts[parts["iv"] == iv]
+        below = int(sub["below"].sum())
+        vals = np.concatenate(sub["vals"].to_numpy()) if len(sub) else \
+            np.array([])
+        vals.sort(kind="mergesort")
+        for i in dedup2[(ki, flo, fhi)]:
+            answers[i] = float(vals[state[i]["k"] - below - 1])
+    return {kval: [answers[i] for i in ids]
+            for kval, ids in per_key.items()}

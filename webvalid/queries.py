@@ -2062,7 +2062,8 @@ def extract_first_number_documents(sf_dir: str):
 
 def median_mad_price_lineitem(sf_dir: str):
     """Robust location/scale per returnflag: exact median + MAD
-    (ops/agg.py:grouped_median_mad — co-located group selection)."""
+    (ops/agg.py:grouped_median_mad — grouped histogram-bisection
+    selection; streaming scans, no per-group Python)."""
     from webvalid.ops.agg import grouped_median_mad
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
