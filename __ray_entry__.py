@@ -56,14 +56,37 @@ _NO_ORACLE = frozenset({
 })
 
 
+def _driver_green() -> frozenset:
+    """Union of fully-passing query names across every CORRECTNESS_r*.json
+    the driver has written so far — keeps the rotation current in later
+    rounds without hand-editing. Falls back to the r3 snapshot if the
+    files are unreadable."""
+    import glob
+    import json
+    import os
+
+    green = set(_DRIVER_GREEN_R3)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+            d = json.load(open(p))
+            green |= {k for k, v in d.items()
+                      if v.get("rows_match") and v.get("schema_match")
+                      and v.get("hash_match")}
+    except Exception:
+        pass
+    return frozenset(green)
+
+
 def _rotate_for_driver_window(base: dict) -> dict:
     """Order queries() so the driver's 50-entry window verifies what it
     has never seen: unverified oracle-equipped first, then no_oracle,
     then already-driver-green."""
+    green = _driver_green()
     front = {k: v for k, v in base.items()
-             if k not in _DRIVER_GREEN_R3 and k not in _NO_ORACLE}
+             if k not in green and k not in _NO_ORACLE}
     mid = {k: v for k, v in base.items() if k in _NO_ORACLE}
-    back = {k: v for k, v in base.items() if k in _DRIVER_GREEN_R3}
+    back = {k: v for k, v in base.items() if k in green}
     return {**front, **mid, **back}
 
 

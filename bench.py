@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "jaccard_pairs_exact_documents",
     "decode_png_documents",
     "quantiles_tdigest_checked_lineitem",
+    # round-4 additions
+    "langid_trained_checked_documents",
+    "median_mad_price_lineitem",
+    "components_star_events_users",
 ]
 
 
@@ -151,6 +155,11 @@ def _bench_fixture(sf: float) -> dict:
 def run_bench() -> dict:
     import ray
 
+    # host-state marker BEFORE any work: this shared box's DRAM
+    # bandwidth flaps between 0.02 and 15 GB/s on a minutes timescale,
+    # so one post-run probe can misrepresent the window the suite
+    # actually ran in — bracket the run with pre+post probes
+    membw_pre = _membw_single()
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -228,7 +237,9 @@ def run_bench() -> dict:
         "n_partitions": info["n_partitions"],
         # host-state context: this shared box swings 0.02-15 GB/s
         # (see BASELINE.md); absolute wall times are only comparable
-        # across runs with similar membw_gbps
+        # across runs with similar membw. Pre/post bracket the run —
+        # a large pre/post spread means the window flipped mid-run.
+        "membw_gbps_pre": membw_pre,
         "membw_gbps": _membw_single(),
     }
     ray.shutdown()
