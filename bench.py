@@ -241,20 +241,46 @@ def run_bench() -> dict:
         # a large pre/post spread means the window flipped mid-run.
         "membw_gbps_pre": membw_pre,
         "membw_gbps": _membw_single(),
+        "membw_warm_gbps": _membw_warm(),
     }
     ray.shutdown()
     return result
 
 
 def _membw_single() -> float:
-    """Single-thread memcpy bandwidth (GB/s) — the host-state marker
-    embedded in every bench JSON line (healthy: >5; this shared box
-    has been observed as low as 0.02)."""
+    """Single-thread FRESH-ALLOCATION memcpy bandwidth (GB/s) — the
+    host-state marker embedded in every bench JSON line (healthy: >5;
+    observed as low as 0.01).
+
+    Measured on never-touched buffers ON PURPOSE: round-4 diagnosis
+    showed the host's 'degraded windows' are a collapsing page-fault /
+    page-supply path (first-touch as slow as 0.01 GB/s-equiv) while
+    WARM memcpy stays at 15-19 GB/s throughout. Allocation-heavy work
+    (every fresh Arrow buffer in a Ray pipeline) rides the fault path,
+    so the unwarmed probe is the one that predicts suite wall time —
+    a warmed probe reads 'healthy' inside windows where the suite runs
+    5x slow. See BASELINE.md round-4 update."""
     import numpy as _np
     import time as _time
 
     a = _np.empty(1 << 27, _np.uint8)
     b = _np.empty_like(a)
+    t0 = _time.perf_counter()
+    for _ in range(4):
+        _np.copyto(b, a)
+    return round(4 * a.nbytes / (_time.perf_counter() - t0) / 1e9, 2)
+
+
+def _membw_warm() -> float:
+    """Warm-buffer memcpy bandwidth (GB/s): the same probe after the
+    pages exist. The spread between this and _membw_single isolates
+    how much of a window's slowness is page-supply vs raw DRAM."""
+    import numpy as _np
+    import time as _time
+
+    a = _np.empty(1 << 27, _np.uint8)
+    b = _np.empty_like(a)
+    _np.copyto(b, a)  # fault everything in
     t0 = _time.perf_counter()
     for _ in range(4):
         _np.copyto(b, a)
