@@ -65,17 +65,21 @@ def _driver_green() -> frozenset:
     import json
     import os
 
-    green = set(_DRIVER_GREEN_R3)
+    # LAST-write-wins per query, not a union: a query green in an old
+    # round but red (or unseen) later must rotate back into the window
+    # for re-verification, or a regression ships unchecked forever
+    verdicts: dict[str, bool] = {k: True for k in _DRIVER_GREEN_R3}
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
             d = json.load(open(p))
-            green |= {k for k, v in d.items()
-                      if v.get("rows_match") and v.get("schema_match")
-                      and v.get("hash_match")}
+            for k, v in d.items():
+                verdicts[k] = bool(v.get("rows_match") and
+                                   v.get("schema_match") and
+                                   v.get("hash_match"))
     except Exception:
         pass
-    return frozenset(green)
+    return frozenset(k for k, ok in verdicts.items() if ok)
 
 
 def _rotate_for_driver_window(base: dict) -> dict:

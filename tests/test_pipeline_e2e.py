@@ -438,6 +438,9 @@ def test_driver_contract_rotation_consistent():
     n_unverified = len(set(qs) - set(e._NO_ORACLE) - green)
     for k in first50[:min(50, n_unverified)]:
         assert k in oracles and k not in green
-    # already-green queries must sit behind everything else
-    tail = list(qs)[-len(green & set(qs)):]
-    assert set(tail) == green & set(qs)
+    # already-green queries must sit behind everything else (guard the
+    # slice: [-0:] would be the WHOLE list, not an empty one)
+    n_green = len(green & set(qs))
+    if n_green:
+        tail = list(qs)[-n_green:]
+        assert set(tail) == green & set(qs)

@@ -376,3 +376,20 @@ def test_grouped_kth_bisection_rounds_exact(ray_session):
         nn = len(v)
         exp = [v[0], v[(nn + 1) // 2 - 1], v[nn // 2], v[-1]]
         assert vals == pytest.approx(exp, abs=1e-12), k
+
+
+def test_grouped_median_mad_keeps_all_null_group(ray_session):
+    """A key whose values are ALL null must still emit a row (NaN
+    median/mad) — SQL GROUP BY keeps the group; dropping it makes the
+    engine's row count diverge from the oracle (r4 review repro)."""
+    from webvalid.ops.agg import grouped_median_mad
+
+    df = pd.DataFrame({
+        "k": ["a"] * 5 + ["b"] * 4,
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0] + [np.nan] * 4,
+    })
+    got = grouped_median_mad(_ds(ray_session, df, blocks=3), "k", "v")
+    assert got["k"].tolist() == ["a", "b"]
+    assert got.loc[got.k == "a", "median"].iloc[0] == 3.0
+    assert np.isnan(got.loc[got.k == "b", "median"].iloc[0])
+    assert np.isnan(got.loc[got.k == "b", "mad"].iloc[0])

@@ -463,3 +463,38 @@ def test_bloom_anti_join_refuses_keys_beyond_2_53(ray_session):
     # below the contract bound everything still works
     out = bloom_anti_join(left, np.array([1], np.int64), "k").to_pandas()
     assert out["k"].tolist() == [2]
+
+
+def test_asof_big_int_keys_stay_exact(ray_session):
+    """int64 by-keys at/past 2^53 must join EXACTLY when no nulls force
+    a float cast (the r4 review repro: unconditional float64 canon
+    matched 2^53+1 to 2^53's row and rewrote the key itself), and must
+    raise loudly when a null-bearing side forces the cast."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    K = 1 << 53
+    left_rows = [{"id": 1, "k": K, "ts": 100},
+                 {"id": 2, "k": K + 1, "ts": 100}]
+    right_rows = [{"k": K, "ts": 50, "val": 999}]
+    left = ray.data.from_items(left_rows)
+    bc = asof_join_broadcast(left, pd.DataFrame(right_rows), on="ts",
+                             by="k").to_pandas().sort_values("id")
+    assert bc["val"].tolist()[0] == 999
+    assert pd.isna(bc["val"].tolist()[1])  # K+1 has NO right row
+    assert bc["k"].tolist() == [K, K + 1]  # keys unrewritten
+    pt = asof_join_partitioned(
+        left, ray.data.from_items(right_rows), on="ts", by="k",
+    ).to_pandas().sort_values("id")
+    assert pt["val"].tolist()[0] == 999 and pd.isna(pt["val"].tolist()[1])
+    assert pt["k"].tolist() == [K, K + 1]
+    # a null key alongside big keys forces the float cast -> loud error
+    lnull = ray.data.from_arrow(pa.table({
+        "id": [1, 2], "k": pa.array([K + 1, None], pa.int64()),
+        "ts": [100, 100]}))
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join_broadcast(lnull, pd.DataFrame(right_rows), on="ts",
+                            by="k").to_pandas()

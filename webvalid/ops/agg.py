@@ -319,7 +319,11 @@ def grouped_median_mad(ds, key: str, val: str, ndigits: int | None = 6
         return [(n + 1) // 2, n // 2 + 1]
 
     med2 = grouped_kth_smallest_multi(ds, key, val, mid_ranks)
-    med = {k: (v[0] + v[1]) / 2.0 for k, v in med2.items()}
+    # a key whose values are all null maps to [] -> NaN row (SQL GROUP
+    # BY keeps the group with NULL median/mad; dropping it would emit
+    # fewer rows than the oracle)
+    med = {k: (v[0] + v[1]) / 2.0 if v else float("nan")
+           for k, v in med2.items()}
     med_index = _pd.Index(sorted(med))
     med_vals = np.array([med[k] for k in med_index], np.float64)
 
@@ -333,8 +337,10 @@ def grouped_median_mad(ds, key: str, val: str, ndigits: int | None = 6
                                       value_fn=absdev)
     rows = []
     for k in sorted(med):
-        m, d = med[k], (mad2[k][0] + mad2[k][1]) / 2.0
-        if ndigits is not None:
+        v = mad2.get(k, [])
+        m = med[k]
+        d = (v[0] + v[1]) / 2.0 if v else float("nan")
+        if ndigits is not None and not (np.isnan(m) or np.isnan(d)):
             m, d = round(m, ndigits), round(d, ndigits)
         rows.append({key: k, "median": m, "mad": d})
     return pd.DataFrame(rows)

@@ -42,15 +42,46 @@ def _ts_us_series(s: pd.Series) -> pd.Series:
     return s.astype(np.int64)
 
 
-def _canon_by(s: pd.Series) -> pd.Series:
-    """Canonicalize a numeric `by` key to float64 for merge_asof: a
-    batch with any null key materializes int64 as float64+NaN, and
-    merge_asof refuses mismatched by-key dtypes across sides. float64
-    is exact below 2^53 — the same contract as the join-hash path
-    (joins._canon_for_hash); null keys (NaN) match nothing, like SQL."""
-    if pd.api.types.is_numeric_dtype(s.dtype):
-        return s.astype(np.float64)
-    return s
+def _align_by(left_s: pd.Series, right_s: pd.Series
+              ) -> tuple[pd.Series, pd.Series]:
+    """Give merge_asof matching by-key dtypes across sides WITHOUT
+    corrupting keys: when both sides share a dtype they pass through
+    untouched (int64 keys stay exact at any magnitude). Only when one
+    side carries nulls (pandas upcasts int64 → float64+NaN) must the
+    other side cast to float64 — exact below 2^53, and keys at/past
+    2^53 RAISE instead of silently matching a neighboring key (same
+    contract as bloom_anti_join). Null keys (NaN) match nothing,
+    like SQL."""
+    if left_s.dtype == right_s.dtype:
+        return left_s, right_s
+    if not (pd.api.types.is_numeric_dtype(left_s.dtype)
+            and pd.api.types.is_numeric_dtype(right_s.dtype)):
+        raise TypeError(
+            f"as-of by-key dtypes differ and are not both numeric: "
+            f"{left_s.dtype} vs {right_s.dtype}")
+    out = []
+    for s in (left_s, right_s):
+        if pd.api.types.is_integer_dtype(s.dtype):
+            v = s.to_numpy()
+            if len(v) and np.abs(v).max() >= (1 << 53):
+                raise ValueError(
+                    "as-of join: integer by-keys at or beyond 2^53 "
+                    "cannot be carried exactly as float64 (the other "
+                    "side holds null keys, forcing the cast) — filter "
+                    "nulls upstream or split the join")
+            out.append(s.astype(np.float64))
+        else:
+            # float side: if it was an int64 column upcast by pandas
+            # null handling, values at/past 2^53 already lost exactness
+            v = s.to_numpy()
+            finite = v[~np.isnan(v)]
+            if len(finite) and np.abs(finite).max() >= float(1 << 53):
+                raise ValueError(
+                    "as-of join: null-bearing integer by-keys at or "
+                    "beyond 2^53 lost float64 exactness in the pandas "
+                    "null upcast — filter nulls upstream")
+            out.append(s.astype(np.float64))
+    return out[0], out[1]
 
 
 def _pin_types(out: pd.DataFrame, types: dict[str, pa.DataType]) -> pa.Table:
@@ -76,24 +107,28 @@ class _AsofBatcher:
         self.on = on
         self.by = by
         self.suffix = suffix
+        # the right table is fixed for the actor's lifetime — derive
+        # its Arrow types once, not per batch
+        rschema = pa.Schema.from_pandas(self.right, preserve_index=False)
+        self.rtypes = [(n, t) for n, t in zip(rschema.names, rschema.types)
+                       if n not in (on, by)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # output types: the batch's own types (on normalized to int64)
         # plus the appended right columns' Arrow types
         out_types = {n: (pa.int64() if n == self.on else t)
                      for n, t in zip(batch.schema.names, batch.schema.types)}
-        rschema = pa.Schema.from_pandas(self.right, preserve_index=False)
-        for n, t in zip(rschema.names, rschema.types):
-            if n in (self.on, self.by):
-                continue
+        for n, t in self.rtypes:
             name = n + self.suffix if n in out_types else n
             out_types[name] = t
         left = batch.to_pandas()
         left[self.on] = _ts_us_series(left[self.on])
-        left[self.by] = _canon_by(left[self.by])
         right = self.right
-        if left[self.by].dtype != right[self.by].dtype:
-            right = right.assign(**{self.by: _canon_by(right[self.by])})
+        rs = right[self.by]
+        lb, rb = _align_by(left[self.by], rs)
+        left[self.by] = lb
+        if rb is not rs:
+            right = right.assign(**{self.by: rb})
         order = left[self.on].argsort(kind="stable").to_numpy()
         left_sorted = left.iloc[order]
         out = pd.merge_asof(
@@ -223,11 +258,10 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
         right_t = t.filter(pc.equal(t["_side"], 1)).select([on, by] + rvals)
         left = left_t.to_pandas()
         right = right_t.to_pandas()
-        # canonicalize the by key across sides: one side may carry nulls
-        # (int64 -> float64+NaN in pandas) and merge_asof refuses
-        # mismatched by dtypes; NaN keys match nothing, like SQL
-        left[by] = _canon_by(left[by])
-        right[by] = _canon_by(right[by])
+        # align by-key dtypes across sides (a null-bearing side upcasts
+        # int64 -> float64+NaN and merge_asof refuses the mismatch);
+        # no-op when both sides kept the same dtype, loud past 2^53
+        left[by], right[by] = _align_by(left[by], right[by])
         left = left.sort_values(on, kind="stable").reset_index(drop=True)
         # Deterministic tie order for equal-(by, on) right rows — see
         # _AsofBatcher.__init__; without this, merge_asof's last-tied-row

@@ -530,10 +530,16 @@ def storage_partitioned_join(left_dir: str, right_dir: str, key: str,
             with open(os.path.join(d, "_buckets.json")) as f:
                 return json.load(f)
         except OSError:
-            return None  # pre-metadata layout: cannot cross-check
+            # a layout with NO metadata is strictly LESS trustworthy
+            # than one with an unversioned metadata file — refusing the
+            # latter but accepting the former would leave the silent-
+            # dropped-matches hole open
+            raise ValueError(
+                f"{d} has no _buckets.json — cannot verify bucket count "
+                f"or hash scheme; rewrite the layout with write_bucketed")
 
     ml, mr = bucket_meta(left_dir), bucket_meta(right_dir)
-    if ml is not None and mr is not None and ml["num_buckets"] != mr["num_buckets"]:
+    if ml["num_buckets"] != mr["num_buckets"]:
         raise ValueError(
             f"bucket-count mismatch: left written with {ml['num_buckets']} "
             f"buckets, right with {mr['num_buckets']} — co-located joining "
@@ -544,8 +550,6 @@ def storage_partitioned_join(left_dir: str, right_dir: str, key: str,
     # the bucket-count check cannot see that. An unversioned layout
     # (pre-scheme-tag _buckets.json) is refused for the same reason.
     for side, m in (("left", ml), ("right", mr)):
-        if m is None:
-            continue
         scheme = m.get("hash_scheme")
         if scheme != HASH_SCHEME:
             raise ValueError(

@@ -225,8 +225,10 @@ def grouped_kth_smallest_multi(ds, key: str, val: str, ks_of_n,
     - `value_fn(keys_np, vals_np) -> vals_np` optionally derives the
       ranked quantity per row (e.g. |v - median[key]| for MAD).
 
-    Returns {key_value: [answers in ks_of_n order]}; keys with zero
-    valid rows are absent. NaN/null values are excluded per key.
+    Returns {key_value: [answers in ks_of_n order]}; a key whose rows
+    are ALL null/NaN maps to [] (the caller decides its NaN/NULL shape
+    — dropping such keys would emit fewer rows than a SQL GROUP BY).
+    NaN/null values are excluded per key.
     """
     import pandas as pd
 
@@ -239,8 +241,10 @@ def grouped_kth_smallest_multi(ds, key: str, val: str, ks_of_n,
 
     def stats_partial(t: pa.Table) -> pa.Table:
         kv, x = _vals(t)
-        ok = ~pd.isna(kv) & ~np.isnan(x)
-        df = pd.DataFrame({"k": kv[ok], "x": x[ok]})
+        kok = ~pd.isna(kv)
+        # keep every valid KEY (a group of all-null values must still
+        # surface, like SQL GROUP BY); count/min/max skip NaN values
+        df = pd.DataFrame({"k": kv[kok], "x": x[kok]})
         g = df.groupby("k", sort=False)["x"].agg(["count", "min", "max"])
         return pa.table({"k": pa.array(g.index.to_numpy()),
                          "n": pa.array(g["count"].to_numpy(np.int64)),
@@ -261,6 +265,7 @@ def grouped_kth_smallest_multi(ds, key: str, val: str, ks_of_n,
     for ki, (kval, row) in enumerate(st.iterrows()):
         n = int(row["n"])
         if n == 0:
+            per_key[kval] = []  # all-null group: surfaced, no ranks
             continue
         ks = ks_of_n(n)
         ids = []

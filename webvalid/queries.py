@@ -879,7 +879,9 @@ def _hll_all_columns(sf_dir: str, table: str, cols: list[str], p: int = 14):
 def distinct_hll_documents(sf_dir: str):
     """HLL estimates vs exact distinct per column (approximate → rows-only)."""
     cols = ["lang", "source", "text"]
-    hlls = _hll_all_columns(sf_dir, "documents", cols)
+    # p=12 matches the pre-round-4 output (HyperLogLog's old default) —
+    # the refactor distributes the feed, it must not move the estimates
+    hlls = _hll_all_columns(sf_dir, "documents", cols, p=12)
     return pd.DataFrame(
         {"column": cols, "distinct_est": [round(hlls[c].estimate()) for c in cols]}
     )
