@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_checked_documents": q.audio_checked_documents,
         # trained char-trigram lang-ID, held-out accuracy checked twin
         "langid_trained_checked_documents": q.langid_trained_checked_documents,
+        # REAL MJPEG/AVI video frame sampling (container parse + JPEG)
+        "video_frames_checked_documents": q.video_frames_checked_documents,
     }
     return _rotate_for_driver_window(base)
 
@@ -423,6 +425,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, COUNT(*) AS n_eval, TRUE AS acc_ok
             FROM read_parquet('{langid_fixture}')
             WHERE split = 'test' GROUP BY lang ORDER BY lang
+        """,
+        "video_frames_checked_documents": """
+            SELECT doc_id, CAST(f.fi AS INTEGER) AS frame_idx,
+                   32 AS width, 32 AS height, TRUE AS luma_ok
+            FROM documents, (VALUES (0), (2), (4)) AS f(fi)
+            ORDER BY doc_id, frame_idx
         """,
         "column_stats_lineitem": """
             SELECT "column", n_rows, n_nulls, min_val, max_val FROM (

@@ -209,3 +209,81 @@ def test_jpeg_fill_bytes_before_markers():
     d = decode_jpeg(filled)
     assert d is not None and d.shape == (16, 16, 1)
     assert abs(int(d[0, 0, 0]) - 99) <= 2
+
+
+def test_avi_mjpeg_roundtrip_exact():
+    """Mux deterministic constant-gray JPEG frames into an AVI, parse
+    the container back, decode sampled frames: dims exact, luma within
+    JPEG quantization of the source level."""
+    import numpy as np
+
+    from webvalid.ops.imagecodec import encode_jpeg_gray
+    from webvalid.ops.videocodec import (decode_avi_frames,
+                                         encode_avi_mjpeg,
+                                         parse_avi_mjpeg)
+
+    levels = [40, 90, 140, 190, 65, 115]
+    jpegs = [encode_jpeg_gray(np.full((24, 40), L, np.uint8), quality=90)
+             for L in levels]
+    avi = encode_avi_mjpeg(jpegs, 40, 24, fps=5)
+    meta = parse_avi_mjpeg(avi)
+    assert (meta["width"], meta["height"]) == (40, 24)
+    assert meta["n_frames"] == 6 and len(meta["frames"]) == 6
+    assert meta["usec_per_frame"] == 200_000
+    dec = decode_avi_frames(avi, every=2, max_frames=3)
+    assert [fi for fi, _ in dec] == [0, 2, 4]
+    for fi, img in dec:
+        assert img.shape[:2] == (24, 40)
+        assert abs(float(img.mean()) - levels[fi]) <= 1.0
+
+
+def test_avi_parser_rejects_non_mjpeg():
+    import struct
+
+    import pytest
+
+    from webvalid.ops.videocodec import parse_avi_mjpeg
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        parse_avi_mjpeg(b"GIF89a whatever")
+    # valid RIFF but a non-MJPEG stream handler must be refused loudly
+    import numpy as np
+
+    from webvalid.ops.imagecodec import encode_jpeg_gray
+    from webvalid.ops.videocodec import encode_avi_mjpeg
+
+    avi = bytearray(encode_avi_mjpeg(
+        [encode_jpeg_gray(np.full((8, 8), 50, np.uint8))], 8, 8))
+    pos = avi.find(b"vids") + 4
+    avi[pos:pos + 4] = b"H264"
+    with pytest.raises(ValueError, match="unsupported video handler"):
+        parse_avi_mjpeg(bytes(avi))
+
+
+def test_video_sampler_stage_real_and_fallback(ray_session):
+    """The actor-pool stage decodes AVI payloads for real (dims + luma)
+    and falls back to the byte-window contract (decoded=False, null
+    dims) for non-AVI payloads — honest per-row provenance."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.imagecodec import encode_jpeg_gray
+    from webvalid.ops.multimodal import sample_video
+    from webvalid.ops.videocodec import encode_avi_mjpeg
+
+    jpegs = [encode_jpeg_gray(np.full((16, 16), L, np.uint8), quality=90)
+             for L in (30, 60, 90, 120)]
+    avi = encode_avi_mjpeg(jpegs, 16, 16)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "video": pa.array([avi, b"\x00" * 9000, None],
+                                    pa.binary())})
+    out = sample_video(ray.data.from_arrow(t), every=2, max_frames=2,
+                       concurrency=1).to_pandas()
+    real = out[out.doc_id == 1].sort_values("frame_idx")
+    assert real["frame_idx"].tolist() == [0, 2]
+    assert real["decoded"].all() and (real["width"] == 16).all()
+    assert np.allclose(real["mean_luma"], [30, 90], atol=1.0)
+    fb = out[out.doc_id == 2]
+    assert (~fb["decoded"]).all() and fb["width"].isna().all()
+    assert (out.doc_id != 3).all()  # null payload -> no rows

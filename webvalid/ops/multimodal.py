@@ -217,6 +217,85 @@ class FrameSampleStub:
         )
 
 
+class VideoFrameSampler:
+    """REAL video frame sampling for MJPEG-in-AVI payloads
+    (ops/videocodec RIFF parser + the pure-NumPy JPEG decoder): every
+    `every`-th frame is container-extracted and decoded to (frame_idx,
+    width, height, mean_luma). Non-AVI payloads fall back to the
+    FrameSampleStub byte-window contract with width/height/luma null —
+    honest: the row says whether a real decode happened (`decoded`).
+
+    Actor-pool stage: nothing heavy in __init__ today, but the shape
+    (state once per actor, small batches for giant binary rows) is the
+    contract every real codec stage here follows."""
+
+    def __init__(self, payload_col: str = "video", id_col: str = "doc_id",
+                 every: int = 2, max_frames: int = 4,
+                 frame_bytes: int = 4096):
+        self.payload_col = payload_col
+        self.id_col = id_col
+        self.every = every
+        self.max_frames = max_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from webvalid.ops.videocodec import decode_avi_frames
+
+        ids = batch[self.id_col].to_pylist()
+        ids_out, fidx, w, h, luma, dec = [], [], [], [], [], []
+        for i, p in enumerate(batch[self.payload_col].to_pylist()):
+            if p is None:
+                continue
+            try:
+                frames = decode_avi_frames(p, every=self.every,
+                                           max_frames=self.max_frames)
+            except ValueError:
+                frames = None
+            if frames is not None:
+                for fi, img in frames:
+                    ids_out.append(ids[i])
+                    fidx.append(fi)
+                    h.append(img.shape[0])
+                    w.append(img.shape[1])
+                    luma.append(float(img.mean()))
+                    dec.append(True)
+            else:
+                n_frames = max(1, len(p) // self.frame_bytes)
+                taken = 0
+                for fi in range(0, n_frames, self.every):
+                    if taken >= self.max_frames:
+                        break
+                    ids_out.append(ids[i])
+                    fidx.append(fi)
+                    w.append(None)
+                    h.append(None)
+                    luma.append(None)
+                    dec.append(False)
+                    taken += 1
+        return pa.table({
+            self.id_col: pa.array(ids_out),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "mean_luma": pa.array(luma, pa.float64()),
+            "decoded": pa.array(dec, pa.bool_()),
+        })
+
+
+def sample_video(ds, payload_col: str = "video", id_col: str = "doc_id",
+                 concurrency=(1, 8), batch_size: int = 64, **kw):
+    """Real frame-sampling wiring: actor pool, small batches (video
+    payloads are the largest binary rows in the schema)."""
+    return ds.select_columns([id_col, payload_col]).map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"payload_col": payload_col,
+                               "id_col": id_col, **kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def decode_images(ds, payload_col: str = "html", id_col: str = "url",
                   concurrency=(1, 8), batch_size: int = 256):
     """Decode stage wiring: small batches (payloads are large), actor pool.

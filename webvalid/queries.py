@@ -3066,6 +3066,47 @@ def similarity_ivf_checked_embeddings(sf_dir: str, n_queries: int = 5,
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def video_frames_checked_documents(sf_dir: str):
+    """REAL video decode through the actor pool: a deterministic
+    MJPEG-in-AVI payload is synthesized per document (6 constant-gray
+    32x32 frames at closed-form levels, muxed by ops/videocodec), then
+    the VideoFrameSampler stage container-parses it and JPEG-decodes
+    every 2nd frame with the pure-NumPy codec. Dims are value-exact
+    (stated by SQL); decoded per-frame luma must match the closed-form
+    level within the JPEG quantization bound (<=2; constant frames
+    measure <=0.5). SQL twin: the expected (doc_id, frame_idx) grid +
+    TRUE flags."""
+    from webvalid.ops.imagecodec import encode_jpeg_gray
+    from webvalid.ops.multimodal import sample_video
+    from webvalid.ops.videocodec import encode_avi_mjpeg
+
+    N_FRAMES, SIDE = 6, 32
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        payloads = []
+        for d in ids:
+            jpegs = []
+            for fi in range(N_FRAMES):
+                level = int((17 * int(d) + 31 * fi) % 200 + 20)
+                img = np.full((SIDE, SIDE), level, np.uint8)
+                jpegs.append(encode_jpeg_gray(img, quality=90))
+            payloads.append(encode_avi_mjpeg(jpegs, SIDE, SIDE, fps=5))
+        return pa.table({"doc_id": pa.array(ids),
+                         "video": pa.array(payloads, pa.binary())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(synth, batch_format="pyarrow")
+    out = sample_video(ds, payload_col="video", id_col="doc_id",
+                       every=2, max_frames=3, concurrency=2).to_pandas()
+    exp_level = (17 * out["doc_id"].to_numpy()
+                 + 31 * out["frame_idx"].to_numpy()) % 200 + 20
+    out["luma_ok"] = (np.abs(out["mean_luma"].to_numpy() - exp_level) <= 2.0) \
+        & out["decoded"].to_numpy()
+    out = out[["doc_id", "frame_idx", "width", "height", "luma_ok"]]
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)
+
+
 def audio_checked_documents(sf_dir: str):
     """Checked twin of the audio gate: decoded sample rate, channel
     count and duration are value-exact (stated by SQL), and the
