@@ -398,3 +398,71 @@ def test_systematic_weight_selection_matches_bruteforce(weights, step):
     assert set(np.flatnonzero(keep)) == owner
     # zero-weight rows are never selected
     assert not keep[w == 0].any()
+
+
+def test_asof_matches_duckdb_over_seeds(ray_session):
+    """Randomized engine-vs-DuckDB ASOF JOIN parity: both as-of paths
+    must reproduce DuckDB's greatest-r.ts<=l.ts semantics on random
+    data (unique right (k, ts) pairs — tie order among duplicate right
+    timestamps is engine-defined, pinned by its own dedicated test)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_broadcast, asof_join_partitioned
+
+    for seed in (3, 11, 42):
+        rng = np.random.default_rng(seed)
+        n_l, n_r = 300, 120
+        lf = pd.DataFrame({
+            "lid": np.arange(n_l, dtype=np.int64),
+            "k": rng.integers(0, 12, n_l),
+            "ts": rng.integers(0, 2000, n_l).astype(np.int64),
+        })
+        r = pd.DataFrame({
+            "k": rng.integers(0, 12, n_r),
+            "ts": rng.integers(0, 2000, n_r).astype(np.int64),
+        }).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+        r["val"] = np.arange(len(r), dtype=np.int64)
+        exp = duckdb.connect().execute("""
+            SELECT l.lid, r.val FROM lf l
+            ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+            ORDER BY l.lid""").df()
+        lds = ray.data.from_pandas(lf).repartition(4)
+        for name, got in (
+            ("bcast", asof_join_broadcast(lds, r, on="ts", by="k")),
+            ("part", asof_join_partitioned(
+                lds, ray.data.from_pandas(r).repartition(3),
+                on="ts", by="k", num_buckets=5)),
+        ):
+            g = got.to_pandas().sort_values("lid").reset_index(drop=True)
+            assert g["val"].astype("float64").equals(
+                exp["val"].astype("float64")), (seed, name)
+
+
+def test_grouped_kth_matches_numpy_over_seeds(ray_session):
+    """Randomized grouped-bisection parity vs numpy per-key sorted
+    selection, with NaNs, negative values, constant groups, and a
+    collect_limit forcing real bisection rounds."""
+    import pandas as pd
+    import ray.data
+
+    from webvalid.ops.selection import grouped_kth_smallest_multi
+
+    for seed in (5, 19):
+        rng = np.random.default_rng(seed)
+        n = 1500
+        df = pd.DataFrame({
+            "k": rng.integers(0, 6, n),
+            "v": np.round(rng.normal(-50, 300, n), 2),
+        })
+        df.loc[rng.random(n) < 0.05, "v"] = np.nan
+        df.loc[df.k == 3, "v"] = -7.25  # constant group
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = grouped_kth_smallest_multi(
+            ds, "k", "v", ks_of_n=lambda m: [1, (m + 1) // 2, m],
+            collect_limit=40, bins=16)
+        for kv, vals in got.items():
+            s = np.sort(df.loc[(df.k == kv) & df.v.notna(), "v"].to_numpy())
+            exp = [s[0], s[(len(s) + 1) // 2 - 1], s[-1]]
+            assert np.allclose(vals, exp, atol=1e-12), (seed, kv)
