@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webpages_verdicts_sql_subset": q.webpages_verdicts_sql_subset,
         # real image decode through the actor pool (pure-NumPy codecs)
         "decode_png_documents": q.decode_png_documents,
+        "decode_gif_documents": q.decode_gif_documents,
         "decode_jpeg_documents": q.decode_jpeg_documents,
         "bpe_tokens_documents": q.bpe_tokens_documents,
         "resize_images_documents": q.resize_images_documents,
@@ -2073,6 +2074,22 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY "check", "column", partition_id
         """,
         "decode_png_documents": """
+            WITH d AS (
+                SELECT doc_id AS d, 16 + doc_id % 13 AS w,
+                       16 + (doc_id // 13) % 11 AS h
+                FROM documents WHERE doc_id < 200
+            ), px AS (
+                SELECT d, w, h, unnest(range(0, w * h)) AS i FROM d
+            ), v AS (
+                SELECT d, w, h, ((i % w) + 2 * (i // w) + d) % 256 AS val
+                FROM px
+            )
+            SELECT d AS doc_id, MIN(w) AS width, MIN(h) AS height,
+                   ROUND(SUM(val) / CAST(MIN(w) * MIN(h) AS DOUBLE) / 255.0
+                         + 1e-9, 6) AS mean_q6
+            FROM v GROUP BY d ORDER BY doc_id
+        """,
+        "decode_gif_documents": """
             WITH d AS (
                 SELECT doc_id AS d, 16 + doc_id % 13 AS w,
                        16 + (doc_id // 13) % 11 AS h

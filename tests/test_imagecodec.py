@@ -287,3 +287,54 @@ def test_video_sampler_stage_real_and_fallback(ray_session):
     fb = out[out.doc_id == 2]
     assert (~fb["decoded"]).all() and fb["width"].isna().all()
     assert (out.doc_id != 3).all()  # null payload -> no rows
+
+
+def test_gif_roundtrip_pixel_exact():
+    """GIF is lossless: decode(encode(img)) reproduces every pixel,
+    interlaced or not, across shapes including 1x1."""
+    import numpy as np
+
+    from webvalid.ops.gifcodec import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    for h, w in [(16, 16), (23, 41), (64, 64), (1, 1), (3, 260)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for inter in (False, True):
+            dec = decode_gif(encode_gif(img, interlaced=inter))
+            assert dec.shape == (h, w, 3)
+            assert (dec[:, :, 0] == img).all(), (h, w, inter)
+            assert (dec[:, :, 2] == img).all()
+
+
+def test_gif_decoder_guards():
+    import pytest
+
+    from webvalid.ops.gifcodec import decode_gif, encode_gif
+
+    assert decode_gif(b"not a gif at all") is None
+    assert decode_gif(b"GIF8") is None  # too short
+    import numpy as np
+
+    gif = bytearray(encode_gif(np.zeros((4, 4), np.uint8)))
+    gif = gif[: len(gif) // 2]  # truncate mid image data
+    with pytest.raises(ValueError):
+        decode_gif(bytes(gif) + b"\x00\x3B")
+
+
+def test_decode_stage_handles_gif(ray_session):
+    """The actor-pool decode stage recognizes GIF payloads and decodes
+    them for real (exact dims + exact mean)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.gifcodec import encode_gif
+    from webvalid.ops.multimodal import decode_images
+
+    img = (np.arange(15 * 9, dtype=np.uint8).reshape(9, 15) * 3) % 256
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "img": pa.array([encode_gif(img)], pa.binary())})
+    out = decode_images(ray.data.from_arrow(t), payload_col="img",
+                        id_col="doc_id", concurrency=1).to_pandas()
+    assert out["width"].iloc[0] == 15 and out["height"].iloc[0] == 9
+    assert abs(out["mean_intensity"].iloc[0] - img.mean() / 255.0) < 1e-9

@@ -127,6 +127,11 @@ class DecodeImageStub:
         bmp = decode_bmp(payload)
         if bmp is not None:
             return bmp
+        from webvalid.ops.gifcodec import decode_gif
+
+        gif = decode_gif(payload)
+        if gif is not None:
+            return gif.shape[1], gif.shape[0], luma_mean(gif)
         img = decode_png(payload)
         if img is None:
             img = decode_jpeg(payload)

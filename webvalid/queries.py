@@ -2934,6 +2934,7 @@ def _synth_image_payloads(sf_dir: str, fmt: str, n_docs: int = 200):
     deterministically from doc_id (W = 16 + d%13, H = 16 + (d//13)%11,
     pixel(x, y) = (x + 2y + d) % 256 gray) — SQL can recompute the
     exact pixels, making the decode gates oracle-checkable."""
+    from webvalid.ops.gifcodec import encode_gif
     from webvalid.ops.imagecodec import encode_jpeg_gray, encode_png
 
     def synth(t: pa.Table) -> pa.Table:
@@ -2944,8 +2945,13 @@ def _synth_image_payloads(sf_dir: str, fmt: str, n_docs: int = 200):
             w, h = 16 + d % 13, 16 + (d // 13) % 11
             x, y = np.meshgrid(np.arange(w), np.arange(h))
             img = ((x + 2 * y + d) % 256).astype(np.uint8)
-            payloads.append(encode_png(img) if fmt == "png"
-                            else encode_jpeg_gray(img, quality=90))
+            if fmt == "png":
+                payloads.append(encode_png(img))
+            elif fmt == "gif":
+                # exercise both row layouts: odd docs interlaced
+                payloads.append(encode_gif(img, interlaced=bool(d % 2)))
+            else:
+                payloads.append(encode_jpeg_gray(img, quality=90))
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "img": pa.array(payloads, pa.binary())})
 
@@ -2965,6 +2971,20 @@ def decode_png_documents(sf_dir: str):
     from webvalid.ops.multimodal import decode_images
 
     ds = _synth_image_payloads(sf_dir, "png")
+    out = decode_images(ds, payload_col="img", id_col="doc_id").to_pandas()
+    out["mean_q6"] = (out["mean_intensity"] + 1e-9).round(6)
+    return out[["doc_id", "width", "height", "mean_q6"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def decode_gif_documents(sf_dir: str):
+    """REAL GIF decode through the actor pool (pure-Python LZW +
+    palette codec, ops/gifcodec.py; odd doc_ids interlaced): decoded
+    dimensions AND mean intensity value-exact against the SQL pixel
+    recomputation (GIF is lossless)."""
+    from webvalid.ops.multimodal import decode_images
+
+    ds = _synth_image_payloads(sf_dir, "gif")
     out = decode_images(ds, payload_col="img", id_col="doc_id").to_pandas()
     out["mean_q6"] = (out["mean_intensity"] + 1e-9).round(6)
     return out[["doc_id", "width", "height", "mean_q6"]] \
