@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "langid_trained_checked_documents",
     "median_mad_price_lineitem",
     "components_star_events_users",
+    "decode_gif_documents",
+    "video_frames_checked_documents",
 ]
 
 
