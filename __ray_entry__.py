@@ -82,16 +82,43 @@ def _driver_green() -> frozenset:
     return frozenset(k for k, ok in verdicts.items() if ok)
 
 
+# Names pulled to the very front of the unverified group: the flagship
+# suite's SQL twin and the checked twins of approximate/iterative ops —
+# one driver row here certifies a whole operator family, so they beat
+# ordinary relational queries for window slots.
+_WINDOW_PRIORITY = [
+    "asof_partitioned_clicks_purchases",   # r3's one red row: re-verify
+    "webpages_verdicts_sql_subset",        # flagship suite twin
+    "distinct_hll_checked_documents",
+    "quantiles_tdigest_checked_lineitem",
+    "overlap_users_checked_events",
+    "kmeans_checked_embeddings",
+    "logreg_separable_events",
+    "jaccard_pairs_exact_documents",
+    "similarity_ivf_checked_embeddings",
+    "audio_checked_documents",
+    "langid_trained_checked_documents",
+    "video_frames_checked_documents",
+    "decode_png_documents",
+    "decode_jpeg_documents",
+    "decode_gif_documents",
+    "resize_images_documents",
+    "bpe_tokens_documents",
+]
+
+
 def _rotate_for_driver_window(base: dict) -> dict:
     """Order queries() so the driver's 50-entry window verifies what it
-    has never seen: unverified oracle-equipped first, then no_oracle,
-    then already-driver-green."""
+    has never seen: priority twins first, then the other unverified
+    oracle-equipped queries, then no_oracle, then already-driver-green."""
     green = _driver_green()
+    prio = {k: base[k] for k in _WINDOW_PRIORITY
+            if k in base and k not in green and k not in _NO_ORACLE}
     front = {k: v for k, v in base.items()
-             if k not in green and k not in _NO_ORACLE}
+             if k not in green and k not in _NO_ORACLE and k not in prio}
     mid = {k: v for k, v in base.items() if k in _NO_ORACLE}
     back = {k: v for k, v in base.items() if k in green}
-    return {**front, **mid, **back}
+    return {**prio, **front, **mid, **back}
 
 
 def entry() -> Any:
