@@ -338,3 +338,30 @@ def test_decode_stage_handles_gif(ray_session):
                         id_col="doc_id", concurrency=1).to_pandas()
     assert out["width"].iloc[0] == 15 and out["height"].iloc[0] == 9
     assert abs(out["mean_intensity"].iloc[0] - img.mean() / 255.0) < 1e-9
+
+
+def test_corrupt_payloads_fall_back_not_crash(ray_session):
+    """A GIF with valid magic but corrupt body must fall through to the
+    deterministic fake in the decode stage (never crash the batch), and
+    an AVI whose 00dc chunks are not JPEG must take the sampler's
+    byte-window fallback."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.multimodal import decode_images, sample_video
+    from webvalid.ops.videocodec import encode_avi_mjpeg
+
+    bad_gif = b"GIF89a" + b"\x10\x00\x10\x00\x87\x00\x00" + b"\xff" * 20
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "img": pa.array([bad_gif], pa.binary())})
+    out = decode_images(ray.data.from_arrow(t), payload_col="img",
+                        id_col="doc_id", concurrency=1).to_pandas()
+    assert len(out) == 1 and out["width"].iloc[0] > 0  # fake, not crash
+
+    bad_avi = encode_avi_mjpeg([b"not a jpeg frame"], 8, 8)
+    t2 = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "video": pa.array([bad_avi], pa.binary())})
+    out2 = sample_video(ray.data.from_arrow(t2), every=1, max_frames=2,
+                        concurrency=1).to_pandas()
+    assert (~out2["decoded"]).all() and len(out2) >= 1

@@ -129,7 +129,10 @@ class DecodeImageStub:
             return bmp
         from webvalid.ops.gifcodec import decode_gif
 
-        gif = decode_gif(payload)
+        try:
+            gif = decode_gif(payload)
+        except ValueError:
+            gif = None  # GIF magic but corrupt body: fall through
         if gif is not None:
             return gif.shape[1], gif.shape[0], luma_mean(gif)
         img = decode_png(payload)

@@ -127,5 +127,10 @@ def decode_avi_frames(payload: bytes, every: int = 1,
         if max_frames is not None and len(out) >= max_frames:
             break
         img = decode_jpeg(meta["frames"][fi])
+        if img is None:
+            # '00dc' chunk that is not a baseline JPEG: the container
+            # lied about its handler — loud, so the sampler's fallback
+            # path takes over for the whole payload
+            raise ValueError(f"frame {fi} is not a baseline JPEG")
         out.append((fi, np.asarray(img)))
     return out
