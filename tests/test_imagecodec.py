@@ -365,3 +365,25 @@ def test_corrupt_payloads_fall_back_not_crash(ray_session):
     out2 = sample_video(ray.data.from_arrow(t2), every=1, max_frames=2,
                         concurrency=1).to_pandas()
     assert (~out2["decoded"]).all() and len(out2) >= 1
+
+
+def test_video_sampler_handles_animated_gif(ray_session):
+    """Full-redraw animated GIFs sample through the same stage as
+    MJPEG/AVI — pixel-exact luma (GIF is lossless)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.gifcodec import encode_gif_animation
+    from webvalid.ops.multimodal import sample_video
+
+    frames = [np.full((10, 14), L, np.uint8) for L in (20, 70, 120, 170)]
+    gif = encode_gif_animation(frames)
+    t = pa.table({"doc_id": pa.array([5], pa.int64()),
+                  "video": pa.array([gif], pa.binary())})
+    out = sample_video(ray.data.from_arrow(t), every=2, max_frames=2,
+                       concurrency=1).to_pandas().sort_values("frame_idx")
+    assert out["frame_idx"].tolist() == [0, 2]
+    assert out["decoded"].all()
+    assert (out["width"] == 14).all() and (out["height"] == 10).all()
+    assert np.allclose(out["mean_luma"], [20, 120])

@@ -177,3 +177,94 @@ def encode_gif(img: np.ndarray, interlaced: bool = False) -> bytes:
         out += chunk
     out += b"\x00\x3B"
     return bytes(out)
+
+
+def decode_gif_frames(payload: bytes, every: int = 1,
+                      max_frames: int | None = None) -> list[tuple]:
+    """(frame_idx, (h, w, 3) RGB) for every `every`-th frame of an
+    animated GIF whose frames each cover the FULL logical screen (the
+    common full-redraw case). Partial-region frames would need disposal
+    compositing — out of scope, raised loudly so the caller's fallback
+    path takes the payload. Returns None for non-GIF payloads."""
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (
+            b"7a", b"9a"):
+        return None
+    sw, sh, packed = struct.unpack_from("<HHB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3,
+                            pos).reshape(size, 3)
+        pos += size * 3
+    frames: list[tuple] = []
+    fi = -1
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB",
+                                                      payload, pos + 1)
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload, np.uint8, size * 3,
+                                pos).reshape(size, 3)
+            pos += size * 3
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("partial-region GIF frame: disposal "
+                             "compositing not implemented")
+        if pal is None:
+            raise ValueError("GIF frame without a color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos]:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += ln + 1
+        pos += 1
+        fi += 1
+        if fi % every:
+            continue
+        if max_frames is not None and len(frames) >= max_frames:
+            continue
+        idx = np.frombuffer(
+            bytes(_lzw_decode(b"".join(chunks), min_code, w * h)), np.uint8)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        idx = idx[:w * h].reshape(h, w)
+        if ipacked & 0x40:
+            rows = np.concatenate([np.arange(start, step_h, step)
+                                   for (start, step), step_h in
+                                   zip(_INTERLACE_PASSES, [h] * 4)])
+            de = np.empty_like(idx)
+            de[rows] = idx
+            idx = de
+        frames.append((fi, pal[np.minimum(idx, len(pal) - 1)]))
+    return frames
+
+
+def encode_gif_animation(imgs: list[np.ndarray]) -> bytes:
+    """Grayscale frames (all full logical-screen size) → animated
+    GIF89a, one image block per frame (test encoder)."""
+    if not imgs:
+        raise ValueError("need at least one frame")
+    h, w = np.asarray(imgs[0]).shape
+    single = [encode_gif(np.asarray(im, np.uint8)) for im in imgs]
+    # splice: header+LSD+GCT from the first, image blocks from each
+    head_len = 13 + 256 * 3
+    out = bytearray(single[0][:head_len])
+    for s in single:
+        out += s[head_len:-1]  # strip the trailer byte
+    out += b"\x3B"
+    return bytes(out)

@@ -247,6 +247,7 @@ class VideoFrameSampler:
         self.frame_bytes = frame_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from webvalid.ops.gifcodec import decode_gif_frames
         from webvalid.ops.videocodec import decode_avi_frames
 
         ids = batch[self.id_col].to_pylist()
@@ -255,8 +256,14 @@ class VideoFrameSampler:
             if p is None:
                 continue
             try:
-                frames = decode_avi_frames(p, every=self.every,
-                                           max_frames=self.max_frames)
+                if p[:4] == b"GIF8":
+                    # animated GIF (full-redraw frames); partial-region
+                    # animations raise -> honest fallback below
+                    frames = decode_gif_frames(p, every=self.every,
+                                               max_frames=self.max_frames)
+                else:
+                    frames = decode_avi_frames(p, every=self.every,
+                                               max_frames=self.max_frames)
             except ValueError:
                 frames = None
             if frames is not None:
