@@ -387,3 +387,74 @@ def test_video_sampler_handles_animated_gif(ray_session):
     assert out["decoded"].all()
     assert (out["width"] == 14).all() and (out["height"] == 10).all()
     assert np.allclose(out["mean_luma"], [20, 120])
+
+
+def test_video_sampler_empty_container_and_truncated_gif(ray_session):
+    """A container that parses but holds zero frames must surface via
+    the fallback (no payload silently disappears), and a truncated GIF
+    (struct-level corruption) must also take the fallback instead of
+    killing the task (r4 review #1/#3)."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.gifcodec import encode_gif
+    from webvalid.ops.multimodal import sample_video
+
+    # GIF with a trailer right after the header: parses, zero frames
+    empty_gif = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0) + b"\x3B")
+    # truncated mid image-descriptor: struct.error inside the codec
+    trunc_gif = (b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0, 0, 0)
+                 + b"\x2c\x00\x00")
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "video": pa.array([empty_gif, trunc_gif], pa.binary())})
+    out = sample_video(ray.data.from_arrow(t), every=1, max_frames=2,
+                       concurrency=1).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}  # neither payload disappears
+    assert (~out["decoded"]).all()
+
+
+def test_video_sampler_rec601_luma_for_color_frames(ray_session):
+    """mean_luma must be Rec.601 luma, not a flat RGB mean: a pure-blue
+    frame reads ~29, not 85."""
+    import numpy as np
+
+    from webvalid.ops.multimodal import VideoFrameSampler
+    import pyarrow as pa
+
+    # build a tiny color GIF: palette index 1 -> pure blue
+    import struct as st
+
+    w = h = 4
+    gif = bytearray(b"GIF89a")
+    gif += st.pack("<HHBBB", w, h, 0x80 | 0x00, 0, 0)  # GCT size 2
+    gif += bytes([0, 0, 0, 0, 0, 255])  # palette: black, blue
+    gif += st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    # LZW min code 2: clear=4, eoi=5, codes are 3-bit; a clear every
+    # 2 literals keeps the decoder's table under 2^3 so the width
+    # never grows past 3 bits
+    codes = [4]
+    for j in range(w * h):
+        codes.append(1)
+        if j % 2 == 1:
+            codes.append(4)
+    codes.append(5)
+    acc = bits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 3
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        stream.append(acc & 0xFF)
+    gif += bytes([2, len(stream)]) + bytes(stream) + b"\x00\x3B"
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "video": pa.array([bytes(gif)], pa.binary())})
+    out = VideoFrameSampler(every=1, max_frames=1)(t).to_pandas()
+    assert out["decoded"].all()
+    assert abs(out["mean_luma"].iloc[0] - 255 * 0.114) < 0.5

@@ -498,3 +498,28 @@ def test_asof_big_int_keys_stay_exact(ray_session):
     with pytest.raises(Exception, match="2\\^53"):
         asof_join_broadcast(lnull, pd.DataFrame(right_rows), on="ts",
                             by="k").to_pandas()
+
+
+def test_asof_both_sides_null_bearing_big_keys_raise(ray_session):
+    """When BOTH sides carry null int64 by-keys (both upcast to
+    float64), the dtypes match and the cast guard can't fire — the
+    provenance-based exactness check must still raise for keys at/past
+    2^53 instead of silently matching a neighboring key (r4 review #2)."""
+    import pyarrow as pa
+    import ray.data
+
+    from webvalid.ops.asof import asof_join_partitioned
+
+    K = 1 << 53
+    left = ray.data.from_arrow(pa.table({
+        "id": [1, 2], "k": pa.array([K + 1, None], pa.int64()),
+        "ts": [100, 100]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([K, None], pa.int64()), "ts": [50, 60],
+        "val": [7, 8]}))
+    # num_buckets=1 forces the null rows into the same bucket as the
+    # big keys — the upcast (and thus the hazard) only exists when they
+    # co-locate; separate buckets join exactly in int64 and need no raise
+    with pytest.raises(Exception, match="2\\^53"):
+        asof_join_partitioned(left, right, on="ts", by="k",
+                              num_buckets=1).to_pandas()

@@ -42,7 +42,21 @@ def _ts_us_series(s: pd.Series) -> pd.Series:
     return s.astype(np.int64)
 
 
-def _align_by(left_s: pd.Series, right_s: pd.Series
+def _check_f64_int_exact(s: pd.Series) -> None:
+    """A float64 key column that REPRESENTS integers (null-upcast int64)
+    already lost exactness at/past 2^53 — detect and raise rather than
+    silently matching a neighboring key."""
+    v = s.to_numpy()
+    finite = v[~np.isnan(v)]
+    if len(finite) and np.abs(finite).max() >= float(1 << 53):
+        raise ValueError(
+            "as-of join: null-bearing integer by-keys at or beyond 2^53 "
+            "lost float64 exactness in the pandas null upcast — filter "
+            "nulls upstream")
+
+
+def _align_by(left_s: pd.Series, right_s: pd.Series,
+              int_provenance: tuple[bool, bool] = (False, False)
               ) -> tuple[pd.Series, pd.Series]:
     """Give merge_asof matching by-key dtypes across sides WITHOUT
     corrupting keys: when both sides share a dtype they pass through
@@ -51,8 +65,20 @@ def _align_by(left_s: pd.Series, right_s: pd.Series
     other side cast to float64 — exact below 2^53, and keys at/past
     2^53 RAISE instead of silently matching a neighboring key (same
     contract as bloom_anti_join). Null keys (NaN) match nothing,
-    like SQL."""
+    like SQL.
+
+    `int_provenance` marks sides whose ORIGINAL (Arrow) type was
+    integer: a float64 side with int provenance is a null upcast and
+    gets the 2^53 exactness check even when the dtypes already match
+    (both-sides-null-bearing batches would otherwise bypass every
+    guard)."""
+    lp, rp = int_provenance
     if left_s.dtype == right_s.dtype:
+        if pd.api.types.is_float_dtype(left_s.dtype):
+            if lp:
+                _check_f64_int_exact(left_s)
+            if rp:
+                _check_f64_int_exact(right_s)
         return left_s, right_s
     if not (pd.api.types.is_numeric_dtype(left_s.dtype)
             and pd.api.types.is_numeric_dtype(right_s.dtype)):
@@ -73,13 +99,7 @@ def _align_by(left_s: pd.Series, right_s: pd.Series
         else:
             # float side: if it was an int64 column upcast by pandas
             # null handling, values at/past 2^53 already lost exactness
-            v = s.to_numpy()
-            finite = v[~np.isnan(v)]
-            if len(finite) and np.abs(finite).max() >= float(1 << 53):
-                raise ValueError(
-                    "as-of join: null-bearing integer by-keys at or "
-                    "beyond 2^53 lost float64 exactness in the pandas "
-                    "null upcast — filter nulls upstream")
+            _check_f64_int_exact(s)
             out.append(s.astype(np.float64))
     return out[0], out[1]
 
@@ -112,6 +132,12 @@ class _AsofBatcher:
         rschema = pa.Schema.from_pandas(self.right, preserve_index=False)
         self.rtypes = [(n, t) for n, t in zip(rschema.names, rschema.types)
                        if n not in (on, by)]
+        # int provenance of the right by-key (an integer-typed column is
+        # exact; a float column from the CALLER is taken at face value —
+        # upcast detection needs the original type, which only the
+        # caller has for a pandas frame)
+        self.r_int = pd.api.types.is_integer_dtype(self.right[by].dtype)
+        self._right_float = None  # lazily built+validated ONCE per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # output types: the batch's own types (on normalized to int64)
@@ -125,10 +151,22 @@ class _AsofBatcher:
         left[self.on] = _ts_us_series(left[self.on])
         right = self.right
         rs = right[self.by]
-        lb, rb = _align_by(left[self.by], rs)
-        left[self.by] = lb
-        if rb is not rs:
-            right = right.assign(**{self.by: rb})
+        l_int = pa.types.is_integer(batch.schema.field(self.by).type)
+        if left[self.by].dtype != rs.dtype and self.r_int:
+            # right must cast to float64: validate + copy ONCE per
+            # actor, not per batch (the broadcast right is immutable)
+            if self._right_float is None:
+                _, rb = _align_by(left[self.by], rs, (l_int, self.r_int))
+                self._right_float = right.assign(**{self.by: rb})
+            right = self._right_float
+            lb, _ = _align_by(left[self.by], right[self.by],
+                              (l_int, False))
+            left[self.by] = lb
+        else:
+            lb, rb = _align_by(left[self.by], rs, (l_int, self.r_int))
+            left[self.by] = lb
+            if rb is not rs:
+                right = right.assign(**{self.by: rb})
         order = left[self.on].argsort(kind="stable").to_numpy()
         left_sorted = left.iloc[order]
         out = pd.merge_asof(
@@ -260,8 +298,12 @@ def asof_join_partitioned(left_ds, right_ds, on: str, by: str,
         right = right_t.to_pandas()
         # align by-key dtypes across sides (a null-bearing side upcasts
         # int64 -> float64+NaN and merge_asof refuses the mismatch);
-        # no-op when both sides kept the same dtype, loud past 2^53
-        left[by], right[by] = _align_by(left[by], right[by])
+        # no-op when both sides kept the same dtype, loud past 2^53.
+        # Provenance from the union schema: an integer by column that
+        # arrives float64 here is a null upcast on BOTH sides.
+        by_int = pa.types.is_integer(field_types[by])
+        left[by], right[by] = _align_by(left[by], right[by],
+                                        (by_int, by_int))
         left = left.sort_values(on, kind="stable").reset_index(drop=True)
         # Deterministic tie order for equal-(by, on) right rows — see
         # _AsofBatcher.__init__; without this, merge_asof's last-tied-row

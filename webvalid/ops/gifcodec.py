@@ -70,6 +70,23 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
             return out
 
 
+def _valueerror_on_truncation(fn):
+    """Truncated payloads hit struct.unpack_from / payload[pos] /
+    np.frombuffer mid-parse — normalize struct.error and IndexError to
+    ValueError so the codec-dispatch fallback handlers (which catch
+    ValueError) actually take corrupt web payloads."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (struct.error, IndexError) as e:
+            raise ValueError(f"truncated GIF payload: {e}") from e
+    return wrapper
+
+
+@_valueerror_on_truncation
 def decode_gif(payload: bytes):
     """First frame of a GIF87a/89a as (h, w, 3) uint8 RGB, or None if
     the payload is not a GIF. Raises ValueError on a corrupt GIF."""
@@ -179,6 +196,7 @@ def encode_gif(img: np.ndarray, interlaced: bool = False) -> bytes:
     return bytes(out)
 
 
+@_valueerror_on_truncation
 def decode_gif_frames(payload: bytes, every: int = 1,
                       max_frames: int | None = None) -> list[tuple]:
     """(frame_idx, (h, w, 3) RGB) for every `every`-th frame of an

@@ -245,9 +245,13 @@ class VideoFrameSampler:
         self.every = every
         self.max_frames = max_frames
         self.frame_bytes = frame_bytes
+        # same hermetic-stub contract as DecodeImageStub: FORCE_STUB
+        # bypasses every real codec path
+        self.force_stub = bool(os.environ.get("WEBVALID_FORCE_STUB"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from webvalid.ops.gifcodec import decode_gif_frames
+        from webvalid.ops.imagecodec import luma_mean
         from webvalid.ops.videocodec import decode_avi_frames
 
         ids = batch[self.id_col].to_pylist()
@@ -255,16 +259,23 @@ class VideoFrameSampler:
         for i, p in enumerate(batch[self.payload_col].to_pylist()):
             if p is None:
                 continue
-            try:
-                if p[:4] == b"GIF8":
-                    # animated GIF (full-redraw frames); partial-region
-                    # animations raise -> honest fallback below
-                    frames = decode_gif_frames(p, every=self.every,
-                                               max_frames=self.max_frames)
-                else:
-                    frames = decode_avi_frames(p, every=self.every,
-                                               max_frames=self.max_frames)
-            except ValueError:
+            frames = None
+            if not self.force_stub:
+                try:
+                    if p[:4] == b"GIF8":
+                        # animated GIF (full-redraw frames); partial-
+                        # region animations raise -> fallback below
+                        frames = decode_gif_frames(
+                            p, every=self.every, max_frames=self.max_frames)
+                    else:
+                        frames = decode_avi_frames(
+                            p, every=self.every, max_frames=self.max_frames)
+                except ValueError:
+                    frames = None
+            # a container that parses but holds ZERO frames must still
+            # surface the payload (every non-null payload emits >= 1
+            # row) — route it through the fallback like a non-container
+            if not frames:
                 frames = None
             if frames is not None:
                 for fi, img in frames:
@@ -272,7 +283,9 @@ class VideoFrameSampler:
                     fidx.append(fi)
                     h.append(img.shape[0])
                     w.append(img.shape[1])
-                    luma.append(float(img.mean()))
+                    # proper Rec.601 luma (x255), matching the image
+                    # stage — a flat RGB mean misreports color frames
+                    luma.append(luma_mean(img) * 255.0)
                     dec.append(True)
             else:
                 n_frames = max(1, len(p) // self.frame_bytes)
@@ -288,7 +301,10 @@ class VideoFrameSampler:
                     dec.append(False)
                     taken += 1
         return pa.table({
-            self.id_col: pa.array(ids_out),
+            # explicit type: an all-skipped batch would otherwise infer
+            # Arrow null for the id column and clash with other blocks
+            self.id_col: pa.array(ids_out,
+                                  type=batch.schema.field(self.id_col).type),
             "frame_idx": pa.array(fidx, pa.int32()),
             "width": pa.array(w, pa.int32()),
             "height": pa.array(h, pa.int32()),
