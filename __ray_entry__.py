@@ -458,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(f.fi AS INTEGER) AS frame_idx,
                    32 AS width, 32 AS height, TRUE AS luma_ok
             FROM documents, (VALUES (0), (2), (4)) AS f(fi)
+            WHERE doc_id < 300
             ORDER BY doc_id, frame_idx
         """,
         "column_stats_lineitem": """

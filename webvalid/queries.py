@@ -3115,7 +3115,14 @@ def video_frames_checked_documents(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids),
                          "video": pa.array(payloads, pa.binary())})
 
+    def head_ids(t: pa.Table) -> pa.Table:
+        # codec-path coverage, not corpus throughput: cap like the
+        # image decode gates (synthesizing+decoding an AVI per corpus
+        # row made this the bench's second-slowest query at sf0.1)
+        return t.filter(pc.less(t["doc_id"], 300))
+
     ds = _read(sf_dir, "documents", columns=["doc_id"]) \
+        .map_batches(head_ids, batch_format="pyarrow") \
         .map_batches(synth, batch_format="pyarrow")
     out = sample_video(ds, payload_col="video", id_col="doc_id",
                        every=2, max_frames=3, concurrency=2).to_pandas()
