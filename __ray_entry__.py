@@ -64,21 +64,36 @@ def _driver_green() -> frozenset:
     import glob
     import json
     import os
+    import re
 
     # LAST-write-wins per query, not a union: a query green in an old
     # round but red (or unseen) later must rotate back into the window
-    # for re-verification, or a regression ships unchecked forever
+    # for re-verification, or a regression ships unchecked forever.
+    # Rounds are ordered by their NUMERIC index (r2 < r10), and a corrupt
+    # file skips only itself — lexicographic order or a whole-loop except
+    # would let one bad file freeze every later round's verdicts.
     verdicts: dict[str, bool] = {k: True for k in _DRIVER_GREEN_R3}
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-            d = json.load(open(p))
-            for k, v in d.items():
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+
+    def round_no(p: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for p in sorted(paths, key=round_no):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            items = d.items()
+        except Exception:
+            continue
+        for k, v in items:
+            try:
                 verdicts[k] = bool(v.get("rows_match") and
                                    v.get("schema_match") and
                                    v.get("hash_match"))
-    except Exception:
-        pass
+            except Exception:
+                continue
     return frozenset(k for k, ok in verdicts.items() if ok)
 
 

@@ -215,6 +215,26 @@ def run_bench() -> dict:
     headline = time.time() - t0
     rows = res["report"]["rows"]
 
+    # WARM-PATH variant (window-insensitive figure): an immediate second
+    # in-process run of the identical suite. Worker pool, object-store
+    # mappings, page cache and the process heaps are all pre-faulted, so
+    # this number barely moves between healthy and degraded host windows
+    # (the degradation lives in the kernel's fresh-page-supply path —
+    # see BASELINE.md round-4 diagnosis), while the cold number above
+    # swings 4x. Skippable via GRAFT_SKIP_WARM for sub-runs (scaling
+    # legs time the cold path only).
+    headline_warm = None
+    if not os.environ.get("GRAFT_SKIP_WARM"):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = run_validation(
+            info["pages_dir"], out_dir, cfg=cfg,
+            ref_langs=info["ref_langs"], text_hashes=info["text_hashes"],
+            files_per_group=1_000_000,
+        )
+        headline_warm = round(time.time() - t0, 3)
+        rows = res["report"]["rows"]
+
     query_times: dict[str, float] = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         import __ray_entry__ as entry_mod
@@ -236,6 +256,11 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "rows": rows,
         "rows_per_sec": round(rows / headline, 1),
+        # second consecutive in-process suite run (pages pre-faulted):
+        # the window-insensitive companion to `value`
+        "value_warm": headline_warm,
+        "rows_per_sec_warm": (round(rows / headline_warm, 1)
+                              if headline_warm else None),
         "n_partitions": info["n_partitions"],
         # host-state context: this shared box swings 0.02-15 GB/s
         # (see BASELINE.md); absolute wall times are only comparable
@@ -265,12 +290,18 @@ def _membw_single() -> float:
     import numpy as _np
     import time as _time
 
-    a = _np.empty(1 << 27, _np.uint8)
-    b = _np.empty_like(a)
+    # Fresh buffers allocated INSIDE the timed loop: every iteration
+    # pays first-touch faults on both src and dst. (Reusing one pair
+    # would fault only on iteration 1 and run iterations 2-4 warm,
+    # diluting the page-supply signal ~4x.)
+    nbytes = 1 << 27
     t0 = _time.perf_counter()
     for _ in range(4):
+        a = _np.empty(nbytes, _np.uint8)
+        b = _np.empty_like(a)
         _np.copyto(b, a)
-    return round(4 * a.nbytes / (_time.perf_counter() - t0) / 1e9, 2)
+        del a, b
+    return round(4 * nbytes / (_time.perf_counter() - t0) / 1e9, 2)
 
 
 def _membw_warm() -> float:
@@ -351,6 +382,9 @@ def run_scaling() -> dict:
     )
 
     def run_once(ncpu: int) -> dict:
+        # legs keep the warm in-process re-run: its time is window-
+        # insensitive (see run_bench), so warm-path efficiency is the
+        # robust scaling figure on this membw-flapping host
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
                    GRAFT_BENCH_ROWS=scale_rows)
         s0 = _steal_jiffies()
@@ -370,12 +404,17 @@ def run_scaling() -> dict:
         # stolen cores barely dents a 32-wide leg but is 3%+ of an
         # 8-wide one
         quiet = max(0.25, 0.03 * ncpu)
+        warms = []
         for _ in range(max(1, attempts)):
             res = run_once(ncpu)
+            if res.get("value_warm"):
+                warms.append(res["value_warm"])
             if best is None or res["value"] < best["value"]:
                 best = res
             if res["steal_cores_avg"] < quiet:
                 break  # quiet window — trust the measurement
+        if warms:
+            best["value_warm"] = min(warms)
         return best
 
     # warm-up run so the fixture exists and the page cache is hot
@@ -384,6 +423,12 @@ def run_scaling() -> dict:
     hi = run_at(hi_n)
     t_lo, t_hi = lo["value"], hi["value"]
     eff = (t_lo / t_hi) / (hi_n / lo_n)
+    # warm-path efficiency: computed from each leg's second in-process
+    # run — insensitive to the host's page-supply window, so it's the
+    # headline scaling figure; the cold one is kept for context
+    w_lo, w_hi = lo.get("value_warm"), hi.get("value_warm")
+    eff_warm = (round((w_lo / w_hi) / (hi_n / lo_n), 3)
+                if w_lo and w_hi else None)
     # host calibration: what a PURELY memory-bound job would score on
     # this box at the same two widths (shared-VM DRAM bandwidth
     # saturates well below 32 workers — see BASELINE.md)
@@ -396,8 +441,11 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "cpus_lo": lo_n,
         "cpus_hi": hi_n,
+        "value_warm": eff_warm,
         f"sec_{lo_n}": t_lo,
         f"sec_{hi_n}": t_hi,
+        f"sec_warm_{lo_n}": w_lo,
+        f"sec_warm_{hi_n}": w_hi,
         f"rows_per_sec_{lo_n}": lo["rows_per_sec"],
         f"rows_per_sec_{hi_n}": hi["rows_per_sec"],
         f"steal_cores_{lo_n}": lo["steal_cores_avg"],
@@ -420,8 +468,8 @@ if __name__ == "__main__":
         # stays compact (BENCH_r02's line was truncated by the driver
         # mid-queries-dict, parsing to null)
         try:
-            detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                       "BENCH_DETAIL.json")
+            detail_path = os.environ.get("GRAFT_DETAIL_PATH") or os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
             with open(detail_path, "w") as f:
                 json.dump(res, f, indent=1, sort_keys=True)
         except OSError:

@@ -159,6 +159,26 @@ def test_grouped_string_agg_ordered(ray_session):
         {"a": "10,20,30", "b": "1,2"}
 
 
+def test_grouped_string_agg_groups_span_blocks(ray_session):
+    """Groups far larger than a block + tied values at run boundaries:
+    the fragment stitch must reassemble each group in value order, and
+    ties (equal strings) must not scramble the join."""
+    from webvalid.ops.reshape import grouped_string_agg
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y"], size=2_000),
+        # heavy duplication → tied values straddle block boundaries
+        "v": rng.integers(0, 25, size=2_000),
+    })
+    got = grouped_string_agg(_ds(ray_session, df, blocks=13), ["g"], "v",
+                             sep=",", out_col="vals")
+    exp = (df.sort_values(["g", "v"], kind="mergesort")
+             .groupby("g")["v"]
+             .agg(lambda s: ",".join(s.astype(str))))
+    assert got.set_index("g")["vals"].to_dict() == exp.to_dict()
+
+
 def test_broadcast_range_join(ray_session):
     from webvalid.ops.joins import broadcast_range_join
 

@@ -1057,3 +1057,41 @@ def test_trained_langid_holdout_accuracy(ray_session, tmp_path):
     out = NgramLangId(ray.put(model))(odd).to_pandas()
     assert out["lang_pred"].tolist() == ["und", "und", "und"]
     assert (out["lang_conf"] == 0).all()
+
+
+def test_grouped_quantiles_bisection_parity(ray_session):
+    """The scale-exact route (grouped_kth_smallest_multi: shared
+    histogram-bisection, no all-to-all, no group-fits-a-worker) must
+    reproduce the groupby().map_groups demo's p50/p90 exactly —
+    linear-interpolated between the two bracketing ranks the same way
+    np.quantile / SQL quantile_cont does."""
+    from webvalid.ops.selection import grouped_kth_smallest_multi
+
+    rng = np.random.default_rng(19)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.choice(list("ABCD"), n),
+        "v": np.round(rng.lognormal(4, 1, n), 2),
+    })
+
+    def ks(nn: int) -> list[int]:
+        out = []
+        for q in (0.5, 0.9):
+            pos = q * (nn - 1)
+            lo = int(np.floor(pos))
+            out += [lo + 1, min(lo + 2, nn)]
+        return out
+
+    got = grouped_kth_smallest_multi(
+        _ds(ray_session, df, blocks=6), "k", "v", ks_of_n=ks,
+        collect_limit=40, bins=64)
+    for k, vals in got.items():
+        v = df.loc[df.k == k, "v"].to_numpy()
+        nn = len(v)
+        interp = []
+        for (qlo, qhi), q in zip([vals[0:2], vals[2:4]], (0.5, 0.9)):
+            pos = q * (nn - 1)
+            frac = pos - np.floor(pos)
+            interp.append(qlo + frac * (qhi - qlo))
+        exp = [float(np.quantile(v, 0.5)), float(np.quantile(v, 0.9))]
+        assert interp == pytest.approx(exp, abs=1e-9), k

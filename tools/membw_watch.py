@@ -1,0 +1,75 @@
+"""Probe-gated bench capture: poll the host's fresh-allocation memcpy
+bandwidth and run the suite bench the moment a healthy window opens.
+
+The sandbox host's page-supply path collapses for hours at a time
+(fresh-alloc 0.01-0.12 GB/s vs >5 healthy, warm DRAM fine throughout —
+BASELINE.md round-4 diagnosis). Rounds 2-4 all landed their driver
+bench in degraded windows, so the ≤2x-of-baseline bar has no
+driver-visible healthy capture. This watcher closes that gap from the
+builder's side: every `interval` seconds it probes the fault path and,
+when `fresh > threshold`, immediately runs `bench.py` (suite only, plus
+the warm re-run) and appends the capture JSON to `out` — which is then
+committed and quoted by BASELINE.md.
+
+Usage:
+    python tools/membw_watch.py [--threshold 5] [--interval 120] \
+        [--out /tmp/healthy_caps.jsonl] [--max-caps 3] [--probe-log ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def probe_fresh() -> float:
+    import numpy as np
+
+    nbytes = 1 << 27
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a = np.empty(nbytes, np.uint8)
+        b = np.empty_like(a)
+        np.copyto(b, a)
+        del a, b
+    return round(4 * nbytes / (time.perf_counter() - t0) / 1e9, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=5.0)
+    ap.add_argument("--interval", type=float, default=120.0)
+    ap.add_argument("--out", default="/tmp/healthy_caps.jsonl")
+    ap.add_argument("--probe-log", default="/tmp/membw_probe_log.jsonl")
+    ap.add_argument("--max-caps", type=int, default=3)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(here, "bench.py")
+    caps = 0
+    while caps < args.max_caps:
+        bw = probe_fresh()
+        with open(args.probe_log, "a") as f:
+            f.write(json.dumps({"t": time.time(), "fresh_gbps": bw}) + "\n")
+        if bw > args.threshold:
+            env = dict(os.environ, GRAFT_SKIP_QUERIES="1",
+                       GRAFT_SF_DIR=args.sf_dir,
+                       GRAFT_DETAIL_PATH="/tmp/healthy_cap_detail.json")
+            r = subprocess.run([sys.executable, bench], env=env,
+                               capture_output=True, text=True)
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+            caps += 1
+            print(f"captured healthy-window bench #{caps}: {line}",
+                  flush=True)
+        time.sleep(args.interval)
+
+
+if __name__ == "__main__":
+    main()

@@ -321,14 +321,17 @@ def bloom_anti_join(left_ds, right_keys, key: str, fpr: float = 0.01):
         keys_np = keys_np[np.asarray([k is not None for k in keys_np], bool)]
     else:
         keys_np = keys_np[~pd_isna(keys_np)]
-    # numeric keys hash as float64 — exact only below 2^53. A build key
+    # INTEGER keys hash as float64 — exact only below 2^53. An int key
     # past that can round to the SAME double as a distinct probe key, so
     # genuine orphans would read 'present' deterministically (a
     # systematic miss, unlike the advertised probabilistic FPR). Enforce
     # the contract instead of documenting it: with no build key >= 2^53,
     # probe keys past 2^53 round to doubles that equal no exact build
-    # double, so they still miss correctly.
-    if keys_np.dtype.kind in "iuf" and len(keys_np):
+    # double, so they still miss correctly. Native-float columns are
+    # exempt: their values ARE float64 already (e.g. epoch-ns floats),
+    # so canonicalization is lossless at any magnitude and build/probe
+    # hash identically.
+    if keys_np.dtype.kind in "iu" and len(keys_np):
         if float(np.abs(keys_np.astype(np.float64)).max()) >= float(1 << 53):
             raise ValueError(
                 "bloom_anti_join: build-side keys at or beyond 2^53 are "

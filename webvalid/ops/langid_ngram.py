@@ -254,12 +254,16 @@ class NgramLangId:
             has = np.zeros(n, bool)
         best = np.argmax(scores, axis=1)
         pred = np.where(has, np.asarray(self.langs, object)[best], "und")
-        # margin-based confidence: winner minus runner-up, squashed
+        # margin-based confidence: winner minus runner-up, squashed.
+        # Rows with zero trigrams are all -inf, so -inf - -inf = NaN
+        # (plus a per-batch RuntimeWarning) — compute only over rows
+        # that have trigrams and leave the rest at 0.0.
+        conf = np.zeros(n, np.float64)
         if len(self.langs) > 1:
-            part = np.partition(scores, -2, axis=1)
-            margin = part[:, -1] - part[:, -2]
-            conf = np.where(has, 1.0 - np.exp(-np.maximum(margin, 0.0) / 8.0),
-                            0.0)
+            if has.any():
+                part = np.partition(scores[has], -2, axis=1)
+                margin = part[:, -1] - part[:, -2]
+                conf[has] = 1.0 - np.exp(-np.maximum(margin, 0.0) / 8.0)
         else:
             conf = has.astype(np.float64)
         return pa.table({

@@ -142,15 +142,66 @@ def cube_counts(ds, keys: list[str], out_col: str = "n_rows",
 def grouped_string_agg(ds, keys: list[str], val_col: str, sep: str = ",",
                        out_col: str = "agg") -> pd.DataFrame:
     """Per-group ordered string concatenation (SQL string_agg(val, sep
-    ORDER BY val)). The output row is the size of the group's DATA, so
-    each group must individually fit a worker — the same
-    one-key-per-group contract as sessionize; co-location uses the real
-    groupby shuffle, the in-group sort+join is C-level."""
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(val_col, kind="mergesort")
-        row = {k: [g[k].iloc[0]] for k in keys}
-        row[out_col] = [sep.join(g[val_col].astype(str))]
-        return pd.DataFrame(row)
+    ORDER BY val)), keys and val non-null.
 
-    out = ds.groupby(keys).map_groups(agg, batch_format="pandas").to_pandas()
+    ONE range sort by (keys, val), then a per-block vectorized run-join:
+    key-change boundaries found by adjacent comparison, each run joined
+    in a single Arrow `binary_join` kernel call (offset arithmetic — no
+    per-group Python, no group-fits-a-worker contract; a group may span
+    any number of blocks). Each block emits one FRAGMENT row per key-run
+    — O(#groups + #blocks) rows total — and the driver stitches
+    fragments with one more vectorized run-join.
+
+    Stitch ordering never consults Ray block order: fragments sort by
+    (keys, min_val, max_val). After a global sort, fragments of one key
+    in different blocks can overlap only AT a tied value, and tied
+    values stringify identically, so any (min, max)-consistent order
+    yields the same final string. Value→text uses Arrow cast semantics
+    (matches SQL CAST(... AS VARCHAR) for ints/strings)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    sep_s = pa.scalar(sep, pa.large_string())
+
+    def _run_starts(t: pa.Table, cols: list[str]) -> np.ndarray:
+        n = t.num_rows
+        change = np.zeros(n, bool)
+        change[0] = True
+        for k in cols:
+            a = t[k].combine_chunks().to_numpy(zero_copy_only=False)
+            change[1:] |= a[1:] != a[:-1]
+        return np.flatnonzero(change)
+
+    def _join_runs(t: pa.Table, starts: np.ndarray, val: str) -> pa.Array:
+        offsets = pa.array(np.append(starts, t.num_rows).astype(np.int64))
+        vals = pc.cast(t[val].combine_chunks(), pa.large_string())
+        return pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, vals), sep_s)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {k: t[k] for k in keys}
+                | {"_min": t[val_col], "_max": t[val_col],
+                   out_col: pa.array([], pa.large_string())})
+        starts = _run_starts(t, keys)
+        ends = np.append(starts[1:], t.num_rows) - 1
+        return pa.table(
+            {k: t[k].take(starts) for k in keys}
+            | {"_min": t[val_col].take(starts),
+               "_max": t[val_col].take(ends),
+               out_col: _join_runs(t, starts, val_col)})
+
+    frags = (ds.sort(keys + [val_col])
+               .map_batches(partial, batch_size=None, batch_format="pyarrow")
+               .to_pandas())
+    if not len(frags):
+        return pd.DataFrame(columns=keys + [out_col])
+    frags = frags.sort_values(keys + ["_min", "_max"],
+                              kind="mergesort").reset_index(drop=True)
+    ft = pa.Table.from_pandas(frags, preserve_index=False)
+    starts = _run_starts(ft, keys)
+    out = pa.table(
+        {k: ft[k].take(starts) for k in keys}
+        | {out_col: _join_runs(ft, starts, out_col)}).to_pandas()
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)

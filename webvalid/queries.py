@@ -993,11 +993,16 @@ def dedup_clusters_documents(sf_dir: str, min_est_jaccard: float = 0.5):
 def grouped_quantiles_lineitem(sf_dir: str):
     """Exact per-group quantiles via the real all-to-all groupby path.
 
-    Exact grouped quantiles NEED all of a group's values co-located, so
-    this intentionally exercises `Dataset.groupby().map_groups` (the
-    engine's only full-shuffle aggregate); the mergeable-sketch
-    alternative is quantiles_tdigest_lineitem. Rounded to 4 dp to
-    absorb float-accumulation ulps vs DuckDB's quantile_cont."""
+    This intentionally exercises `Dataset.groupby().map_groups` (the
+    engine's only full-shuffle aggregate) as a documented CONTRAST: the
+    PREFERRED exact route at scale is
+    `ops/selection.py:grouped_kth_smallest_multi` — shared
+    histogram-bisection streaming passes, no all-to-all, no
+    group-fits-a-worker contract (see median_mad_price_lineitem and
+    tests/test_session6_ops.py::test_grouped_quantiles_bisection_parity
+    for the value-exact parity proof); the mergeable-SKETCH alternative
+    is quantiles_tdigest_lineitem. Rounded to 4 dp to absorb
+    float-accumulation ulps vs DuckDB's quantile_cont."""
     def q(group: pd.DataFrame) -> pd.DataFrame:
         v = group["l_extendedprice"].to_numpy()
         return pd.DataFrame({
