@@ -458,3 +458,105 @@ def test_video_sampler_rec601_luma_for_color_frames(ray_session):
     out = VideoFrameSampler(every=1, max_frames=1)(t).to_pandas()
     assert out["decoded"].all()
     assert abs(out["mean_luma"].iloc[0] - 255 * 0.114) < 0.5
+
+
+def _lzw_compress(pixels: np.ndarray, min_code_size: int,
+                  clear_every: int | None = None) -> bytes:
+    """Real GIF LZW compressor (dictionary growth, variable width,
+    clear at table-full or every `clear_every` codes) — test-side spec
+    generator for the vectorized-decoder parity fuzz."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out_codes: list[tuple[int, int]] = []  # (code, width at emit time)
+
+    def fresh():
+        return ({bytes([i]): i for i in range(clear)}, eoi + 1,
+                min_code_size + 1)
+
+    table, next_code, width = fresh()
+    out_codes.append((clear, width))
+    emitted = 0
+    cur = b""
+    for p in pixels.tolist():
+        nxt = cur + bytes([p])
+        if nxt in table:
+            cur = nxt
+            continue
+        out_codes.append((table[cur], width))
+        emitted += 1
+        table[nxt] = next_code
+        next_code += 1
+        # decoder bump: after its append, len(table)==1<<width
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096 or (clear_every and emitted % clear_every == 0):
+            out_codes.append((clear, width))
+            table, next_code, width = fresh()
+        cur = bytes([p])
+    if cur:
+        out_codes.append((table[cur], width))
+    out_codes.append((eoi, width))
+    acc = bits = 0
+    stream = bytearray()
+    for code, w in out_codes:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def test_lzw_vectorized_matches_scalar_fuzz():
+    """The batch LZW decoder must be byte-identical to the per-code
+    reference on real compressed streams: dictionary growth across
+    width bumps, KwKwK codes (runs), periodic clears, truncations at
+    every byte length, and corrupt codes (same ValueError)."""
+    import pytest
+
+    from webvalid.ops.gifcodec import _lzw_decode, _lzw_decode_scalar
+
+    rng = np.random.default_rng(11)
+    cases = []
+    # runs-heavy (KwKwK + deep chains), random, tiny, solid, few-symbol
+    cases.append((np.repeat(rng.integers(0, 4, 200), rng.integers(1, 30, 200))
+                  .astype(np.uint8), 2))
+    cases.append((rng.integers(0, 256, 5000).astype(np.uint8), 8))
+    cases.append((rng.integers(0, 16, 20000).astype(np.uint8), 4))
+    cases.append((np.zeros(9000, np.uint8), 2))
+    cases.append((np.array([3], np.uint8), 2))
+    cases.append((np.arange(256, dtype=np.uint8).repeat(40), 8))
+    for i, (pix, mcs) in enumerate(cases):
+        for clear_every in (None, 37):
+            data = _lzw_compress(pix, mcs, clear_every)
+            n = len(pix)
+            exp = _lzw_decode_scalar(data, mcs, n)
+            got = _lzw_decode(data, mcs, n)
+            assert bytes(got) == bytes(exp), (i, clear_every)
+            assert bytes(got[:n]) == pix.tobytes(), (i, clear_every)
+            # truncations: both must agree byte-for-byte at every cut
+            for cut in range(0, len(data), max(1, len(data) // 23)):
+                exp_t = _lzw_decode_scalar(data[:cut], mcs, n)
+                got_t = _lzw_decode(data[:cut], mcs, n)
+                assert bytes(got_t) == bytes(exp_t), (i, clear_every, cut)
+    # corrupt: an out-of-range code raises identically in both
+    pix = rng.integers(0, 4, 50).astype(np.uint8)
+    data = bytearray(_lzw_compress(pix, 2, None))
+    data[3] ^= 0xFF
+    results = []
+    for fn in (_lzw_decode_scalar, _lzw_decode):
+        try:
+            results.append(bytes(fn(bytes(data), 2, 50)))
+        except ValueError as e:
+            results.append(str(e))
+    assert results[0] == results[1]
+    # corrupt code must actually raise when planted early
+    bad = bytes([0xFF] * 30)
+    with pytest.raises(ValueError, match="corrupt LZW stream"):
+        _lzw_decode(bad, 2, 1000)
+    with pytest.raises(ValueError, match="corrupt LZW stream"):
+        _lzw_decode_scalar(bad, 2, 1000)

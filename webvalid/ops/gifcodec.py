@@ -14,8 +14,12 @@ technique (literal codes with periodic clear codes so the code width
 never grows), which every conforming decoder accepts.
 
 Scale shape: per-payload work inside the actor-pool decode stage; the
-LZW inner loop is per-code Python (bounded by pixel count) — fine for
-web-thumbnail payloads; giant images should ride the PNG/JPEG paths.
+LZW decode is batch-vectorized (NumPy bit-gather code extraction,
+pointer-doubled table metadata, backward chain fill) — the Python loop
+count is O(#clear-codes + #width-bumps + max-chain-length), not
+O(#codes), so a megapixel frame costs tens of vector ops instead of a
+million dict steps. `_lzw_decode_scalar` keeps the per-code reference
+semantics for the fuzz parity test.
 """
 
 from __future__ import annotations
@@ -27,7 +31,14 @@ import numpy as np
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+def _lzw_decode_scalar(data: bytes, min_code_size: int,
+                       n_pixels: int) -> bytearray:
+    """Per-code reference decoder (GIF89a appendix F semantics).
+
+    Kept as the behavioral spec for the vectorized `_lzw_decode`: the
+    parity test fuzzes both against real LZW streams, truncations and
+    corruptions and requires byte-identical output / errors.
+    """
     clear = 1 << min_code_size
     eoi = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -68,6 +79,178 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
         prev = entry
         if len(out) >= n_pixels:
             return out
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
+    """Vectorized LZW decode, byte-identical to `_lzw_decode_scalar`.
+
+    Three vectorized phases per clear-delimited segment:
+    1. code extraction — variable-width codes are pulled in one NumPy
+       bit-gather per (width, gulp): each code spans ≤3 bytes, so
+       b[i] | b[i+1]<<8 | b[i+2]<<16 >> (bit&7) & mask decodes a whole
+       width-run at once. Width-bump positions are deterministic given
+       the table size (bump exactly when base+i == 1<<width, mirroring
+       the scalar equality check), so the only scan needed inside a
+       gulp is for clear/EOI codes.
+    2. table metadata — entry i has prefix c_{i-1}; string lengths and
+       first-bytes (needed for the KwKwK case and the backward fill)
+       come from pointer-doubling over the prefix array: O(log chain)
+       passes of R = R[R].
+    3. output fill — every emitted code writes its string backward
+       (last byte at its cumsum end), walking prefix chains for all
+       codes simultaneously; total writes equal total output bytes.
+
+    Truncated streams return what decoded; corrupt codes raise the
+    scalar's exact ValueError; output may overshoot n_pixels by the
+    tail of the final entry, exactly like the scalar (callers slice).
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = clear + 2
+    raw = np.frombuffer(data, np.uint8)
+    # one int64 copy of the payload up front: per-gulp gathers then run
+    # conversion-free (a 12-bit code spans <=3 bytes at any bit offset)
+    pad64 = np.empty(len(raw) + 2, np.int64)
+    pad64[:len(raw)] = raw
+    pad64[len(raw):] = 0
+    total_bits = len(raw) * 8
+    bitpos = 0
+    out_parts: list[np.ndarray] = []
+    out_len = 0
+
+    def gulp(width: int, count: int) -> np.ndarray:
+        nonlocal bitpos
+        avail = (total_bits - bitpos) // width
+        k = min(count, avail)
+        if k <= 0:
+            return np.empty(0, np.int64)
+        starts = bitpos + width * np.arange(k, dtype=np.int64)
+        b0 = starts >> 3
+        v = pad64[b0] | (pad64[b0 + 1] << 8) | (pad64[b0 + 2] << 16)
+        codes = (v >> (starts & 7)) & ((1 << width) - 1)
+        bitpos += k * width
+        return codes
+
+    while True:
+        # ---- collect one clear-delimited segment's codes -------------
+        width = min_code_size + 1
+        seg: list[np.ndarray] = []
+        seg_len = 0
+        ended_by = "trunc"  # trunc | eoi | clear | cap
+        while True:
+            # codes readable at this width before the bump: the bump
+            # fires after reading code index i_b = (1<<width) - base
+            # (scalar's len(table) == 1<<width equality — if i_b < 1 or
+            # width is 12 the width never changes again this segment)
+            i_b = (1 << width) - base
+            if width >= 12 or i_b < max(seg_len, 1):
+                run = np.iinfo(np.int64).max
+            else:
+                run = i_b - seg_len + 1
+            # every non-clear code emits >=1 byte, so needed+2 codes
+            # always reach the fill point; a clear inside the gulp
+            # truncates it anyway
+            cap = n_pixels - out_len - seg_len + 2
+            if cap <= 0:
+                ended_by = "cap"
+                break
+            codes = gulp(width, min(run, cap))
+            if codes.size == 0:
+                ended_by = "trunc"
+                break
+            stop = np.flatnonzero((codes == clear) | (codes == eoi))
+            if stop.size:
+                s = int(stop[0])
+                ended_by = "clear" if codes[s] == clear else "eoi"
+                # un-read the codes past the control code
+                bitpos -= (codes.size - s - 1) * width
+                codes = codes[:s]
+                seg.append(codes)
+                seg_len += codes.size
+                break
+            seg.append(codes)
+            seg_len += codes.size
+            if run <= cap and run < np.iinfo(np.int64).max:
+                width += 1  # the bump the scalar takes on equality
+        # ---- process the segment vectorized --------------------------
+        m = seg_len
+        if m:
+            c = np.concatenate(seg) if len(seg) > 1 else seg[0]
+            # fast path — every code a root (uncompressed-style GIFs
+            # emit clears so often the table is never referenced):
+            # output IS the code array, one byte per code
+            if int(c.max()) < clear:
+                need = n_pixels - out_len
+                m_eff = m if m <= need else need
+                out_parts.append(c[:m_eff].astype(np.uint8))
+                out_len += m_eff
+                if out_len >= n_pixels:
+                    break
+                if ended_by in ("trunc", "eoi"):
+                    break
+                continue
+            # validity: c_0 must be a root; c_i may reference at most
+            # the entry being created at step i (E_i = base+i-1, KwKwK)
+            emax = base - 1 + np.arange(m, dtype=np.int64)
+            emax[0] = clear - 1
+            bad = np.flatnonzero(c > emax)
+            iv = int(bad[0]) if bad.size else m
+            # prefix array over roots + this segment's entries; values
+            # clipped into range so pointer-doubling never indexes OOB
+            # (only chains at/after the first invalid code are affected,
+            # and those raise before use)
+            size = base + max(m - 1, 0)
+            P = np.arange(size, dtype=np.int64)
+            if m > 1:
+                # clip each entry's prefix BELOW its own index (valid
+                # prefixes already are: c_j <= E_j = base+j-1): keeps
+                # chains strictly decreasing so the doubling loop
+                # terminates even on garbage prefixes past iv
+                P[base:] = np.minimum(c[:-1],
+                                      np.arange(base - 1, size - 1))
+            # roots (first bytes) and string lengths by pointer doubling
+            R = P.copy()
+            D = (P != np.arange(size)).astype(np.int64)
+            D[base:] = 1
+            while True:
+                deep = R >= base
+                if not deep.any():
+                    break
+                D = D + D[R]
+                R = R[R]
+            cc = np.minimum(c, size - 1)
+            lens = D[cc] + 1
+            ends = np.cumsum(lens)
+            fill = np.flatnonzero(ends >= n_pixels - out_len)
+            ifill = int(fill[0]) if fill.size else m
+            if iv <= ifill and iv < m:
+                raise ValueError(f"corrupt LZW stream (code {int(c[iv])})")
+            m_eff = min(ifill + 1, m)
+            # last byte of each table entry = first byte (root) of the
+            # string emitted when it was created
+            LB = np.arange(size, dtype=np.int64)
+            if m > 1:
+                LB[base:] = R[cc[1:]]
+            total = int(ends[m_eff - 1])
+            seg_out = np.empty(total, np.uint8)
+            cur = cc[:m_eff].copy()
+            end = ends[:m_eff].copy()
+            while cur.size:
+                end -= 1
+                seg_out[end] = LB[cur]
+                alive = cur >= base
+                cur = P[cur[alive]]
+                end = end[alive]
+            out_parts.append(seg_out)
+            out_len += total
+            if out_len >= n_pixels:
+                break
+        if ended_by in ("trunc", "eoi"):
+            break
+        if ended_by == "cap":  # unreachable guard: cap implies filled
+            break
+    return bytearray(
+        np.concatenate(out_parts).tobytes() if out_parts else b"")
 
 
 def _valueerror_on_truncation(fn):
