@@ -469,6 +469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_trained_checked_documents": q.langid_trained_checked_documents,
         # REAL MJPEG/AVI video frame sampling (container parse + JPEG)
         "video_frames_checked_documents": q.video_frames_checked_documents,
+        # Gopher duplicate-trigram fraction (registered LAST on purpose:
+        # round-5 additions must not displace the 50 rotation targets)
+        "dup_ngram_documents": q.dup_ngram_documents,
     }
     return _rotate_for_driver_window(base)
 
@@ -2210,5 +2213,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
                    0.25 AS duration_sec, TRUE AS rms_ok, TRUE AS zcr_ok
             FROM documents ORDER BY doc_id
+        """,
+        "dup_ngram_documents": """
+            WITH tri AS (
+                SELECT doc_id, unnest(list_transform(
+                           generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                || toks[i + 2])) AS tg
+                FROM (SELECT doc_id, str_split(text, ' ') AS toks
+                      FROM documents)
+            ),
+            tc AS (SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY 1, 2)
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+                   ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                         / SUM(c), 6) AS dup_ngram_frac
+            FROM tc GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -281,6 +281,46 @@ def test_repetition_stats_naive_oracle(ray_session):
     assert out.loc[3, "top_bigram_frac"] == pytest.approx(2 / 4)
 
 
+def test_dup_ngram_stats_naive_oracle(ray_session):
+    from collections import Counter
+
+    from webvalid.ops.textstats import dup_ngram_stats
+
+    rows = [
+        # 'a b c' x2 among 4 trigrams -> dup frac 2/4
+        {"doc_id": 0, "text": "a b c a b c"},
+        {"doc_id": 1, "text": "x y"},          # <3 tokens: no row
+        {"doc_id": 2, "text": None},           # null: no row
+        {"doc_id": 3, "text": "p q r s"},      # all unique: 0.0
+        {"doc_id": 4, "text": "z z z z z"},    # one trigram x3: 1.0
+    ]
+    out = dup_ngram_stats(_ds(ray_session, pd.DataFrame(rows), blocks=2),
+                          n=3).to_pandas().set_index("doc_id")
+    assert set(out.index) == {0, 3, 4}
+    assert out.loc[0, "n_ngrams"] == 4
+    assert out.loc[0, "dup_ngram_frac"] == pytest.approx(2 / 4)
+    assert out.loc[3, "dup_ngram_frac"] == 0.0
+    assert out.loc[4, "dup_ngram_frac"] == 1.0
+
+    # randomized parity vs a naive per-doc Counter oracle
+    rng = np.random.default_rng(5)
+    docs = [" ".join(rng.choice(list("abcdef"), rng.integers(1, 40)))
+            for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": docs})
+    got = dup_ngram_stats(_ds(ray_session, df, blocks=4), n=3) \
+        .to_pandas().set_index("doc_id")
+    for did, text in zip(df["doc_id"], df["text"]):
+        toks = text.split(" ")
+        tris = Counter(tuple(toks[i:i + 3]) for i in range(len(toks) - 2))
+        if not tris:
+            assert did not in got.index
+            continue
+        total = sum(tris.values())
+        dup = sum(c for c in tris.values() if c >= 2)
+        assert got.loc[did, "n_ngrams"] == total
+        assert got.loc[did, "dup_ngram_frac"] == pytest.approx(dup / total)
+
+
 def test_salted_left_join_hot_keys(ray_session):
     from webvalid.ops.joins import salted_left_join
 

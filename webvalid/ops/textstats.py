@@ -364,6 +364,70 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def dup_ngram_stats_batch(batch: pa.Table, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """Per-doc duplicate-n-gram fraction (the Gopher repetition signal
+    repetition_stats doesn't cover): of all n-gram instances in a doc,
+    the fraction belonging to an n-gram that occurs >= 2 times. One
+    lexsort over chained 64-bit token hashes per batch — no per-row
+    Python. N-gram identity is the hash chain (same collision trade as
+    the bigram kernel above). Docs with < n tokens or null text emit
+    no row (SQL: no n-gram rows -> absent from the grouped result)."""
+    from webvalid.ops.boilerplate import _split_flat
+    from webvalid.sketches import hash64
+
+    assert n >= 2
+    empty = pa.table({id_col: batch[id_col].slice(0, 0),
+                      "n_ngrams": pa.array([], pa.int64()),
+                      "dup_ngram_frac": pa.array([], pa.float64())})
+    flat, offs, valid = _split_flat(batch[text_col])
+    if len(flat) < n or not valid.any():
+        return empty
+    doc_idx = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    h = hash64(flat.to_numpy(zero_copy_only=False))
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    # chain-mix the n token hashes; an n-gram is valid iff its first
+    # and last token share a (valid) doc — doc_idx is monotone, so
+    # endpoint equality implies the middle tokens match too
+    gh = h[: len(h) - n + 1].copy()
+    for i in range(1, n):
+        gh = (gh * gold) ^ h[i: len(h) - n + 1 + i]
+    gdoc = doc_idx[: len(h) - n + 1]
+    ok = (gdoc == doc_idx[n - 1:]) & valid[gdoc]
+    if not ok.any():
+        return empty
+    gdoc, gh = gdoc[ok], gh[ok]
+    order = np.lexsort((gh, gdoc))
+    d_s, h_s = gdoc[order], gh[order]
+    run_start = np.ones(len(d_s), dtype=bool)
+    run_start[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    starts = np.flatnonzero(run_start)
+    cnt = np.diff(np.append(starts, len(d_s)))
+    run_doc = d_s[starts]
+    doc_start = np.ones(len(run_doc), dtype=bool)
+    doc_start[1:] = run_doc[1:] != run_doc[:-1]
+    dstarts = np.flatnonzero(doc_start)
+    docs = run_doc[dstarts]
+    totals = np.add.reduceat(cnt, dstarts)
+    dups = np.add.reduceat(np.where(cnt >= 2, cnt, 0), dstarts)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[docs]
+    return pa.table({id_col: pa.array(ids, batch[id_col].type),
+                     "n_ngrams": pa.array(totals.astype(np.int64)),
+                     "dup_ngram_frac": pa.array(
+                         dups / totals.astype(np.float64))})
+
+
+def dup_ngram_stats(ds, n: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Streaming per-doc duplicate-n-gram fraction Dataset (see batch
+    kernel; per-doc and batch-local, so it pipelines with no shuffle)."""
+    return ds.map_batches(
+        lambda t: dup_ngram_stats_batch(t, n, text_col, id_col),
+        batch_format="pyarrow",
+    )
+
+
 def repetition_filter(ds, text_col: str = "text",
                       max_top_token_frac: float = 0.15,
                       min_tokens: int = 20):

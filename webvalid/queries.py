@@ -1415,6 +1415,19 @@ def repetition_documents(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def dup_ngram_documents(sf_dir: str):
+    """Per-doc duplicate-trigram fraction
+    (ops/textstats.py:dup_ngram_stats): the Gopher dup-n-gram
+    repetition signal — fraction of trigram instances whose trigram
+    occurs >= 2x in the doc. Docs with < 3 tokens emit no row."""
+    from webvalid.ops.textstats import dup_ngram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dup_ngram_stats(ds, n=3).to_pandas()
+    out["dup_ngram_frac"] = out["dup_ngram_frac"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def lead_value_events(sf_dir: str):
     """Per-user LEAD(value, 1) (ops/rank.py:lead_per_key) — null for
     each user's last event."""
