@@ -386,7 +386,13 @@ def run_scaling() -> dict:
         # insensitive (see run_bench), so warm-path efficiency is the
         # robust scaling figure on this membw-flapping host
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1",
-                   GRAFT_BENCH_ROWS=scale_rows)
+                   GRAFT_BENCH_ROWS=scale_rows,
+                   # keep scaling sub-runs from clobbering the repo's
+                   # BENCH_DETAIL.json (the driver-recorded artifact):
+                   # their detail goes to a scratch file instead
+                   GRAFT_DETAIL_PATH=os.environ.get(
+                       "GRAFT_SCALE_DETAIL_PATH",
+                       f"/tmp/webvalid_scale_detail_{ncpu}.json"))
         s0 = _steal_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
