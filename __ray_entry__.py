@@ -1032,8 +1032,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM bc GROUP BY doc_id
             )
             SELECT t1.doc_id, t1.n_tokens,
-                   ROUND(t1.max_tok / t1.n_tokens, 6) AS top_token_frac,
-                   ROUND(COALESCE(b1.max_bg / b1.n_bigrams, 0), 6)
+                   ROUND(t1.max_tok / t1.n_tokens + 1e-9, 6)
+                       AS top_token_frac,
+                   ROUND(COALESCE(b1.max_bg / b1.n_bigrams, 0) + 1e-9, 6)
                        AS top_bigram_frac
             FROM t1 LEFT JOIN b1 USING (doc_id)
             ORDER BY t1.doc_id
@@ -2226,7 +2227,7 @@ def oracle_sql() -> dict[str, str]:
             tc AS (SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY 1, 2)
             SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
                    ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
-                         / SUM(c), 6) AS dup_ngram_frac
+                         / SUM(c) + 1e-9, 6) AS dup_ngram_frac
             FROM tc GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -221,8 +221,9 @@ def run_bench() -> dict:
     # this number barely moves between healthy and degraded host windows
     # (the degradation lives in the kernel's fresh-page-supply path —
     # see BASELINE.md round-4 diagnosis), while the cold number above
-    # swings 4x. Skippable via GRAFT_SKIP_WARM for sub-runs (scaling
-    # legs time the cold path only).
+    # swings 4x. Skippable via GRAFT_SKIP_WARM; scaling legs KEEP it
+    # (each leg runs the suite twice) because warm-path efficiency is
+    # the window-robust scaling figure — see run_scaling.
     headline_warm = None
     if not os.environ.get("GRAFT_SKIP_WARM"):
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -390,9 +391,12 @@ def run_scaling() -> dict:
                    # keep scaling sub-runs from clobbering the repo's
                    # BENCH_DETAIL.json (the driver-recorded artifact):
                    # their detail goes to a scratch file instead
-                   GRAFT_DETAIL_PATH=os.environ.get(
-                       "GRAFT_SCALE_DETAIL_PATH",
-                       f"/tmp/webvalid_scale_detail_{ncpu}.json"))
+                   GRAFT_DETAIL_PATH=(
+                       # per-leg suffix even under the override, or the
+                       # lo/hi legs (and retries) overwrite one file
+                       f"{os.environ['GRAFT_SCALE_DETAIL_PATH']}.{ncpu}"
+                       if os.environ.get("GRAFT_SCALE_DETAIL_PATH")
+                       else f"/tmp/webvalid_scale_detail_{ncpu}.json"))
         s0 = _steal_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -543,6 +543,13 @@ def test_lzw_vectorized_matches_scalar_fuzz():
                 exp_t = _lzw_decode_scalar(data[:cut], mcs, n)
                 got_t = _lzw_decode(data[:cut], mcs, n)
                 assert bytes(got_t) == bytes(exp_t), (i, clear_every, cut)
+    # n_pixels=0 (zero-area frame): the scalar emits its first entry
+    # before the stop check — the fast path must match byte-for-byte
+    for pix0, mcs0 in ((np.array([3, 1, 3], np.uint8), 2),
+                       (np.zeros(5, np.uint8), 2)):
+        d0 = _lzw_compress(pix0, mcs0, None)
+        assert bytes(_lzw_decode(d0, mcs0, 0)) == \
+            bytes(_lzw_decode_scalar(d0, mcs0, 0))
     # corrupt: an out-of-range code raises identically in both
     pix = rng.integers(0, 4, 50).astype(np.uint8)
     data = bytearray(_lzw_compress(pix, 2, None))

@@ -463,6 +463,26 @@ def test_bloom_anti_join_refuses_keys_beyond_2_53(ray_session):
     # below the contract bound everything still works
     out = bloom_anti_join(left, np.array([1], np.int64), "k").to_pandas()
     assert out["k"].tolist() == [2]
+    # native-float build keys past 2^53 are exact (ADVICE r4: epoch-ns
+    # float domains) — allowed, and float probes hash identically
+    big = float(1 << 53)
+    leftf = ray.data.from_items([{"k": big}, {"k": 3.0}])
+    outf = bloom_anti_join(leftf, np.array([big], np.float64), "k") \
+        .to_pandas()
+    assert outf["k"].tolist() == [3.0]
+    # ...but an INTEGER probe >= 2^53 against such a build rounds on
+    # the float64 cast (2^53+1 -> 2^53 = a present key): a real orphan
+    # would hide deterministically, so the probe must refuse
+    lefti = ray.data.from_items([{"k": (1 << 53) + 1}])
+    # (Ray wraps the in-task ValueError in RayTaskError/UserCodeException)
+    with pytest.raises(Exception, match="probe keys at or beyond 2\\^53"):
+        bloom_anti_join(lefti, np.array([big], np.float64), "k") \
+            .materialize()
+    # an int probe below 2^53 against the same float build stays safe
+    lefts = ray.data.from_items([{"k": 7}])
+    outs = bloom_anti_join(lefts, np.array([big], np.float64), "k") \
+        .to_pandas()
+    assert outs["k"].tolist() == [7]
 
 
 def test_asof_big_int_keys_stay_exact(ray_session):

@@ -31,8 +31,13 @@ def main() -> None:
         sys.exit(2)
     old, new = load(sys.argv[1]), load(sys.argv[2])
     qo, qn = old.get("queries") or {}, new.get("queries") or {}
+    # a driver-truncated detail line parses with null per-query values —
+    # drop non-numeric entries on BOTH sides instead of dying on them
+    num = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)
+    qo = {q: v for q, v in qo.items() if num(v)}
+    qn = {q: v for q, v in qn.items() if num(v)}
     shared = sorted(set(qo) & set(qn))
-    ratios = {q: qn[q] / qo[q] for q in shared if qo[q] and qo[q] > 0}
+    ratios = {q: qn[q] / qo[q] for q in shared if qo[q] > 0}
     med = statistics.median(ratios.values()) if ratios else None
     out = {
         "old": sys.argv[1],

@@ -27,16 +27,15 @@ import time
 
 
 def probe_fresh() -> float:
-    import numpy as np
+    # ONE probe implementation: the watcher's gate and the bench's
+    # recorded membw_gbps_pre must measure the same thing, or the
+    # threshold comparison is apples-to-oranges (bench.py imports only
+    # stdlib at module level, so this import is cheap)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import _membw_single
 
-    nbytes = 1 << 27
-    t0 = time.perf_counter()
-    for _ in range(4):
-        a = np.empty(nbytes, np.uint8)
-        b = np.empty_like(a)
-        np.copyto(b, a)
-        del a, b
-    return round(4 * nbytes / (time.perf_counter() - t0) / 1e9, 2)
+    return _membw_single()
 
 
 def main() -> None:
@@ -63,6 +62,19 @@ def main() -> None:
             r = subprocess.run([sys.executable, bench], env=env,
                                capture_output=True, text=True)
             line = (r.stdout.strip().splitlines() or [""])[-1]
+            # a failed/garbled bench must NOT burn a healthy-window cap
+            # or append a non-JSON line to the committed-and-quoted file
+            ok = r.returncode == 0
+            if ok:
+                try:
+                    json.loads(line)
+                except ValueError:
+                    ok = False
+            if not ok:
+                print(f"bench failed in healthy window (rc={r.returncode}):"
+                      f" {r.stderr.strip().splitlines()[-1:]}", flush=True)
+                time.sleep(args.interval)
+                continue
             with open(args.out, "a") as f:
                 f.write(line + "\n")
             caps += 1

@@ -104,6 +104,12 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     scalar's exact ValueError; output may overshoot n_pixels by the
     tail of the final entry, exactly like the scalar (callers slice).
     """
+    if n_pixels <= 0:
+        # the scalar emits its FIRST entry before the >= n_pixels stop
+        # check, so n_pixels=0 yields one entry, not b"" — delegate the
+        # degenerate case (it decodes at most one code) to keep the
+        # byte-identical contract exact
+        return _lzw_decode_scalar(data, min_code_size, n_pixels)
     clear = 1 << min_code_size
     eoi = clear + 1
     base = clear + 2

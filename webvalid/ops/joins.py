@@ -328,16 +328,22 @@ def bloom_anti_join(left_ds, right_keys, key: str, fpr: float = 0.01):
     # the contract instead of documenting it: with no build key >= 2^53,
     # probe keys past 2^53 round to doubles that equal no exact build
     # double, so they still miss correctly. Native-float columns are
-    # exempt: their values ARE float64 already (e.g. epoch-ns floats),
-    # so canonicalization is lossless at any magnitude and build/probe
-    # hash identically.
-    if keys_np.dtype.kind in "iu" and len(keys_np):
-        if float(np.abs(keys_np.astype(np.float64)).max()) >= float(1 << 53):
-            raise ValueError(
-                "bloom_anti_join: build-side keys at or beyond 2^53 are "
-                "not exactly representable as float64 and would hide "
-                "real orphans — use the sorted-array or shuffle anti-join"
-            )
+    # exempt at build time: their values ARE float64 already (e.g.
+    # epoch-ns floats), so canonicalization is lossless at any magnitude
+    # and float probes hash identically. But an INTEGER probe against a
+    # float build key >= 2^53 still rounds on the probe cast and can
+    # collide with a representable build double (2^53+1 -> 2^53), so
+    # that mixed case raises at probe time instead (see _BloomAnti).
+    build_big = False
+    if len(keys_np) and keys_np.dtype.kind in "iuf":
+        build_big = (float(np.abs(keys_np.astype(np.float64)).max())
+                     >= float(1 << 53))
+    if build_big and keys_np.dtype.kind in "iu":
+        raise ValueError(
+            "bloom_anti_join: build-side keys at or beyond 2^53 are "
+            "not exactly representable as float64 and would hide "
+            "real orphans — use the sorted-array or shuffle anti-join"
+        )
     bf = BloomFilter.for_capacity(len(keys_np), fpr=fpr)
     # canonical dtype: the probe side hashes the column's native array,
     # so the build side must hash the SAME canonical form (forcing
@@ -346,17 +352,18 @@ def bloom_anti_join(left_ds, right_keys, key: str, fpr: float = 0.01):
     bf_ref = ray.put(bf.serialize())
 
     return left_ds.map_batches(
-        task_callable(_BloomAnti, ref=bf_ref, key=key),
+        task_callable(_BloomAnti, ref=bf_ref, key=key, build_big=build_big),
         batch_format="pyarrow",
     )
 
 
 class _BloomAnti:
-    def __init__(self, ref, key: str):
+    def __init__(self, ref, key: str, build_big: bool = False):
         from webvalid.sketches import BloomFilter
 
         self.bf = BloomFilter.deserialize(ray.get(ref))
         self.key = key
+        self.build_big = build_big
 
     def __call__(self, t: pa.Table) -> pa.Table:
         vals = t[self.key].to_numpy(zero_copy_only=False)
@@ -364,6 +371,18 @@ class _BloomAnti:
             null = np.asarray([v is None for v in vals], bool)
         else:
             null = pd_isna(vals)
+        # integer probe values >= 2^53 round on the float64 cast; safe
+        # when NO build key reaches 2^53 (rounded probes equal no build
+        # double), a deterministic-hidden-orphan risk when one does
+        if (self.build_big and vals.dtype.kind in "iu" and len(vals)
+                and float(np.abs(vals.astype(np.float64)).max())
+                >= float(1 << 53)):
+            raise ValueError(
+                "bloom_anti_join: integer probe keys at or beyond 2^53 "
+                "against a float build side reaching 2^53 round on the "
+                "float64 cast and would hide real orphans — use the "
+                "sorted-array or shuffle anti-join"
+            )
         miss = ~self.bf.contains_hashes(hash64(_canon_for_hash(vals)))
         return t.filter(pa.array(miss | null))
 

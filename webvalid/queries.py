@@ -1410,8 +1410,11 @@ def repetition_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = repetition_stats(ds).to_pandas()
-    out["top_token_frac"] = out["top_token_frac"].round(6)
-    out["top_bigram_frac"] = out["top_bigram_frac"].round(6)
+    # +1e-9 nudge (repo convention): fractions with power-of-2
+    # denominators (max/n) hit EXACT halves at 6 dp, where pandas
+    # rounds half-to-even and DuckDB ROUND half-away-from-zero
+    out["top_token_frac"] = (out["top_token_frac"] + 1e-9).round(6)
+    out["top_bigram_frac"] = (out["top_bigram_frac"] + 1e-9).round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1424,7 +1427,7 @@ def dup_ngram_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = dup_ngram_stats(ds, n=3).to_pandas()
-    out["dup_ngram_frac"] = out["dup_ngram_frac"].round(6)
+    out["dup_ngram_frac"] = (out["dup_ngram_frac"] + 1e-9).round(6)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
