@@ -205,9 +205,14 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, nlist: int = 16,
              nprobe: int = 4, sample_size: int = 2048,
              id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 0):
     """Approximate top-k via IVF bucketing; recall < 1, ~nlist/nprobe less work."""
-    sample = ds.select_columns([vec_col]).random_sample(
+    # random_sample's SET is seed-deterministic but its row ORDER is
+    # block-arrival order, which varies run to run — and fit_centroids'
+    # k-means init draws positional indices, so unordered rows made the
+    # centroids (hence recall) nondeterministic across runs. Carry the
+    # id and sort the driver-side sample before fitting.
+    sample = ds.select_columns([id_col, vec_col]).random_sample(
         min(1.0, sample_size / max(1, ds.count())), seed=seed
-    ).to_pandas()
+    ).to_pandas().sort_values(id_col)
     centroids = fit_centroids(np.array(sample[vec_col].to_list()), nlist, seed=seed)
     from webvalid.rayutil import task_callable
 

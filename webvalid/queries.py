@@ -3082,9 +3082,10 @@ def similarity_ivf_checked_embeddings(sf_dir: str, n_queries: int = 5,
                                       k: int = 10, min_recall: float = 0.4):
     """IVF ANN asserted against the brute-force exact top-k computed in
     the same run: per query, recall@k must clear `min_recall`
-    (deterministic — fixed-seed centroids, fixed queries; observed
-    ≥ 0.5 at both gate scales). SQL twin restates the query ids, the
-    result size, and TRUE."""
+    (deterministic — fixed-seed centroids fitted on an id-SORTED
+    driver sample so block arrival order can't move them, fixed
+    queries; observed ≥ 0.7 at sf0.001/0.01/0.1 with nprobe=8). SQL
+    twin restates the query ids, the result size, and TRUE."""
     import pyarrow.parquet as pq
 
     from webvalid.ops.similarity import brute_force_topk, ivf_topk
@@ -3094,7 +3095,7 @@ def similarity_ivf_checked_embeddings(sf_dir: str, n_queries: int = 5,
     qids = qdf["vec_id"].to_numpy()
     qmat = np.array(qdf["embedding"].to_list(), dtype=np.float64)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ivf = ivf_topk(ds, qids, qmat, k=k, nlist=16, nprobe=6).to_pandas()
+    ivf = ivf_topk(ds, qids, qmat, k=k, nlist=16, nprobe=8).to_pandas()
     ds2 = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     brute = brute_force_topk(ds2, qids, qmat, k=k).to_pandas()
     rows = []
