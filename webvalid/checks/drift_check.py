@@ -148,7 +148,12 @@ def merge_drift_states(group: pa.Table) -> pa.Table:
 
 
 def _aligned_counts(h1: dict, h2: dict) -> tuple[np.ndarray, np.ndarray]:
-    keys = list(h1.keys() | h2.keys())
+    # SORTED union, not raw set order: set iteration order varies per
+    # process (string hash randomization), and chi2/psi accumulate
+    # float sums in this order — unsorted keys made the suite's drift
+    # metrics wobble in the last ulps across runs (caught by
+    # tools/check_determinism.py at sf0.1)
+    keys = sorted(h1.keys() | h2.keys(), key=lambda k: (k is None, str(k)))
     c1 = np.array([h1.get(k, 0) for k in keys], dtype=np.float64)
     c2 = np.array([h2.get(k, 0) for k in keys], dtype=np.float64)
     return c1, c2

@@ -159,10 +159,18 @@ class BlockStatistics:
         """
         self = cls.__new__(cls)
         self.m = len(value_counts)
-        index_maps = [{v: k for k, v in enumerate(vc)} for vc in value_counts]
+        # canonical per-column value order: the merged partial dicts
+        # carry block-ARRIVAL insertion order, which varies run to run
+        # — and entropy/SU accumulate floats in this order, so unsorted
+        # maps made the cdcstream metric wobble in the last ulp across
+        # runs (caught by tools/check_determinism.py at sf0.1)
+        orders = [sorted(vc, key=lambda v: (v is None, str(v)))
+                  for vc in value_counts]
+        index_maps = [{v: k for k, v in enumerate(vals)} for vals in orders]
         self.sizes = [len(vc) for vc in value_counts]
         self.freq = [
-            np.array(list(vc.values()), dtype=np.float64) for vc in value_counts
+            np.array([vc[v] for v in vals], dtype=np.float64)
+            for vc, vals in zip(value_counts, orders)
         ]
         self.codes = None
         self.n = int(self.freq[0].sum()) if self.m else 0
