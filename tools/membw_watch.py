@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--probe-log", default="/tmp/membw_probe_log.jsonl")
     ap.add_argument("--max-caps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--with-queries", action="store_true",
+                    help="also run the per-query mini-suite in the "
+                    "capture (slower; detail lands in --detail-path)")
+    ap.add_argument("--detail-path", default="/tmp/healthy_cap_detail.json")
     args = ap.parse_args()
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,9 +60,10 @@ def main() -> None:
         with open(args.probe_log, "a") as f:
             f.write(json.dumps({"t": time.time(), "fresh_gbps": bw}) + "\n")
         if bw > args.threshold:
-            env = dict(os.environ, GRAFT_SKIP_QUERIES="1",
-                       GRAFT_SF_DIR=args.sf_dir,
-                       GRAFT_DETAIL_PATH="/tmp/healthy_cap_detail.json")
+            env = dict(os.environ, GRAFT_SF_DIR=args.sf_dir,
+                       GRAFT_DETAIL_PATH=args.detail_path)
+            if not args.with_queries:
+                env["GRAFT_SKIP_QUERIES"] = "1"
             r = subprocess.run([sys.executable, bench], env=env,
                                capture_output=True, text=True)
             line = (r.stdout.strip().splitlines() or [""])[-1]
