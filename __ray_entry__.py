@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher duplicate-trigram fraction (registered LAST on purpose:
         # round-5 additions must not displace the 50 rotation targets)
         "dup_ngram_documents": q.dup_ngram_documents,
+        # per-group HLL distinct, checked vs exact (also a round-5 add)
+        "grouped_distinct_hll_checked_events":
+            q.grouped_distinct_hll_checked_events,
     }
     return _rotate_for_driver_window(base)
 
@@ -2019,6 +2022,12 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'text', COUNT(DISTINCT text), 3
                 FROM documents
             ) ORDER BY o
+        """,
+        "grouped_distinct_hll_checked_events": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS distinct_exact,
+                   TRUE AS hll_in_bound
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "quantiles_tdigest_checked_lineitem": """
             SELECT q, ROUND(value, 6) AS value, TRUE AS rank_err_ok FROM (

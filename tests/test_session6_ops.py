@@ -1095,3 +1095,56 @@ def test_grouped_quantiles_bisection_parity(ray_session):
             interp.append(qlo + frac * (qhi - qlo))
         exp = [float(np.quantile(v, 0.5)), float(np.quantile(v, 0.9))]
         assert interp == pytest.approx(exp, abs=1e-9), k
+
+
+# ---------------------------------------------------------------------------
+# grouped_distinct_hll
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_distinct_hll_matches_per_group_sketch(ray_session):
+    """The grouped flat-maximum.at path must equal building one
+    HyperLogLog per group over the same values (identical registers →
+    identical estimates), regardless of block split."""
+    from webvalid.ops.agg import grouped_distinct_hll
+    from webvalid.sketches import HyperLogLog
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.integers(0, 800, n),
+    })
+    got = grouped_distinct_hll(_ds(ray_session, df, blocks=7),
+                               key="k", val="v", p=10)
+    for k, sub in df.groupby("k"):
+        ref = HyperLogLog(p=10).add(sub["v"].to_numpy())
+        assert got.loc[got["k"] == k, "distinct_est"].iloc[0] == \
+            pytest.approx(ref.estimate())
+
+
+def test_grouped_distinct_hll_null_semantics_and_accuracy(ray_session):
+    """Null values are ignored (COUNT DISTINCT semantics), null keys
+    form their own group (GROUP BY semantics), and estimates sit
+    within 5σ of exact on each group."""
+    from webvalid.ops.agg import grouped_distinct_hll
+
+    rng = np.random.default_rng(3)
+    n = 8000
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", None], n),
+        "v": rng.integers(0, 1500, n).astype("float64"),
+    })
+    df.loc[rng.random(n) < 0.05, "v"] = np.nan
+    got = grouped_distinct_hll(_ds(ray_session, df, blocks=5),
+                               key="k", val="v", p=12)
+    assert set(got["k"].map(lambda x: x if x is not None else "∅")) == \
+        {"x", "y", "∅"}
+    bound = 5 * 1.04 / np.sqrt(1 << 12)
+    for k, sub in df.groupby("k", dropna=False):
+        exact = sub["v"].dropna().nunique()
+        key = None if (isinstance(k, float) and np.isnan(k)) else k
+        row = got[got["k"].isna()] if key is None and got["k"].isna().any() \
+            else got[got["k"] == key]
+        est = row["distinct_est"].iloc[0]
+        assert abs(est - exact) <= bound * exact

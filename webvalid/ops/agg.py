@@ -567,3 +567,65 @@ def mutual_information(ds, key_a: str, key_b: str,
         out["mi"] = (out["mi"] + 1e-9).round(ndigits)
         out["nmi"] = (out["nmi"] + 1e-9).round(ndigits)
     return out
+
+
+def grouped_distinct_hll(ds, key: str, val: str, p: int = 12):
+    """Per-group approximate COUNT(DISTINCT val) via mergeable HLL
+    partials — the bounded-memory route when exact per-group distinct
+    (a (key, val)-domain shuffle or distinct-pairs pass) is too big.
+
+    One streaming pass: each block emits one (key, registers) row per
+    in-block group — registers are 2**p bytes, built with ONE flat
+    `np.maximum.at` over (group_code * m + idx) so there is no per-row
+    or per-group Python in the hot path (kernel shared with the global
+    HLL via sketches.hll_idx_rank). The driver folds partials with
+    elementwise max. Contract: #groups × 2**p bytes fits the driver —
+    the same vocabulary-sized-partials trade as the rest of this
+    module; rows never leave the workers.
+
+    Returns DataFrame (key, distinct_est: float). Null vals are
+    ignored (SQL COUNT(DISTINCT) semantics); null keys form their own
+    group (SQL GROUP BY semantics).
+    """
+    from webvalid.sketches import HyperLogLog, hash64, hll_idx_rank
+
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[key].to_numpy(zero_copy_only=False)
+        v = t[val].to_numpy(zero_copy_only=False)
+        if v.dtype == object:
+            ok = np.asarray([x is not None for x in v], bool)
+        else:
+            ok = ~pd.isna(v)
+        empty = pa.table({key: t[key].slice(0, 0),
+                          "_regs": pa.array([], pa.binary())})
+        if not ok.any():
+            return empty
+        codes, uniques = pd.factorize(g[ok], use_na_sentinel=False)
+        idx, rank = hll_idx_rank(hash64(v[ok]), p)
+        regs = np.zeros(len(uniques) * m, dtype=np.uint8)
+        np.maximum.at(regs, codes.astype(np.int64) * m + idx, rank)
+        return pa.table({
+            # from_pandas: factorize surfaces null keys as NaN — map
+            # them back to Arrow nulls (null keys are their own group)
+            key: pa.array(list(uniques), type=t[key].type,
+                          from_pandas=True),
+            "_regs": pa.array([regs[i * m:(i + 1) * m].tobytes()
+                               for i in range(len(uniques))], pa.binary()),
+        })
+
+    merged: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow") \
+                 .iter_rows():
+        k, blob = row[key], row["_regs"]
+        regs = np.frombuffer(blob, dtype=np.uint8)
+        if k in merged:
+            np.maximum(merged[k], regs, out=merged[k])
+        else:
+            merged[k] = regs.copy()
+    rows = [{key: k,
+             "distinct_est": HyperLogLog(p=p, registers=regs).estimate()}
+            for k, regs in merged.items()]
+    return pd.DataFrame(rows, columns=[key, "distinct_est"]) \
+        .sort_values(key, kind="mergesort").reset_index(drop=True)

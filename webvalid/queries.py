@@ -2772,6 +2772,31 @@ def distinct_hll_checked_documents(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def grouped_distinct_hll_checked_events(sf_dir: str):
+    """Per-group HLL distinct estimates asserted against per-group
+    exact COUNT(DISTINCT) — grouped sketch twin of
+    distinct_hll_checked_documents (ops/agg.grouped_distinct_hll: one
+    flat maximum.at per block, driver max-fold of 2^p-byte partials).
+    Flag checks 5σ = 5·1.04/√m per group. SQL twin: COUNT(DISTINCT
+    user_id) per event_type + TRUE."""
+    from webvalid.ops.agg import grouped_count_distinct, grouped_distinct_hll
+
+    p = 12
+    bound = 5 * 1.04 / np.sqrt(1 << p)
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    est = grouped_distinct_hll(ds, key="event_type", val="user_id", p=p)
+    ds2 = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    exact = grouped_count_distinct(ds2, key="event_type", val="user_id",
+                                   out_col="distinct_exact")
+    out = exact.merge(est, on="event_type", how="left")
+    out["distinct_exact"] = out["distinct_exact"].astype("int64")
+    out["hll_in_bound"] = (
+        (out["distinct_est"] - out["distinct_exact"]).abs()
+        <= bound * out["distinct_exact"]).astype(bool)
+    return out[["event_type", "distinct_exact", "hll_in_bound"]] \
+        .sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
 def quantiles_tdigest_checked_lineitem(sf_dir: str):
     """TDigest quantile estimates rank-checked against the data (the
     estimate's true rank must sit within 2% of q) with the EXACT

@@ -41,6 +41,31 @@ def hash64(values) -> np.ndarray:
 # HyperLogLog
 # ---------------------------------------------------------------------------
 
+def hll_idx_rank(hashes: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) pairs for 64-bit hashes — the shared HLL
+    update kernel (used per-sketch by HyperLogLog.add_hashes and in
+    one flat `np.maximum.at` by the grouped path in ops/agg.py)."""
+    h = hashes.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest_bits = 64 - p
+    rest = h & np.uint64((1 << rest_bits) - 1)
+    # rank = (#leading zeros of the rest_bits-bit value) + 1
+    #      = rest_bits - bit_length(rest) + 1. Bit length is
+    # computed in the INTEGER domain (6 shift/compare steps):
+    # np.frexp rounds a rest near a power of two UP once it
+    # exceeds float64's 53-bit mantissa (p <= 10), silently
+    # biasing the rank by one.
+    bl = np.zeros(len(rest), dtype=np.uint64)
+    r = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = r >= np.uint64(1 << s)
+        bl[m] += np.uint64(s)
+        r[m] >>= np.uint64(s)
+    bl += (r > 0).astype(np.uint64)
+    rank = (np.uint64(rest_bits) - bl + np.uint64(1)).astype(np.uint8)
+    return idx, rank
+
+
 class HyperLogLog:
     """Dense HLL with 2**p uint8 registers (default p=12 → ~1.6% rel err)."""
 
@@ -54,24 +79,7 @@ class HyperLogLog:
         )
 
     def add_hashes(self, hashes: np.ndarray) -> "HyperLogLog":
-        h = hashes.astype(np.uint64, copy=False)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest_bits = 64 - self.p
-        rest = h & np.uint64((1 << rest_bits) - 1)
-        # rank = (#leading zeros of the rest_bits-bit value) + 1
-        #      = rest_bits - bit_length(rest) + 1. Bit length is
-        # computed in the INTEGER domain (6 shift/compare steps):
-        # np.frexp rounds a rest near a power of two UP once it
-        # exceeds float64's 53-bit mantissa (p <= 10), silently
-        # biasing the rank by one.
-        bl = np.zeros(len(rest), dtype=np.uint64)
-        r = rest.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            m = r >= np.uint64(1 << s)
-            bl[m] += np.uint64(s)
-            r[m] >>= np.uint64(s)
-        bl += (r > 0).astype(np.uint64)
-        rank = (np.uint64(rest_bits) - bl + np.uint64(1)).astype(np.uint8)
+        idx, rank = hll_idx_rank(hashes, self.p)
         np.maximum.at(self.registers, idx, rank)
         return self
 
