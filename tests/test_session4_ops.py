@@ -289,6 +289,24 @@ def test_grouped_count_distinct(ray_session):
     assert got.set_index("k")["n_distinct"].to_dict() == exp.to_dict()
 
 
+def test_grouped_count_distinct_sql_null_semantics(ray_session):
+    """SQL GROUP BY semantics: a NULL key is its own group, and a
+    group whose vals are all NULL still appears with count 0."""
+    from webvalid.ops.agg import grouped_count_distinct
+
+    df = pd.DataFrame({
+        "k": ["a", "a", None, None, "b", "b"],
+        "v": [1.0, 2.0, 7.0, 7.0, np.nan, np.nan],
+    })
+    got = grouped_count_distinct(_ds(ray_session, df, blocks=3),
+                                 key="k", val="v")
+    assert len(got) == 3
+    by = {("∅" if pd.isna(k) else k): n
+          for k, n in zip(got["k"], got["n_distinct"])}
+    assert by == {"a": 2, "∅": 1, "b": 0}
+    assert got["n_distinct"].dtype == np.int64
+
+
 def test_grouped_minmax_normalize(ray_session):
     from webvalid.ops.agg import grouped_minmax_normalize
 

@@ -1118,7 +1118,11 @@ def test_grouped_distinct_hll_matches_per_group_sketch(ray_session):
     got = grouped_distinct_hll(_ds(ray_session, df, blocks=7),
                                key="k", val="v", p=10)
     for k, sub in df.groupby("k"):
-        ref = HyperLogLog(p=10).add(sub["v"].to_numpy())
+        # float64 is the op's canonical hash dtype for integer vals
+        # (nullable-int blocks arrive float64; same value must hash
+        # the same in every block)
+        ref = HyperLogLog(p=10).add(sub["v"].to_numpy()
+                                    .astype(np.float64))
         assert got.loc[got["k"] == k, "distinct_est"].iloc[0] == \
             pytest.approx(ref.estimate())
 

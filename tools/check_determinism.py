@@ -17,14 +17,30 @@ Usage:
 from __future__ import annotations
 
 import logging
+import os
 import sys
 
 logging.getLogger("ray.data").setLevel(logging.ERROR)
+# importable from any cwd: repo root (for __ray_entry__) + tools/
+# (for check_oracles), derived from this file's location. PYTHONPATH
+# too — Ray WORKER processes import webvalid via the environment, not
+# the driver's sys.path (must be set before ray.init).
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_HERE)
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, _HERE)
+os.environ["PYTHONPATH"] = _ROOT + os.pathsep + \
+    os.environ.get("PYTHONPATH", "")
 
 
 def canon(obj):
-    """Order-insensitive canonical form (mirrors check_oracles.canon)."""
+    """Order-insensitive canonical form — the SAME canonicalization the
+    oracle checker uses (imported, not copied: the two tools must
+    agree on what 'identical results' means), plus a Dataset →
+    DataFrame unwrap."""
     import pandas as pd
+
+    from check_oracles import canon as oracle_canon
 
     if hasattr(obj, "to_pandas"):
         try:
@@ -33,14 +49,7 @@ def canon(obj):
             df = pd.DataFrame(obj.take_all())
     else:
         df = obj
-    df = df.copy()
-    df.columns = [str(c) for c in df.columns]
-    df = df[sorted(df.columns)]
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return (df.sort_values(list(df.columns), kind="mergesort")
-            .reset_index(drop=True))
+    return oracle_canon(df)
 
 
 def main() -> None:
@@ -55,7 +64,6 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    sys.path.insert(0, ".")
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()

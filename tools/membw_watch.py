@@ -62,7 +62,11 @@ def main() -> None:
         if bw > args.threshold:
             env = dict(os.environ, GRAFT_SF_DIR=args.sf_dir,
                        GRAFT_DETAIL_PATH=args.detail_path)
-            if not args.with_queries:
+            if args.with_queries:
+                # an inherited suite-only var must not silently override
+                # the explicit flag
+                env.pop("GRAFT_SKIP_QUERIES", None)
+            else:
                 env["GRAFT_SKIP_QUERIES"] = "1"
             r = subprocess.run([sys.executable, bench], env=env,
                                capture_output=True, text=True)

@@ -153,7 +153,10 @@ def _aligned_counts(h1: dict, h2: dict) -> tuple[np.ndarray, np.ndarray]:
     # float sums in this order — unsorted keys made the suite's drift
     # metrics wobble in the last ulps across runs (caught by
     # tools/check_determinism.py at sf0.1)
-    keys = sorted(h1.keys() | h2.keys(), key=lambda k: (k is None, str(k)))
+    # type name breaks str-collision ties (int 1 vs str '1') that would
+    # otherwise fall back to per-process set order
+    keys = sorted(h1.keys() | h2.keys(),
+                  key=lambda k: (k is None, type(k).__name__, str(k)))
     c1 = np.array([h1.get(k, 0) for k in keys], dtype=np.float64)
     c2 = np.array([h2.get(k, 0) for k in keys], dtype=np.float64)
     return c1, c2

@@ -164,7 +164,8 @@ class BlockStatistics:
         # — and entropy/SU accumulate floats in this order, so unsorted
         # maps made the cdcstream metric wobble in the last ulp across
         # runs (caught by tools/check_determinism.py at sf0.1)
-        orders = [sorted(vc, key=lambda v: (v is None, str(v)))
+        orders = [sorted(vc, key=lambda v: (v is None, type(v).__name__,
+                                            str(v)))
                   for vc in value_counts]
         index_maps = [{v: k for k, v in enumerate(vals)} for vals in orders]
         self.sizes = [len(vc) for vc in value_counts]

@@ -113,9 +113,18 @@ def grouped_count_distinct(ds, key: str, val: str,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    parts = parts.dropna(subset=[val]).drop_duplicates()
-    out = parts.groupby(key, as_index=False, sort=False)[val].size() \
-               .rename(columns={"size": out_col})
+    parts = parts.drop_duplicates()
+    # SQL semantics throughout: a NULL key is its own group
+    # (dropna=False), and a group whose vals are all NULL still exists
+    # with COUNT(DISTINCT)=0 — so collect the key domain BEFORE
+    # dropping null vals and left-join the counts back (pandas merge
+    # matches NaN keys to each other, like GROUP BY does)
+    keys = parts[[key]].drop_duplicates()
+    nn = parts.dropna(subset=[val])
+    counts = nn.groupby(key, as_index=False, sort=False, dropna=False)[val] \
+               .size().rename(columns={"size": out_col})
+    out = keys.merge(counts, on=key, how="left")
+    out[out_col] = out[out_col].fillna(0).astype("int64")
     return out.sort_values(key, kind="mergesort").reset_index(drop=True)
 
 
@@ -603,7 +612,17 @@ def grouped_distinct_hll(ds, key: str, val: str, p: int = 12):
         if not ok.any():
             return empty
         codes, uniques = pd.factorize(g[ok], use_na_sentinel=False)
-        idx, rank = hll_idx_rank(hash64(v[ok]), p)
+        # canonical hash dtype: a nullable int column arrives float64
+        # in null-bearing blocks and int64 elsewhere, and
+        # hash64(int 5) != hash64(float 5.0) — the same value would
+        # count twice. Float64 is exact below 2^53; above it distinct
+        # ints can collide into one double (an under-count, acceptable
+        # for an approximate-distinct sketch and shared with the
+        # column-stats hash path).
+        vv = v[ok]
+        if vv.dtype.kind in "iub":
+            vv = vv.astype(np.float64)
+        idx, rank = hll_idx_rank(hash64(vv), p)
         regs = np.zeros(len(uniques) * m, dtype=np.uint8)
         np.maximum.at(regs, codes.astype(np.int64) * m + idx, rank)
         return pa.table({

@@ -212,7 +212,15 @@ def ivf_topk(ds, query_ids, query_matrix, k: int = 10, nlist: int = 16,
     # id and sort the driver-side sample before fitting.
     sample = ds.select_columns([id_col, vec_col]).random_sample(
         min(1.0, sample_size / max(1, ds.count())), seed=seed
-    ).to_pandas().sort_values(id_col)
+    ).to_pandas().sort_values(id_col, kind="mergesort")
+    # mergesort is stable, but duplicate ids would still tie back to
+    # arrival order — id_col must identify rows for the fit (and the
+    # probe phase) to be deterministic
+    if sample[id_col].duplicated().any():
+        raise ValueError(
+            f"ivf_topk: id column '{id_col}' has duplicate values in the "
+            "centroid sample; centroid fitting (and result identity) "
+            "requires unique ids")
     centroids = fit_centroids(np.array(sample[vec_col].to_list()), nlist, seed=seed)
     from webvalid.rayutil import task_callable
 
