@@ -569,7 +569,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sliding_2h_hourly_events": """
             WITH bounds AS (
-                SELECT (MIN(epoch_us(ts)) // 3600000000 - 1) * 3600000000 AS lo,
+                -- "- 2": reaches the engine's lowest (floor-derived)
+                -- window even for negative non-aligned minima; the
+                -- inner join drops any extra empty grid point
+                SELECT (MIN(epoch_us(ts)) // 3600000000 - 2) * 3600000000 AS lo,
                        (MAX(epoch_us(ts)) // 3600000000) * 3600000000 AS hi
                 FROM events
             ), wins AS (

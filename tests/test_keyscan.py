@@ -83,7 +83,10 @@ def test_cumsum_scan_spanning_keys(ray_session, frame):
     got = cumsum_scan(_ds(frame, 20), "k", "o", "tb", "v") \
         .to_pandas().sort_values("tb").reset_index(drop=True)
     exp = _sorted(frame).copy()
+    # SQL SUM OVER semantics: NULL rows carry the prior running sum
+    # (pandas cumsum would emit NaN there); leading NULLs stay NULL
     exp["cum_sum"] = exp.groupby("k")["v"].cumsum()
+    exp["cum_sum"] = exp.groupby("k")["cum_sum"].ffill()
     exp = exp.sort_values("tb").reset_index(drop=True)
     assert np.allclose(got["cum_sum"], exp["cum_sum"],
                        atol=1e-8, equal_nan=True)
@@ -456,3 +459,142 @@ def test_funnel_no_from_events_returns_empty(ray_session):
                             horizon=10, tiebreak="uid")
     assert len(out) == 0
     assert list(out.columns) == ["k", "n_from", "n_conversions"]
+
+
+def test_funnel_extreme_ts_magnitudes_exact(ray_session):
+    """Order extents near int64 extremes must not wrap the monotonic
+    remap (the guard must run in the float domain BEFORE any int64
+    lift) and the fallback's window compare must stay exact."""
+    import ray.data
+
+    from webvalid.ops.funnel import funnel_conversion
+
+    lo, hi = -(1 << 62), (1 << 62)
+    rows = []
+    for key, base in (("u1", lo), ("u2", hi - 10)):
+        rows += [
+            {"user_id": key, "ts_us": base, "event_type": "click",
+             "event_id": f"{key}-a"},
+            {"user_id": key, "ts_us": base + 5, "event_type": "purchase",
+             "event_id": f"{key}-b"},
+        ]
+    # one key spanning BOTH extremes: its own extent wraps int64
+    rows += [
+        {"user_id": "u3", "ts_us": lo, "event_type": "click",
+         "event_id": "u3-a1"},
+        {"user_id": "u3", "ts_us": lo + 5, "event_type": "purchase",
+         "event_id": "u3-b1"},
+        {"user_id": "u3", "ts_us": hi - 10, "event_type": "click",
+         "event_id": "u3-a2"},
+        {"user_id": "u3", "ts_us": hi - 5, "event_type": "purchase",
+         "event_id": "u3-b2"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = funnel_conversion(ds, key="user_id", ts_col="ts_us",
+                            type_col="event_type", from_type="click",
+                            to_type="purchase", horizon=10,
+                            tiebreak="event_id")
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
+    out = out.set_index("user_id")
+    assert out.loc["u1", "n_conversions"] == 1
+    assert out.loc["u2", "n_conversions"] == 1
+    assert out.loc["u3", "n_from"] == 2
+    assert out.loc["u3", "n_conversions"] == 2
+
+
+def test_event_time_ops_negative_epochs_match_duckdb(ray_session):
+    """Pre-1970 timestamps: day/bucket arithmetic must match DuckDB's
+    TRUNC integer division (numpy floor shifts negatives one unit
+    down), and sliding windows must agree with the oracle's
+    grid+predicate construction."""
+    import ray.data
+
+    duckdb = pytest.importorskip("duckdb")
+    from webvalid.ops.retention import new_users_daily
+    from webvalid.ops.windows import windowed_distinct
+
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000
+    rows = pd.DataFrame({
+        "user_id": [1, 2, 3, 3],
+        "ts_us": [-1_000_000, 1_000_000, -2 * DAY - 5, DAY + 5],
+    })
+    rows["ts"] = pd.to_datetime(rows["ts_us"], unit="us")
+    ds = ray.data.from_pandas(rows).repartition(2)
+
+    got = new_users_daily(ds, key="user_id", ts_col="ts")
+    exp = duckdb.sql("""
+        WITH f AS (SELECT user_id,
+                          MIN(epoch_us(ts) // 86400000000) AS day
+                   FROM rows GROUP BY user_id)
+        SELECT day, COUNT(*) AS n_new FROM f GROUP BY day ORDER BY day
+    """).df()
+    assert got["day"].tolist() == exp["day"].tolist()
+    assert got["n_new"].tolist() == exp["n_new"].tolist()
+
+    got_w = windowed_distinct(ds, ts_col="ts", id_col="user_id",
+                              bucket_us=HOUR, n_buckets=3)
+    exp_w = duckdb.sql("""
+        WITH e AS (SELECT epoch_us(ts) // 3600000000 AS hb, user_id
+                   FROM rows),
+        hours AS (SELECT DISTINCT hb FROM e)
+        SELECT h.hb * 3600000000 AS window_end,
+               COUNT(DISTINCT e.user_id) AS n_ids
+        FROM hours h JOIN e ON e.hb BETWEEN h.hb - 2 AND h.hb
+        GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got_w["window_end"].tolist() == exp_w["window_end"].tolist()
+    assert got_w["n_ids"].tolist() == exp_w["n_ids"].tolist()
+
+
+def test_cumsum_scan_null_values_sql_semantics(ray_session):
+    """SUM(value) OVER ignores NULLs: a NULL row shows the running sum
+    of prior non-nulls; leading NULLs (empty frame) stay NULL —
+    including across block boundaries."""
+    import ray.data
+
+    from webvalid.ops.keyscan import cumsum_scan
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3,
+        "o": [1, 2, 3, 4, 1, 2, 3],
+        "tb": list(range(7)),
+        "v": [1.0, np.nan, 2.0, np.nan, np.nan, np.nan, 5.0],
+    })
+    got = cumsum_scan(ray.data.from_pandas(df).repartition(4),
+                      "k", "o", "tb", "v").to_pandas() \
+        .sort_values("tb")["cum_sum"].tolist()
+    exp = [1.0, 1.0, 3.0, 3.0, np.nan, np.nan, 5.0]
+    for g, e in zip(got, exp):
+        if np.isnan(e):
+            assert np.isnan(g)
+        else:
+            assert g == pytest.approx(e)
+
+
+def test_retention_empty_and_null_user(ray_session):
+    """Empty datasets return empty results (Ray drops columns on
+    all-empty blocks); a NULL user id is its own user per SQL."""
+    import ray.data
+
+    from webvalid.ops.retention import new_users_daily, retention_matrix
+
+    schema_df = pd.DataFrame({"user_id": pd.Series([], dtype="float64"),
+                              "ts": pd.Series([], dtype="datetime64[us]")})
+    empty = ray.data.from_pandas(schema_df)
+    assert len(new_users_daily(empty, "user_id", "ts")) == 0
+    assert len(retention_matrix(empty, "user_id", "ts")) == 0
+
+    df = pd.DataFrame({
+        "user_id": [1.0, np.nan, np.nan],
+        "ts": pd.to_datetime([0, 0, 86_400_000_000], unit="us"),
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = new_users_daily(ds, "user_id", "ts")
+    # two users (1.0 and the NULL user), both first seen day 0
+    assert out["n_new"].tolist() == [2]
+    mat = retention_matrix(ds, "user_id", "ts")
+    # NULL user active at offsets 0 and 1
+    assert mat.set_index(["cohort_day", "day_offset"])["n_users"] \
+        .to_dict() == {(0, 0): 2, (0, 1): 1}

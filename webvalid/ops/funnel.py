@@ -42,10 +42,18 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
         typ = t[type_col].to_numpy(zero_copy_only=False)
         h = _head_run_len(k)
         first_ts = ts[0]
-        mask = (typ[:h] == to_type) & (ts[:h] <= first_ts + horizon)
-        tail_start = len(k) - 1
-        while tail_start > 0 and k[tail_start - 1] == k[-1]:
-            tail_start -= 1
+        # ts[:h] >= first_ts (sorted), so compare via the non-negative
+        # difference — first_ts + horizon itself can wrap int64 near
+        # the extremes. If the head run's own extent could overflow
+        # the int64 difference (>= 2^62 checked in float), do the
+        # comparison in exact Python ints.
+        if float(ts[h - 1]) - float(first_ts) < float(1 << 62):
+            in_h = (ts[:h] - first_ts) <= horizon
+        else:
+            in_h = np.array([int(x) - int(first_ts) <= horizon
+                             for x in ts[:h]], dtype=bool)
+        mask = (typ[:h] == to_type) & in_h
+        tail_start = int(_runs(k)[-1])
         tail_ts = ts[tail_start:]
         tail_typ = typ[tail_start:]
         return {
@@ -108,8 +116,13 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
         run_max = ts[bounds[1:] - 1]
         a_mask = typ == from_type
         b_mask = typ == to_type
-        extents = (run_max - run_min) + horizon + 2
-        if float(extents.astype(np.float64).sum()) < float(1 << 62):
+        # float-domain pre-check BEFORE any int64 arithmetic: extreme
+        # extents wrap int64 silently and would then pass the guard
+        # with a corrupted remap (same pattern as keyscan.py)
+        extents_f = (run_max.astype(np.float64) - run_min.astype(np.float64)
+                     + float(horizon) + 2.0)
+        if extents_f.sum() < float(1 << 62):
+            extents = (run_max - run_min) + horizon + 2
             # horizon-gapped monotonic remap: ONE searchsorted serves
             # every run (gaps > horizon block cross-run matches)
             base = np.concatenate([[0], np.cumsum(extents)[:-1]])
@@ -142,8 +155,13 @@ def funnel_conversion(ds, key: str, ts_col: str, type_col: str,
                 aa = ts[r0:r1][am]
                 if len(bb):
                     idx = np.searchsorted(bb, aa, side="left")
-                    okr = (idx < len(bb)) & \
-                        (bb[np.clip(idx, 0, len(bb) - 1)] <= aa + horizon)
+                    # bb[idx] >= aa by construction; the mod-2^64
+                    # uint64 subtraction is the exact non-negative
+                    # diff for ANY int64 pair (aa + horizon itself
+                    # wraps near the extremes this branch exists for)
+                    diff = (bb[np.clip(idx, 0, len(bb) - 1)]
+                            .astype(np.uint64) - aa.astype(np.uint64))
+                    okr = (idx < len(bb)) & (diff <= np.uint64(horizon))
                 else:
                     okr = np.zeros(len(aa), dtype=bool)
                 w = np.flatnonzero(am) + r0

@@ -398,24 +398,47 @@ def cumsum_scan(ds, key: str, order_col: str, tiebreak: str, value_col: str,
             "tail": t[key][len(k) - 1].as_py(),
             "single": bool(k[0] == k[-1]),
             "tail_sum": float(tail.sum()) if len(tail) else 0.0,
+            # non-null count rides along: SQL SUM OVER an all-NULL
+            # prefix is NULL, not 0 — the fill below must know whether
+            # any prior non-null value exists
+            "tail_nn": int(len(tail)),
         }
 
     def fold(state, part):
         if part is None:
             return None, None, None
         cont = state is not None and part["head"] == state[0]
-        inject = state[1] if cont else None
-        base = state[1] if (cont and part["single"]) else 0.0
-        return inject, (part["tail"], base + part["tail_sum"]), None
+        inject = (state[1], state[2]) if cont else None
+        bsum, bnn = (state[1], state[2]) if (cont and part["single"]) \
+            else (0.0, 0)
+        return inject, (part["tail"], bsum + part["tail_sum"],
+                        bnn + part["tail_nn"]), None
 
     def apply(t: pa.Table, inject) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column(out_col, pa.array([], pa.float64()))
         df = t.to_pandas()
+        # an all-null sorted block arrives Arrow-typed `null` →
+        # object in pandas; coerce back to float64 (cumsum on object
+        # raises)
+        if df[value_col].dtype == object:
+            df[value_col] = pd.to_numeric(df[value_col], errors="coerce")
         cs = df.groupby(key, sort=False)[value_col].cumsum().astype(np.float64)
+        # SQL SUM(value) OVER (... UNBOUNDED PRECEDING) ignores NULLs:
+        # at a NULL-value row the frame still sums the prior non-nulls
+        # (pandas cumsum emits NaN there) — forward-fill within the
+        # key; rows before a key's first non-null stay NULL (empty
+        # frame sums to NULL)
+        cs = cs.groupby(df[key], sort=False).ffill()
         if inject is not None:
+            isum, inn = inject
             h = _head_run_len(df[key].to_numpy())
-            cs.iloc[:h] = cs.iloc[:h] + inject
+            head = cs.iloc[:h] + isum
+            if inn > 0:
+                # leading NULLs of a continuing key take the carried
+                # running sum (prior blocks had non-null values)
+                head = head.fillna(isum)
+            cs.iloc[:h] = head
         df[out_col] = cs
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -1138,8 +1161,12 @@ def interval_coverage_scan(ds, key: str, start_us_col: str, dur_us: int,
                        - run_id[isl_idx] * off)
             isl_len = isl_end - s[isl_idx]
             isl_run = run_id[isl_idx]
-            covered = np.bincount(isl_run, weights=isl_len,
-                                  minlength=n_runs).astype(np.int64)
+            # np.add.at keeps the accumulation in int64 — bincount's
+            # float64 weights would round covered lengths past 2^53,
+            # breaking the integer-exact contract (and parity with the
+            # exact per-run fallback) on extreme extents
+            covered = np.zeros(n_runs, dtype=np.int64)
+            np.add.at(covered, isl_run, isl_len)
             n_isl = np.bincount(isl_run, minlength=n_runs).astype(np.int64)
         else:
             # extreme key-cardinality x time-extent: the lift would

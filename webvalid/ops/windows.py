@@ -57,6 +57,12 @@ def explode_sliding_windows(batch: pa.Table, ts_col: str, size_us: int,
     """Replicate each row into every sliding window containing it."""
     ts = _ts_us(batch[ts_col]).to_numpy()
     n_windows = int(np.ceil(size_us / step_us))
+    # FLOOR division on purpose: the window grid is the step multiples
+    # and membership needs the largest grid point <= ts — floor gives
+    # that for negative timestamps too (trunc would assign a pre-1970
+    # row to a window that starts after it). The SQL twin's inner join
+    # drops empty grid points, so its generate_series lo just needs to
+    # reach the engine's lowest window (oracle uses MIN//step - 2).
     last_start = (ts // step_us) * step_us
     parts = []
     for k in range(n_windows):
@@ -123,6 +129,11 @@ def densify_hourly(ds, ts_us_col: str = "ts_us",
         return pa.Table.from_pandas(out, preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "window_start" not in parts.columns:
+        # all-empty blocks arrive column-less from Ray; the oracle's
+        # generate_series over NULL bounds is likewise empty
+        return pd.DataFrame({"window_start": pd.Series([], dtype="int64"),
+                             out_col: pd.Series([], dtype="int64")})
     counts = parts.groupby("window_start", as_index=False)[out_col].sum()
     grid = pd.DataFrame({"window_start": np.arange(
         counts["window_start"].min(),
@@ -149,13 +160,19 @@ def windowed_distinct(ds, ts_col: str, id_col: str,
     def partial(t: pa.Table) -> pa.Table:
         ts = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        hb = ts // bucket_us
+        # TRUNC toward zero: the SQL twin DEFINES buckets by DuckDB's
+        # integer // (trunc); numpy floor would shift every pre-1970
+        # event one bucket down from the oracle's definition
+        hb = np.where(ts >= 0, ts // bucket_us, -((-ts) // bucket_us))
         df = pd.DataFrame({"_hb": hb,
                            "_id": t[id_col].to_numpy(zero_copy_only=False)})
         return pa.Table.from_pandas(df.drop_duplicates(),
                                     preserve_index=False)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "_hb" not in parts.columns:
+        return pd.DataFrame({"window_end": pd.Series([], dtype="int64"),
+                             "n_ids": pd.Series([], dtype="int64")})
     pairs = parts.drop_duplicates()
     present = np.sort(pairs["_hb"].unique())
     reps = pd.concat([pairs.assign(_w=pairs["_hb"] + off)
